@@ -1,0 +1,33 @@
+"""airpollution_tpu: a TPU-native 2D advection-diffusion framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+AirPollution study (clemsadand/AirPollution): a Crouzeix-Raviart
+nonconforming-FEM solver with implicit time stepping (CRBE), a
+physics-informed neural network solver (PINN), experiment drivers,
+reporting, physics diagnostics, and multi-chip scaling via jax.sharding.
+
+Public API mirrors the reference surface (crbe.py / pinn.py / utils/common.py
+re-exports) while every compute path is designed TPU-first: vectorized
+assembly with segment-sum scatter, ELL SpMV + iterative solves under
+``lax.scan``, fully on-device PINN training, and shard_map parallel sweeps.
+"""
+
+from airpollution_tpu.problems import (
+    AdDifProblem,
+    Domain,
+    Problem,
+    SquarePulseProblem,
+)
+from airpollution_tpu.mesh import Mesh, MeshData, create_mesh
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AdDifProblem",
+    "Domain",
+    "Problem",
+    "SquarePulseProblem",
+    "Mesh",
+    "MeshData",
+    "create_mesh",
+]

@@ -1,0 +1,20 @@
+"""Mesh layer: structured triangulation, edge topology, device MeshData."""
+
+from airpollution_tpu.mesh.structured import Mesh, create_mesh
+from airpollution_tpu.mesh.topology import (
+    EdgeTopology,
+    EllPattern,
+    build_ell_pattern,
+    enumerate_edges,
+)
+from airpollution_tpu.mesh.data import MeshData
+
+__all__ = [
+    "Mesh",
+    "create_mesh",
+    "EdgeTopology",
+    "EllPattern",
+    "build_ell_pattern",
+    "enumerate_edges",
+    "MeshData",
+]

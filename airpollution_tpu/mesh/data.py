@@ -1,0 +1,104 @@
+"""MeshData: device-resident mesh geometry, topology and sparsity pattern.
+
+TPU-native counterpart of the reference's ``MeshData`` (crbe.py:47-164). The
+reference computes midpoints, segment lengths, triangle areas, boundary sets
+and the mesh diameter with Python loops over triangles/segments
+(crbe.py:97-154, ~0.9 s at mesh size 128 per BASELINE.md); here all geometry
+is vectorized and the results live on device as JAX arrays with static
+shapes, ready for jitted assembly and time stepping.
+
+Field-for-field parity with the reference object (names kept identical so the
+experiment drivers read the same attributes):
+  points, number_of_points          crbe.py:59-60
+  triangles, number_of_triangles    crbe.py:63-64
+  segments, triangle_to_segments    crbe.py:67 (order contract: topology.py)
+  number_of_segments                crbe.py:68
+  midpoints                         crbe.py:71
+  segment_lengths, triangle_areas   crbe.py:74-75
+  boundary_segments                 crbe.py:77-80
+  boundary_triangles                crbe.py:82-95
+  diameter                          crbe.py:97-106 (max edge length)
+  time_discr = linspace(0, T, nt)   crbe.py:56
+
+TPU additions: ``boundary_mask`` (dense bool mask over segments, used for
+Dirichlet row masking instead of per-step sparse surgery, crbe.py:397-404)
+and ``ell`` (the static ELL sparsity pattern for assembly/SpMV).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from airpollution_tpu.mesh import topology as topo_mod
+from airpollution_tpu.mesh.structured import Mesh
+
+
+class MeshData:
+    """Mesh geometry + CR DOF topology as device arrays."""
+
+    def __init__(self, mesh: Mesh, domain, nt: int, dtype=jnp.float32):
+        self.mesh = mesh
+        self.domain = domain
+        self.nt = int(nt)
+        self.dtype = dtype
+
+        pts = np.asarray(mesh.points, dtype=np.float64)[:, :2]
+        tris = np.asarray(mesh.triangles, dtype=np.int32)
+
+        topo = topo_mod.enumerate_edges(tris, n_points=pts.shape[0])
+        segs = topo.segments
+
+        # --- geometry (vectorized, float64 on host, cast on device) ---
+        midpoints = 0.5 * (pts[segs[:, 0]] + pts[segs[:, 1]])
+        seg_vec = pts[segs[:, 0]] - pts[segs[:, 1]]
+        seg_lengths = np.linalg.norm(seg_vec, axis=1)
+
+        p0, p1, p2 = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+        cross = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (
+            p2[:, 0] - p0[:, 0]
+        ) * (p1[:, 1] - p0[:, 1])
+        areas = 0.5 * np.abs(cross)
+
+        edge_len = np.stack(
+            [
+                np.linalg.norm(p0 - p1, axis=1),
+                np.linalg.norm(p1 - p2, axis=1),
+                np.linalg.norm(p2 - p0, axis=1),
+            ],
+            axis=1,
+        )
+        diameter = float(edge_len.max()) if edge_len.size else 0.0
+
+        # --- sparsity pattern for assembly / SpMV ---
+        ell = topo_mod.build_ell_pattern(
+            topo.triangle_to_segments, n_seg=segs.shape[0]
+        )
+
+        # --- publish: device arrays ---
+        self.points = jnp.asarray(pts, dtype=dtype)
+        self.number_of_points = pts.shape[0]
+        self.triangles = jnp.asarray(tris)
+        self.number_of_triangles = tris.shape[0]
+        self.segments = jnp.asarray(segs)
+        self.triangle_to_segments = jnp.asarray(topo.triangle_to_segments)
+        self.number_of_segments = segs.shape[0]
+        self.midpoints = jnp.asarray(midpoints, dtype=dtype)
+        self.segment_lengths = jnp.asarray(seg_lengths, dtype=dtype)
+        self.triangle_areas = jnp.asarray(areas, dtype=dtype)
+        self.boundary_segments = jnp.asarray(topo.boundary_segments)
+        self.boundary_triangles = jnp.asarray(topo.boundary_triangles)
+        self.boundary_triangle_first_segment = jnp.asarray(
+            topo.boundary_triangle_first_segment
+        )
+        self.diameter = diameter
+        self.time_discr = jnp.linspace(0.0, float(domain.T), self.nt, dtype=dtype)
+
+        bmask = np.zeros(segs.shape[0], dtype=bool)
+        bmask[topo.boundary_segments] = True
+        self.boundary_mask = jnp.asarray(bmask)
+
+        self.ell_cols = jnp.asarray(ell.cols)
+        self.ell_entry_to_slot = jnp.asarray(ell.entry_to_slot)
+        self.ell_diag_slot = jnp.asarray(ell.diag_slot)
+        self.ell_width = ell.width

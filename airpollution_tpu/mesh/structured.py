@@ -1,0 +1,79 @@
+"""Structured triangulation of the square domain (gmsh replacement).
+
+The reference meshes the box with the gmsh C++ kernel through its Python API
+(crbe.py:14-44): an OCC rectangle at (-L, -L) of size 2L x 2L with
+characteristic length ``2L / (n_points_per_axis - 1)``, written to a ``.msh``
+file and read back with meshio (crbe.py:676). That pipeline is a host-side,
+file-round-trip process boundary.
+
+Here the mesh is produced directly as arrays: a regular n x n grid of
+vertices on [-L, L]^2, each grid cell split into two triangles along the
+(v00, v11) diagonal. The vertex spacing equals gmsh's characteristic length,
+so mesh sizes are comparable h-for-h with the reference sweeps
+(crbe_experiments.py:27, mesh_sizes = [4, 8, 16, 32, 64, 128]). No file I/O,
+no external process, and topology generation is vectorized numpy (with an
+optional native C++ kernel, see airpollution_tpu.mesh.native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """A triangulation: vertex coordinates and triangle connectivity.
+
+    Stand-in for the meshio object the reference passes to ``MeshData``
+    (crbe.py:50): only ``points`` (N, 2) float64 and ``triangles`` (T, 3)
+    int32 are carried, as plain numpy arrays (mesh construction is host-side
+    setup; device arrays are created by ``MeshData``).
+    """
+
+    points: np.ndarray
+    triangles: np.ndarray
+
+
+def create_mesh(n_points_per_axis: int = 20, domain_size: float = 2.0) -> Mesh:
+    """Triangulate [-domain_size, domain_size]^2 with a structured grid.
+
+    Counterpart of ``create_mesh`` (crbe.py:14-44) minus gmsh: n points per
+    axis, spacing ``2 * domain_size / (n - 1)`` (same as gmsh's
+    CharacteristicLengthMin/Max at crbe.py:32-34). Each of the (n-1)^2 cells
+    is split into two counter-clockwise triangles along its main diagonal:
+
+        v01 --- v11        tri A: (v00, v10, v11)
+         |  B  / |         tri B: (v00, v11, v01)
+         |   /   |
+         | /  A  |
+        v00 --- v10
+
+    Returns a :class:`Mesh` with float64 points and int32 triangles.
+    """
+    n = int(n_points_per_axis)
+    if n < 2:
+        raise ValueError("n_points_per_axis must be >= 2")
+    L = float(domain_size)
+
+    axis = np.linspace(-L, L, n)
+    xx, yy = np.meshgrid(axis, axis, indexing="xy")
+    points = np.stack([xx.ravel(), yy.ravel()], axis=1)  # row-major: iy*n+ix
+
+    ix = np.arange(n - 1)
+    iy = np.arange(n - 1)
+    gx, gy = np.meshgrid(ix, iy, indexing="xy")
+    v00 = (gy * n + gx).ravel()
+    v10 = v00 + 1
+    v01 = v00 + n
+    v11 = v01 + 1
+
+    tri_a = np.stack([v00, v10, v11], axis=1)
+    tri_b = np.stack([v00, v11, v01], axis=1)
+    # Interleave A, B per cell so triangle order follows cell order.
+    triangles = np.empty((2 * tri_a.shape[0], 3), dtype=np.int32)
+    triangles[0::2] = tri_a
+    triangles[1::2] = tri_b
+
+    return Mesh(points=points, triangles=triangles)

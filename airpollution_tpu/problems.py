@@ -1,0 +1,162 @@
+"""Problem and domain definitions (layer L0).
+
+TPU-native counterpart of the reference's ``utils/common.py``. The reference
+keeps a dual numpy/torch backend dispatch (``backend(x)``, common.py:7-13) so a
+single ``Problem`` instance can serve both the numpy FEM solver and the torch
+PINN. Here everything is a single jax.numpy backend: every method accepts
+numpy or JAX arrays and returns JAX arrays, is traceable under ``jit``/``vmap``
+and differentiable, so the same object serves the FEM path, the PINN residual,
+and vectorized parameter sweeps (``vmap`` over ``D``/``v``).
+
+Parity contracts (all cite /root/reference):
+- ``Problem.analytical_solution``: Gaussian plume
+  ``exp(-((x - vx t)^2 + (y - vy t)^2) / (4 D t + sigma^2)) / (pi (4 D t + sigma^2))``
+  (utils/common.py:47-50), defaults ``v=[1.0, 0.5], D=0.1, sigma=1.0``
+  (utils/common.py:35).
+- ``initial_condition_fn`` = analytical solution at t=0 (utils/common.py:52-65).
+- ``boundary_fn`` = analytical solution (utils/common.py:67-70).
+- ``source_term`` = 0 (utils/common.py:72-76).
+- ``Domain``: box [-Lx, Lx] x [-Ly, Ly], horizon T, defaults (20, 20, 10)
+  (utils/common.py:81); ``is_boundary`` uses isclose with atol=1e-10
+  (utils/common.py:87-97).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+class AdDifProblem(abc.ABC):
+    """Abstract 2D advection-diffusion problem.
+
+    Counterpart of ``AdDifProblem`` (utils/common.py:15-30). Subclasses define
+    the initial condition, boundary values and source term; the velocity ``v``
+    and diffusion coefficient ``D`` live on the instance so solvers can read
+    them directly. ``v`` and ``D`` may be Python scalars or JAX scalars (the
+    latter makes problems vmappable over physical parameters).
+    """
+
+    def __init__(self, v, D):
+        self.v = v
+        self.D = D
+
+    @abc.abstractmethod
+    def initial_condition_fn(self, xy):
+        """Initial condition c(x, y, 0) at points ``xy`` of shape (N, 2)."""
+
+    @abc.abstractmethod
+    def boundary_fn(self, xyt):
+        """Dirichlet boundary values at space-time points ``xyt`` (N, 3)."""
+
+    @abc.abstractmethod
+    def source_term(self, xyt):
+        """Source s(x, y, t) at space-time points ``xyt`` (N, 3)."""
+
+
+class Problem(AdDifProblem):
+    """Default Gaussian-plume problem with a closed-form solution.
+
+    Counterpart of ``Problem`` (utils/common.py:32-76). The analytical
+    solution doubles as initial and boundary data, which makes this problem
+    the validation oracle for both solvers (SURVEY.md section 4).
+    """
+
+    def __init__(self, v=(1.0, 0.5), D=0.1, sigma=1.0):
+        super().__init__(jnp.asarray(v), D)
+        self.sigma = sigma
+
+    def analytical_solution(self, xyt):
+        """Exact solution at (N, 3) space-time points [x, y, t]."""
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+        denom = 4.0 * self.D * t + self.sigma**2
+        num = (x - self.v[0] * t) ** 2 + (y - self.v[1] * t) ** 2
+        return jnp.exp(-num / denom) / (jnp.pi * denom)
+
+    def initial_condition_fn(self, xy):
+        xy = jnp.asarray(xy)
+        if xy.shape[-1] != 2:
+            raise ValueError("xy must have 2 columns (x, y)")
+        t0 = jnp.zeros(xy.shape[:-1] + (1,), dtype=xy.dtype)
+        return self.analytical_solution(jnp.concatenate([xy, t0], axis=-1))
+
+    def boundary_fn(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        return self.analytical_solution(xyt)
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        return jnp.zeros_like(xyt[..., 0])
+
+
+class SquarePulseProblem(AdDifProblem):
+    """Square-pulse release problem ("Problem 3" case study).
+
+    Counterpart of the case-study problem in scripts/problem3.py:30-46:
+    c0 = 1 on [8, 12] x [8, 12], 0 elsewhere; zero Dirichlet boundary and zero
+    source; defaults v=(1, 0), D=0.1 (scripts/problem3.py:31). It has no
+    analytical solution, so the methods are validated against each other and
+    against physics invariants (mass conservation, center-of-mass trajectory,
+    spreading rate - see airpollution_tpu.diagnostics).
+    """
+
+    def __init__(self, v=(1.0, 0.0), D=0.1, lo=8.0, hi=12.0, amplitude=1.0):
+        super().__init__(jnp.asarray(v), D)
+        self.lo = lo
+        self.hi = hi
+        self.amplitude = amplitude
+
+    def initial_condition_fn(self, xy):
+        xy = jnp.asarray(xy)
+        x, y = xy[..., 0], xy[..., 1]
+        inside = (
+            (x >= self.lo) & (x <= self.hi) & (y >= self.lo) & (y <= self.hi)
+        )
+        return jnp.where(inside, self.amplitude, 0.0).astype(xy.dtype)
+
+    def boundary_fn(self, xyt):
+        xyt = jnp.asarray(xyt)
+        return jnp.zeros_like(xyt[..., 0])
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        return jnp.zeros_like(xyt[..., 0])
+
+
+@dataclasses.dataclass(frozen=True)
+class Domain:
+    """Box domain [-Lx, Lx] x [-Ly, Ly] with time horizon [0, T].
+
+    Counterpart of ``Domain`` (utils/common.py:78-97). Frozen dataclass so it
+    can be closed over by jitted functions and used as part of static config.
+    """
+
+    Lx: float = 20.0
+    Ly: float = 20.0
+    T: float = 10.0
+
+    def is_boundary(self, x):
+        """Boolean mask of points lying on the box boundary.
+
+        Matches the reference's isclose test with atol=1e-10
+        (utils/common.py:92-97); any time column is ignored.
+        """
+        x = jnp.asarray(x)
+        if x.shape[-1] < 2:
+            raise ValueError("x must have at least 2 columns (x, y)")
+        atol = 1e-10
+        on_left = jnp.isclose(x[..., 0], -self.Lx, atol=atol, rtol=0.0)
+        on_right = jnp.isclose(x[..., 0], self.Lx, atol=atol, rtol=0.0)
+        on_bottom = jnp.isclose(x[..., 1], -self.Ly, atol=atol, rtol=0.0)
+        on_top = jnp.isclose(x[..., 1], self.Ly, atol=atol, rtol=0.0)
+        return on_left | on_right | on_bottom | on_top
