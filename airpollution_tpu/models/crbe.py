@@ -1,0 +1,414 @@
+"""Crouzeix-Raviart FEM solver with implicit time stepping (CRBE path).
+
+TPU-native counterpart of the reference's ``ElementCR`` + ``BESCRFEM``
+(crbe.py:167-482), redesigned for XLA rather than translated:
+
+- Local element matrices are computed for *all* triangles at once with
+  ``vmap`` (the reference loops per-triangle in Python, crbe.py:336-354,
+  ~3.2 s at mesh 128 per BASELINE.md); global assembly is one
+  ``segment_sum`` scatter into a static ELL layout.
+- The CR mass matrix is diagonal (reference element mass I/6, crbe.py:212),
+  so it is stored as a vector.
+- Dirichlet rows are masked into the operator ONCE. The reference rebuilds a
+  LIL copy and re-factorizes with SuperLU every step (crbe.py:397-426) even
+  though the matrix never changes; here the masked operator is fixed and
+  each step is a warm-started Jacobi-BiCGStab solve.
+- The time loop is a ``lax.scan`` over nt-1 steps: the whole solve
+  (assembly + stepping) is a single compiled XLA program with no host
+  round-trips.
+
+Numerical semantics match the reference step-for-step (base system
+``M + dt (K + A)`` for backward Euler, ``M + dt/2 (K + A)`` for
+Crank-Nicolson, crbe.py:356-362; RHS crbe.py:383-394; output-only boundary
+lifting, crbe.py:429) with two documented divergences:
+
+1. Stiffness convention. The reference maps reference gradients with
+   J^{-T} J^{-1} (``BTB = B_tri.T @ B_tri`` with ``B_tri = J_inv``,
+   crbe.py:272-276); the mathematically correct pullback is
+   J^{-1} J^{-T} (physical gradients are J^{-T} grad_ref). The two agree
+   only for isotropically-mapped triangles — on general meshes (including
+   the diagonal-split cells here) the reference's diffusion term is
+   transposed. Its own advection term uses the *correct* physical gradient
+   (``grad_phi = (B_tri.T @ grads.T).T``, crbe.py:305). Default here is
+   ``stiffness_convention="correct"``; pass ``"reference"`` to reproduce
+   the reference's matrices bit-for-bit.
+2. The Jacobian determinant is used signed (the reference takes ``abs``,
+   crbe.py:261, which silently flips the advection sign for clockwise
+   triangles; all meshes here are CCW so both agree).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airpollution_tpu.ops import linalg, sparse
+
+
+class ElementCR:
+    """The Crouzeix-Raviart reference element (analytic constants).
+
+    Values match the reference's ``ElementCR`` (crbe.py:167-213): shape
+    functions ``[-1 + 2(x + y), 1 - 2x, 1 - 2y]`` on the unit triangle with
+    DOFs at edge midpoints, local edge order ``[(1,2), (2,0), (0,1)]``.
+    """
+
+    points = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    midpoints = np.array([[0.5, 0.5], [0.5, 0.0], [0.0, 0.5]])
+    segment_enumeration = np.array([[1, 2], [2, 0], [0, 1]])
+
+    def get_shape_functions(self, local_coords):
+        x, y = local_coords
+        return np.array([-1 + 2 * (x + y), 1 - 2 * x, 1 - 2 * y])
+
+    def get_shape_function_derivatives(self):
+        return np.array([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
+
+    def get_stiffness_matrix(self):
+        return np.array([[4.0, -2.0, -2.0], [-2.0, 2.0, 0.0], [-2.0, 0.0, 2.0]])
+
+    def get_mass_matrix(self):
+        return np.eye(3) / 6.0
+
+
+# Reference-element gradients (rows = d(shape_i)/d(xi, eta)), crbe.py:198-203.
+_REF_GRADS = jnp.asarray([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
+
+
+class LocalMatrices(NamedTuple):
+    mass_diag: jax.Array  # (n_tri, 3) diagonal local mass entries
+    stiffness: jax.Array  # (n_tri, 3, 3)
+    advection: jax.Array  # (n_tri, 3, 3)
+
+
+def local_matrices(
+    vertices: jax.Array,
+    areas: jax.Array,
+    D,
+    v,
+    stiffness_convention: str = "correct",
+) -> LocalMatrices:
+    """Local CR matrices for every triangle at once.
+
+    vertices: (n_tri, 3, 2); areas: (n_tri,). Equivalent of the reference's
+    per-triangle ``compute_stiffness_CR`` / ``compute_mass_CR`` /
+    ``compute_advection_CR`` (crbe.py:249-313), sharing one Jacobian
+    computation and vmapped over triangles.
+    """
+    if stiffness_convention not in ("correct", "reference"):
+        raise ValueError(f"unknown stiffness_convention {stiffness_convention}")
+
+    def per_triangle(verts, area):
+        # Jacobian columns are the edge vectors from vertex 0 (crbe.py:256-258).
+        J = jnp.stack([verts[1] - verts[0], verts[2] - verts[0]], axis=1)
+        det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+        J_inv = (
+            jnp.array([[J[1, 1], -J[0, 1]], [-J[1, 0], J[0, 0]]]) / det
+        )
+        # Physical gradients: rows of G @ J^{-1} == (J^{-T} g_i)^T.
+        g_phys = _REF_GRADS @ J_inv
+        if stiffness_convention == "correct":
+            g_stiff = g_phys
+        else:  # reference transpose convention (crbe.py:272-276)
+            g_stiff = _REF_GRADS @ J_inv.T
+        K = D * area * (g_stiff @ g_stiff.T)
+        # A[i, j] = integral phi_i (v . grad phi_j) = (area / 3) (v . g_j)
+        # (crbe.py:307-313: 2 * outer(ones * area/6, grad_phi @ v)).
+        v_dot_g = g_phys @ jnp.asarray(v, dtype=verts.dtype)
+        A = (area / 3.0) * jnp.broadcast_to(v_dot_g[None, :], (3, 3))
+        m = jnp.full((3,), area / 3.0, dtype=verts.dtype)
+        return m, K, A
+
+    m, K, A = jax.vmap(per_triangle)(vertices, areas)
+    return LocalMatrices(mass_diag=m, stiffness=K, advection=A)
+
+
+class GlobalOperators(NamedTuple):
+    """Assembled global operators (device-resident, static sparsity)."""
+
+    mass_diag: jax.Array  # (n_seg,) — CR mass matrix is diagonal
+    stiffness: sparse.EllMatrix
+    advection: sparse.EllMatrix
+    ka: sparse.EllMatrix  # K + A (shared sparsity)
+    system: sparse.EllMatrix  # M + c*dt*(K+A) with Dirichlet rows masked
+    system_diag: jax.Array  # diagonal of the masked system (Jacobi)
+
+
+def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
+             stiffness_convention: str = "correct") -> GlobalOperators:
+    """Assemble all global operators in one pass (crbe.py:326-362 analogue)."""
+    md = mesh_data
+    verts = md.points[md.triangles]  # (n_tri, 3, 2)
+    loc = local_matrices(
+        verts, md.triangle_areas, problem.D, problem.v, stiffness_convention
+    )
+
+    t2s_flat = md.triangle_to_segments.reshape(-1)
+    n_seg = md.number_of_segments
+    mass_diag = jax.ops.segment_sum(
+        loc.mass_diag.reshape(-1), t2s_flat, num_segments=n_seg
+    )
+
+    def to_ell(local_vals):
+        return sparse.ell_from_entries(
+            local_vals.reshape(-1), md.ell_entry_to_slot, md.ell_cols
+        )
+
+    K = to_ell(loc.stiffness)
+    A = to_ell(loc.advection)
+    ka = sparse.EllMatrix(vals=K.vals + A.vals, cols=K.cols)
+
+    c = {1: 1.0, 2: 0.5}[time_scheme_order]
+    sys_vals = (c * dt) * ka.vals
+    # Add the diagonal mass into the system's diagonal slots.
+    flat = sys_vals.reshape(-1)
+    flat = flat.at[md.ell_diag_slot].add(mass_diag)
+    system = sparse.EllMatrix(
+        vals=flat.reshape(sys_vals.shape), cols=ka.cols
+    )
+    system = sparse.ell_mask_dirichlet_rows(
+        system, md.boundary_mask, md.ell_diag_slot
+    )
+    system_diag = sparse.ell_diagonal(system, md.ell_diag_slot)
+
+    return GlobalOperators(
+        mass_diag=mass_diag,
+        stiffness=K,
+        advection=A,
+        ka=ka,
+        system=system,
+        system_diag=system_diag,
+    )
+
+
+class CRBESolver:
+    """Backward-Euler / Crank-Nicolson + Crouzeix-Raviart FEM solver.
+
+    Drop-in counterpart of the reference's ``BESCRFEM`` (crbe.py:225-482):
+    same constructor shape, ``solve()`` -> (nt, n_seg) solution array,
+    ``compute_errors`` with identical norms. ``element`` is accepted for
+    signature parity but the analytic CR constants are built in.
+    """
+
+    def __init__(
+        self,
+        domain,
+        problem,
+        mesh_data,
+        element: Optional[ElementCR] = None,
+        time_scheme_order: int = 1,
+        *,
+        solver_tol: float = 1e-7,
+        solver_maxiter: int = 200,
+        stiffness_convention: str = "correct",
+    ):
+        if time_scheme_order not in (1, 2):
+            raise ValueError(
+                f"Order {time_scheme_order} numerical scheme not implemented"
+            )
+        self.domain = domain
+        self.problem = problem
+        self.mesh_data = mesh_data
+        self.element = element or ElementCR()
+        self.dt = domain.T / (mesh_data.nt - 1)  # crbe.py:233
+        self.time_scheme_order = time_scheme_order
+        self.solver_tol = solver_tol
+        self.solver_maxiter = solver_maxiter
+        self.stiffness_convention = stiffness_convention
+        self.solutions = None
+        self.solve_time = None
+        self._ops = None
+        self._solve_fn = None
+
+    # --- assembly ---
+
+    def build_global_matrices(self) -> GlobalOperators:
+        self._ops = assemble(
+            self.mesh_data,
+            self.problem,
+            self.dt,
+            self.time_scheme_order,
+            self.stiffness_convention,
+        )
+        return self._ops
+
+    @property
+    def global_mass_diag(self):
+        return self._require_ops().mass_diag
+
+    @property
+    def global_stiffness(self):
+        return self._require_ops().stiffness
+
+    @property
+    def global_advection(self):
+        return self._require_ops().advection
+
+    def _require_ops(self) -> GlobalOperators:
+        if self._ops is None:
+            self.build_global_matrices()
+        return self._ops
+
+    # --- time stepping ---
+
+    def set_initial_condition(self):
+        """IC sampled at edge midpoints (crbe.py:364-365)."""
+        return self.problem.initial_condition_fn(self.mesh_data.midpoints)
+
+    def boundary_values(self, t):
+        """Dense boundary-lift vector at time t (crbe.py:367-379): exact
+        boundary data on boundary DOFs, zero elsewhere."""
+        md = self.mesh_data
+        t_col = jnp.full((md.midpoints.shape[0], 1), t, dtype=md.midpoints.dtype)
+        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+        vals = self.problem.boundary_fn(xyt)
+        return jnp.where(md.boundary_mask, vals, 0.0)
+
+    def _build_solve_fn(self, store_solutions: bool, collect_iters: bool):
+        md = self.mesh_data
+        problem = self.problem
+        dt = self.dt
+        order = self.time_scheme_order
+        tol = self.solver_tol
+        maxiter = self.solver_maxiter
+        midpoints = md.midpoints
+        bmask = md.boundary_mask
+        nt = md.nt
+
+        def solve_impl(ops: GlobalOperators, u0):
+            matvec = partial(sparse.ell_matvec, ops.system)
+            precond = linalg.jacobi_preconditioner(ops.system_diag)
+
+            def rhs(u, t):
+                if order == 1:  # crbe.py:383-384
+                    b = ops.mass_diag * u
+                else:  # crbe.py:385-386
+                    b = ops.mass_diag * u - (0.5 * dt) * sparse.ell_matvec(
+                        ops.ka, u
+                    )
+                t_col = jnp.full(
+                    (midpoints.shape[0], 1), t, dtype=midpoints.dtype
+                )
+                xyt = jnp.concatenate([midpoints, t_col], axis=1)
+                b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
+                return jnp.where(bmask, 0.0, b)  # crbe.py:402
+
+            def step(u, t):
+                b = rhs(u, t)
+                res = linalg.bicgstab(
+                    matvec,
+                    b,
+                    x0=jnp.where(bmask, 0.0, u),
+                    tol=tol,
+                    maxiter=maxiter,
+                    precond=precond,
+                )
+                u_new = res.x
+                t_col = jnp.full(
+                    (midpoints.shape[0], 1), t, dtype=midpoints.dtype
+                )
+                xyt = jnp.concatenate([midpoints, t_col], axis=1)
+                lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
+                out = (u_new + lift) if store_solutions else None
+                if collect_iters:
+                    out = (out, res.iterations)
+                return u_new, out
+
+            ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
+            u_final, outs = jax.lax.scan(step, u0, ts)
+            if collect_iters:
+                snaps, iters = outs
+            else:
+                snaps, iters = outs, None
+            if store_solutions:
+                solutions = jnp.concatenate([u0[None, :], snaps], axis=0)
+            else:
+                solutions = u_final[None, :] + 0.0  # final state only
+            return solutions, iters
+
+        return jax.jit(solve_impl)
+
+    def solve(self, store_solutions: bool = True, collect_iters: bool = False):
+        """Run the full time horizon; returns (nt, n_seg) solutions
+        (or (1, n_seg) final state when ``store_solutions=False``)."""
+        ops = self._require_ops()
+        u0 = self.set_initial_condition()
+        key = (store_solutions, collect_iters)
+        if self._solve_fn is None or self._solve_fn[0] != key:
+            self._solve_fn = (key, self._build_solve_fn(*key))
+        start = time.time()
+        solutions, iters = self._solve_fn[1](ops, u0)
+        solutions.block_until_ready()
+        self.solve_time = time.time() - start
+        self.solutions = solutions
+        self.solver_iterations = iters
+        return solutions
+
+    # --- evaluation ---
+
+    def compute_errors(self, analytical_sol_fn):
+        """Errors at final time on all edge midpoints (crbe.py:435-453):
+        max error, unweighted vector L2, and relative L2."""
+        md = self.mesh_data
+        t_col = jnp.full(
+            (md.midpoints.shape[0], 1), self.domain.T, dtype=md.midpoints.dtype
+        )
+        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+        u_exact = analytical_sol_fn(xyt)
+        u_num = self.solutions[-1, :]
+        err = jnp.abs(u_exact - u_num)
+        max_error = jnp.max(err)
+        l2_error = jnp.sqrt(jnp.sum(err**2))
+        rel_l2 = l2_error / jnp.sqrt(jnp.sum(u_exact**2))
+        return float(rel_l2), float(l2_error), float(max_error)
+
+    def compute_fem_errors(self, analytical_sol_fn):
+        """Area-weighted FEM norms (the reference's commented-out variant,
+        crbe.py:455-480, promoted to a working implementation): per-triangle
+        midpoint quadrature ``integral f ~ area * sum_midpoints f / 3``."""
+        md = self.mesh_data
+        t_col = jnp.full(
+            (md.midpoints.shape[0], 1), self.domain.T, dtype=md.midpoints.dtype
+        )
+        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+        u_exact = analytical_sol_fn(xyt)
+        err2 = (self.solutions[-1, :] - u_exact) ** 2
+        tri_err = jnp.sum(err2[md.triangle_to_segments], axis=1) / 3.0
+        tri_ex = jnp.sum(u_exact[md.triangle_to_segments] ** 2, axis=1) / 3.0
+        l2 = jnp.sqrt(jnp.sum(md.triangle_areas * tri_err))
+        norm_ex = jnp.sqrt(jnp.sum(md.triangle_areas * tri_ex))
+        max_error = jnp.max(jnp.abs(self.solutions[-1, :] - u_exact))
+        return float(l2 / (norm_ex + 1e-12)), float(l2), float(max_error)
+
+    # --- plotting (host-side, matplotlib) ---
+
+    def plot_solution(self, analytical_sol_fn=None, time_index=None,
+                      save_dir="results"):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_solution_on_midpoints(
+            self, analytical_sol_fn, time_index, save_dir
+        )
+
+    def plot_interpolated_solution(self, analytical_sol_fn=None,
+                                   time_index=None, save_dir="results",
+                                   name=""):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_interpolated_solution(
+            self, analytical_sol_fn, time_index, save_dir, name
+        )
+
+    def plot_error_evolution(self, errors, save_dir="results"):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_error_evolution(self, errors, save_dir)
+
+
+# Reference-compatible alias (crbe.py:225).
+BESCRFEM = CRBESolver

@@ -1,0 +1,146 @@
+"""Solution/error plotting (host-side matplotlib, parity with crbe.py/pinn.py).
+
+Counterparts of the reference plot methods: tricontourf over the midpoint
+triangulation (crbe.py:485-552), vertex-averaged "interpolated" plots
+(crbe.py:572-660, pinn.py:368-437) and error-evolution curves
+(crbe.py:554-570). The segment->vertex averaging loop of the reference
+(crbe.py:602-609) is vectorized with ``np.add.at``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import matplotlib.tri as mtri
+
+    return plt, mtri
+
+
+def vertex_average(points, segments, midpoint_values):
+    """Average segment-midpoint DOF values onto mesh vertices
+    (vectorized crbe.py:598-609)."""
+    vertex_values = np.zeros(len(points))
+    count = np.zeros(len(points))
+    vals = np.asarray(midpoint_values)
+    segs = np.asarray(segments)
+    np.add.at(vertex_values, segs[:, 0], vals)
+    np.add.at(vertex_values, segs[:, 1], vals)
+    np.add.at(count, segs[:, 0], 1)
+    np.add.at(count, segs[:, 1], 1)
+    return vertex_values / np.maximum(count, 1)
+
+
+def plot_solution_on_midpoints(solver, analytical_sol_fn=None,
+                               time_index=None, save_dir="results"):
+    """Numerical / analytical / error panels on the midpoint triangulation
+    (crbe.py:485-552)."""
+    plt, mtri = _mpl()
+    md = solver.mesh_data
+    if time_index is None:
+        time_index = md.nt - 1
+    t = time_index * solver.dt
+    os.makedirs(save_dir, exist_ok=True)
+
+    midpoints = np.asarray(md.midpoints)
+    t2s = np.asarray(md.triangle_to_segments)
+    u_num = np.asarray(solver.solutions[time_index])
+    triang = mtri.Triangulation(midpoints[:, 0], midpoints[:, 1], t2s)
+
+    if analytical_sol_fn is not None:
+        xyt = np.hstack([midpoints, np.full((len(midpoints), 1), t)])
+        u_ex = np.asarray(analytical_sol_fn(xyt))
+        err = u_num - u_ex
+        fig, axs = plt.subplots(1, 3, figsize=(18, 6))
+        for ax, vals, title, cmap in (
+            (axs[0], u_num, f"Numerical Solution at t = {t:.3f}", "viridis"),
+            (axs[1], u_ex, f"Analytical Solution at t = {t:.3f}", "viridis"),
+            (axs[2], err, f"Error at t = {t:.3f}", "coolwarm"),
+        ):
+            c = ax.tricontourf(triang, vals, 20, cmap=cmap)
+            ax.set_title(title)
+            ax.set_xlabel("x")
+            ax.set_ylabel("y")
+            fig.colorbar(c, ax=ax)
+    else:
+        fig, ax = plt.subplots(figsize=(10, 8))
+        c = ax.tricontourf(triang, u_num, 20, cmap="viridis")
+        ax.set_title(f"Numerical Solution at t = {t:.3f}")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.colorbar(c, ax=ax)
+
+    plt.tight_layout()
+    plt.savefig(f"{save_dir}/solution_t{time_index}.png", dpi=300)
+    plt.close(fig)
+
+
+def plot_interpolated_solution(solver, analytical_sol_fn=None,
+                               time_index=None, save_dir="results", name=""):
+    """Vertex-averaged solution plot, PNG + PDF (crbe.py:572-660)."""
+    plt, mtri = _mpl()
+    md = solver.mesh_data
+    if time_index is None:
+        time_index = md.nt - 1
+    t = time_index * solver.dt
+    os.makedirs(save_dir, exist_ok=True)
+
+    points = np.asarray(md.points)
+    triangles = np.asarray(md.triangles)
+    vertex_values = vertex_average(
+        points, md.segments, solver.solutions[time_index]
+    )
+    triang = mtri.Triangulation(points[:, 0], points[:, 1], triangles)
+
+    if analytical_sol_fn is not None:
+        xyt = np.hstack([points, np.full((len(points), 1), t)])
+        u_ex = np.asarray(analytical_sol_fn(xyt))
+        fig, axs = plt.subplots(1, 2, figsize=(15, 5))
+        for ax, vals, title in (
+            (axs[0], vertex_values, f"Numerical Solution at t = {t:.3f}"),
+            (axs[1], u_ex, f"Analytical Solution at t = {t:.3f}"),
+        ):
+            c = ax.tricontourf(triang, vals, 20, cmap="viridis")
+            ax.set_title(title)
+            ax.set_xlabel("x")
+            ax.set_ylabel("y")
+            fig.colorbar(c, ax=ax)
+    else:
+        fig, ax = plt.subplots(figsize=(10, 8))
+        c = ax.tricontourf(triang, vertex_values, 20, cmap="viridis")
+        ax.set_title(f"Numerical Solution at t = {t:.3f}")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.colorbar(c, ax=ax)
+
+    plt.tight_layout()
+    base = f"{save_dir}/solution_t{time_index}_interpolated_{name}"
+    plt.savefig(base + ".png", dpi=300)
+    plt.savefig(base + ".pdf", dpi=300)
+    plt.close(fig)
+    print(f"Saved at {base}.png/pdf")
+
+
+def plot_error_evolution(solver, errors, save_dir="results"):
+    """Semilogy L2/Linf error curves over time (crbe.py:554-570)."""
+    plt, _ = _mpl()
+    os.makedirs(save_dir, exist_ok=True)
+    time_values = np.linspace(0, solver.domain.T, solver.mesh_data.nt)
+    fig = plt.figure(figsize=(10, 6))
+    plt.semilogy(time_values, errors["l2_errors"], "b-", label="L2 Error")
+    plt.semilogy(time_values, errors["linf_errors"], "r-", label="L∞ Error")
+    plt.grid(True)
+    plt.xlabel("Time")
+    plt.ylabel("Error (log scale)")
+    plt.title("Error Evolution")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(f"{save_dir}/error_evolution.png", dpi=300)
+    plt.close(fig)

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported by the environment's sitecustomize (axon TPU
+# registration), in which case the env var above is too late — force the
+# platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
