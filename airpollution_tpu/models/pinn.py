@@ -1,0 +1,418 @@
+"""Physics-informed neural network solver, fully on-device training.
+
+TPU-native counterpart of the reference's ``pinn.py`` (the PINN class,
+activations, EarlyStopping, training loop — pinn.py:29-245), redesigned for
+XLA rather than translated from torch:
+
+- The MLP is a pytree of parameters with a pure ``apply``; Xavier-normal
+  weights and zero biases match the reference init (pinn.py:107-108), and
+  the activation zoo (adaptive-tanh with per-neuron alpha, tanh, sine,
+  swish — pinn.py:29-49, :110-119) is string-keyed the same way.
+- The *entire* training loop runs inside one ``lax.scan``: per-epoch LHS
+  resampling (on-device, keyed PRNG), loss, fused Adam update, LR-plateau
+  schedule, early stopping — no host round-trip per epoch. The reference
+  re-samples on the host with pyDOE and crosses the device boundary every
+  epoch (SURVEY.md section 3.2).
+- PDE residuals use forward-over-reverse AD with a *correct* Laplacian —
+  the reference's diffusion term is mis-sliced (defect D1, pinn.py:467);
+  see ``airpollution_tpu.ops.autodiff``.
+- Early stopping snapshots parameters functionally, so "restore best
+  weights" really restores the best epoch (the reference's
+  ``state_dict().copy()`` aliases live tensors and restores the *final*
+  weights — defect D2, pinn.py:76).
+
+Training semantics mirrored epoch-for-epoch from pinn.py:148-245:
+IC points sampled once before the loop (:168-170); BC and PDE points
+resampled every epoch (:175, :180); PDE mini-batch chunking at 4096 with
+loss = mean of per-chunk means including the ragged last chunk (:182-193);
+composite loss (lp*Lp + li*Li + lb*Lb) / (lp+li+lb) (:211-216); torch-default
+ReduceLROnPlateau(patience=500, factor=0.5, rel threshold 1e-4) stepped on
+the total loss (:152, :223); EarlyStopping(patience, min_delta) on the total
+training loss (:60-85, :232-235).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from airpollution_tpu.ops import autodiff, sampling
+
+_ACTIVATIONS = ("adaptive_tanh", "tanh", "sine", "swish")
+
+# torch.optim.lr_scheduler.ReduceLROnPlateau defaults used by the reference
+# (pinn.py:152): patience=500, factor=0.5, threshold=1e-4 (relative, 'min').
+_PLATEAU_PATIENCE = 500
+_PLATEAU_FACTOR = 0.5
+_PLATEAU_THRESHOLD = 1e-4
+
+_MINI_BATCH_THRESHOLD = 4096  # pinn.py:182
+
+
+def init_mlp_params(key, layers, activation="adaptive_tanh",
+                    dtype=jnp.float32):
+    """Xavier-normal weights, zero biases; adaptive-tanh alpha starts at 1
+    per neuron (pinn.py:46, :107-108)."""
+    if activation not in _ACTIVATIONS:
+        raise ValueError(f"Activation function {activation} not implemented")
+    params = []
+    keys = jax.random.split(key, len(layers) - 1)
+    for i, k in enumerate(keys):
+        fan_in, fan_out = layers[i], layers[i + 1]
+        std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+        layer = {
+            "W": std * jax.random.normal(k, (fan_in, fan_out), dtype=dtype),
+            "b": jnp.zeros((fan_out,), dtype=dtype),
+        }
+        if activation == "adaptive_tanh" and i < len(layers) - 2:
+            layer["alpha"] = jnp.ones((fan_out,), dtype=dtype)
+        params.append(layer)
+    return params
+
+
+def mlp_apply(params, x, activation="adaptive_tanh"):
+    """Pure forward pass; x is (..., in_dim)."""
+    h = x
+    for layer in params[:-1]:
+        z = h @ layer["W"] + layer["b"]
+        if activation == "adaptive_tanh":
+            h = jnp.tanh(layer["alpha"] * z)
+        elif activation == "tanh":
+            h = jnp.tanh(z)
+        elif activation == "sine":
+            h = jnp.sin(z)
+        elif activation == "swish":
+            h = z * jax.nn.sigmoid(z)
+        else:
+            raise ValueError(f"Activation function {activation} not implemented")
+    last = params[-1]
+    return h @ last["W"] + last["b"]
+
+
+def count_parameters(layers):
+    """Weight+bias count, the formula the experiment tables use
+    (pinn_experiments.py:142)."""
+    return sum(l1 * l2 + l2 for l1, l2 in zip(layers[:-1], layers[1:]))
+
+
+class EarlyStopping:
+    """Host-side early stopping with functional snapshots (API parity with
+    pinn.py:60-85; snapshot is a real copy, fixing defect D2)."""
+
+    def __init__(self, patience=100, min_delta=1e-6,
+                 restore_best_weights=True):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.restore_best_weights = restore_best_weights
+        self.best_loss = float("inf")
+        self.counter = 0
+        self.best_weights = None
+
+    def __call__(self, val_loss, params):
+        if val_loss < self.best_loss - self.min_delta:
+            self.best_loss = val_loss
+            self.counter = 0
+            if self.restore_best_weights:
+                self.best_weights = jax.tree.map(jnp.copy, params)
+        else:
+            self.counter += 1
+        return self.counter >= self.patience
+
+    def restore_weights(self, params):
+        return self.best_weights if self.best_weights is not None else params
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    lr: jax.Array
+    plateau_best: jax.Array
+    plateau_bad: jax.Array
+    es_best: jax.Array
+    es_counter: jax.Array
+    best_params: dict
+    stopped: jax.Array
+    key: jax.Array
+
+
+class PINN:
+    """PINN solver with the reference's class API (pinn.py:89-300)."""
+
+    def __init__(self, layers, problem, domain, activation="adaptive_tanh",
+                 seed=1234, dtype=jnp.float32):
+        if activation not in _ACTIVATIONS:
+            raise ValueError(f"Activation function {activation} not implemented")
+        self.layers = list(layers)
+        self.problem = problem
+        self.domain = domain
+        self.activation = activation
+        self.dtype = dtype
+        self.xy_ranges = (-domain.Lx, domain.Lx, -domain.Ly, domain.Ly)
+        self.t_range = (0.0, domain.T)
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_mlp_params(init_key, self.layers, activation, dtype)
+        self.history = {"total_loss": [], "pde_loss": [], "ic_loss": [],
+                        "bc_loss": []}
+        self.training_time = 0.0
+        self._carry_state = None  # continuation across train() calls
+
+    # --- forward / residual ---
+
+    def forward(self, xyt):
+        return mlp_apply(self.params, jnp.asarray(xyt, self.dtype),
+                         self.activation)
+
+    def _point_fn(self, params):
+        def u(p):
+            return mlp_apply(params, p, self.activation)[0]
+
+        return u
+
+    def compute_pde_residual(self, xyt):
+        """dc/dt + v . grad c - D lap c - s at each point (pinn.py:131-146,
+        correct Laplacian)."""
+        xyt = jnp.asarray(xyt, self.dtype)
+        source = self.problem.source_term(xyt)
+        return autodiff.pde_residual(
+            self._point_fn(self.params), xyt, self.problem.v,
+            self.problem.D, source,
+        )
+
+    # --- training ---
+
+    def _loss_fn(self, params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
+                 lambda_weights, mini_batch_size):
+        u = self._point_fn(params)
+        source = self.problem.source_term(xyt_pde)
+        residual = autodiff.pde_residual(u, xyt_pde, self.problem.v,
+                                         self.problem.D, source)
+        res2 = jnp.square(residual).reshape(-1)
+        n_pde = res2.shape[0]
+        if n_pde > _MINI_BATCH_THRESHOLD:
+            # Mean of per-chunk means, ragged last chunk included
+            # (pinn.py:182-193) — computed without a loop.
+            chunk = mini_batch_size or _MINI_BATCH_THRESHOLD
+            n_chunks = -(-n_pde // chunk)
+            pad = n_chunks * chunk - n_pde
+            padded = jnp.concatenate([res2, jnp.zeros((pad,), res2.dtype)])
+            sums = padded.reshape(n_chunks, chunk).sum(axis=1)
+            sizes = jnp.full((n_chunks,), chunk, res2.dtype).at[-1].add(-pad)
+            pde_loss = jnp.mean(sums / sizes)
+        else:
+            pde_loss = jnp.mean(res2)
+
+        ic_pred = mlp_apply(params, xyt_ic, self.activation)
+        ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
+        bc_pred = mlp_apply(params, xyt_bc, self.activation)
+        bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
+
+        lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
+                      lambda_weights["bc"])
+        total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (lp + li + lb)
+        return total, (pde_loss, ic_loss, bc_loss)
+
+    def _build_train_fn(self, batch_sizes, lambda_weights, es_patience,
+                        es_min_delta, mini_batch_size, epochs):
+        n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
+        loss_fn = partial(
+            self._loss_fn,
+            lambda_weights=dict(lambda_weights),
+            mini_batch_size=mini_batch_size,
+        )
+        xy_ranges, t_range, dtype = self.xy_ranges, self.t_range, self.dtype
+
+        def epoch(state: TrainState, _, xyt_ic, ic_target):
+            key, k_bc, k_pde = jax.random.split(state.key, 3)
+            xyt_bc = sampling.sample_boundary_points(
+                k_bc, n_bc, xy_ranges, t_range, dtype
+            )
+            bc_target = jnp.asarray(
+                self.problem.boundary_fn(xyt_bc), dtype
+            ).reshape(-1, 1)
+            xyt_pde = sampling.lhs_sampling(
+                k_pde, n_pde, xy_ranges, t_range, dtype
+            )
+
+            (total, (lp_, li_, lb_)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target)
+
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = state.lr
+            updates, new_opt_state = opt.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # Plateau LR schedule (torch semantics, pinn.py:152).
+            improved = total < state.plateau_best * (1 - _PLATEAU_THRESHOLD)
+            plateau_best = jnp.minimum(state.plateau_best, total)
+            plateau_bad = jnp.where(improved, 0, state.plateau_bad + 1)
+            reduce = plateau_bad > _PLATEAU_PATIENCE
+            lr = jnp.where(reduce, state.lr * _PLATEAU_FACTOR, state.lr)
+            plateau_bad = jnp.where(reduce, 0, plateau_bad)
+
+            # Early stopping (pinn.py:70-80).
+            es_improved = total < state.es_best - es_min_delta
+            es_best = jnp.where(es_improved, total, state.es_best)
+            es_counter = jnp.where(es_improved, 0, state.es_counter + 1)
+            snap = jnp.logical_and(es_improved, es_patience > 0)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(snap, new, old),
+                new_params, state.best_params,
+            )
+            newly_stopped = jnp.logical_and(
+                es_patience > 0, es_counter >= es_patience
+            )
+
+            # Freeze everything once stopped (masked no-op updates).
+            frozen = state.stopped
+
+            def keep(old, new):
+                return jax.tree.map(
+                    lambda o, n: jnp.where(frozen, o, n), old, new
+                )
+
+            new_state = TrainState(
+                params=keep(state.params, new_params),
+                opt_state=keep(state.opt_state, new_opt_state),
+                lr=jnp.where(frozen, state.lr, lr),
+                plateau_best=jnp.where(frozen, state.plateau_best,
+                                       plateau_best),
+                plateau_bad=jnp.where(frozen, state.plateau_bad, plateau_bad),
+                es_best=jnp.where(frozen, state.es_best, es_best),
+                es_counter=jnp.where(frozen, state.es_counter, es_counter),
+                best_params=keep(state.best_params, best_params),
+                stopped=jnp.logical_or(state.stopped, newly_stopped),
+                key=key,
+            )
+            losses = jnp.stack([total, lp_, li_, lb_])
+            return new_state, (losses, frozen)
+
+        def train_impl(state: TrainState, xyt_ic, ic_target):
+            body = partial(epoch, xyt_ic=xyt_ic, ic_target=ic_target)
+            final_state, (losses, frozen) = jax.lax.scan(
+                body, state, None, length=epochs
+            )
+            return final_state, losses, frozen
+
+        return opt, jax.jit(train_impl)
+
+    def train(self, batch_sizes, epochs, lr, lambda_weights,
+              early_stopping_patience=0, early_stopping_min_delta=1e-6,
+              mini_batch_size=None, restore_best_weights=True,
+              warm_start=False):
+        """Train with LHS collocation (pinn.py:148-245 semantics).
+
+        ``warm_start=True`` continues from the previous ``train`` call's
+        optimizer/scheduler state instead of re-creating them — the
+        reference's fixed-runtime loop re-creates Adam every epoch
+        (fixed_runtime_experiments.py:89, defect D6); warm starting is the
+        corrected behavior offered alongside the default parity behavior.
+        """
+        opt, train_fn = self._build_train_fn(
+            dict(batch_sizes), dict(lambda_weights),
+            int(early_stopping_patience), float(early_stopping_min_delta),
+            mini_batch_size, int(epochs),
+        )
+
+        start = time.time()
+        self.key, k_ic = jax.random.split(self.key)
+        xy_ic = sampling.lhs_sampling(k_ic, batch_sizes["ic"], self.xy_ranges,
+                                      dtype=self.dtype)
+        xyt_ic = jnp.concatenate(
+            [xy_ic, jnp.zeros((batch_sizes["ic"], 1), self.dtype)], axis=1
+        )
+        ic_target = jnp.asarray(
+            self.problem.initial_condition_fn(xy_ic), self.dtype
+        ).reshape(-1, 1)
+
+        self.key, k_train = jax.random.split(self.key)
+        if warm_start and self._carry_state is not None:
+            prev = self._carry_state
+            state = prev._replace(params=self.params, key=k_train,
+                                  stopped=jnp.asarray(False))
+        else:
+            f32 = lambda x: jnp.asarray(x, self.dtype)
+            state = TrainState(
+                params=self.params,
+                opt_state=opt.init(self.params),
+                lr=f32(lr),
+                plateau_best=f32(jnp.inf),
+                plateau_bad=jnp.asarray(0, jnp.int32),
+                es_best=f32(jnp.inf),
+                es_counter=jnp.asarray(0, jnp.int32),
+                best_params=self.params,
+                stopped=jnp.asarray(False),
+                key=k_train,
+            )
+
+        final_state, losses, frozen = train_fn(state, xyt_ic, ic_target)
+        losses = np.asarray(losses)
+        frozen = np.asarray(frozen)
+
+        # Truncate history at the stop epoch (the reference breaks out of
+        # its loop after recording the triggering epoch, pinn.py:232-235).
+        active = ~frozen
+        n_recorded = int(active.sum())
+        if n_recorded < epochs:
+            print(f"\nEarly stopping triggered at epoch {n_recorded}")
+            print(f"Best loss: {float(final_state.es_best):.6f}")
+        losses = losses[:n_recorded]
+
+        if early_stopping_patience and restore_best_weights:
+            self.params = jax.tree.map(jnp.copy, final_state.best_params)
+            print("Restored best model weights")
+        else:
+            self.params = final_state.params
+        self._carry_state = final_state._replace(params=self.params)
+
+        for i, k in enumerate(("total_loss", "pde_loss", "ic_loss",
+                               "bc_loss")):
+            self.history[k].extend(losses[:, i].tolist())
+        self.training_time = time.time() - start
+        return self.history
+
+    # --- evaluation ---
+
+    def compute_errors(self, mesh_data, analytical_sol_fn):
+        """Same norms as the FEM path, at edge midpoints, t=T
+        (pinn.py:247-268)."""
+        mid = jnp.asarray(mesh_data.midpoints, self.dtype)
+        t_col = jnp.full((mid.shape[0], 1), self.domain.T, self.dtype)
+        xyt = jnp.concatenate([mid, t_col], axis=1)
+        u_exact = jnp.ravel(analytical_sol_fn(xyt))
+        u_num = jnp.ravel(self.forward(xyt))
+        err = jnp.abs(u_num - u_exact)
+        max_error = jnp.max(err)
+        l2_error = jnp.sqrt(jnp.sum(err**2))
+        rel_l2 = l2_error / jnp.sqrt(jnp.sum(u_exact**2))
+        return float(rel_l2), float(l2_error), float(max_error)
+
+    # --- plotting ---
+
+    def plot_history(self, save_dir="results", name=""):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_loss_history(self.history, save_dir, name)
+
+    def plot_solution(self, t, mesh_data, analytical_sol_fn=None,
+                      save_dir="results"):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_pinn_solution(self, t, mesh_data, analytical_sol_fn,
+                                 save_dir)
+
+    def plot_interpolated_solution(self, t, mesh_data, analytical_sol_fn=None,
+                                   save_dir="results", name=""):
+        from airpollution_tpu.reporting import plots
+
+        plots.plot_pinn_interpolated_solution(
+            self, t, mesh_data, analytical_sol_fn, save_dir, name
+        )

@@ -1,0 +1,66 @@
+"""PDE-residual autodiff: gradients and Laplacians, forward-over-reverse.
+
+TPU-native counterpart of the reference's double-backward torch.autograd
+chain (pinn.py:442-469). Two differences by design:
+
+1. The Laplacian here is *correct*. The reference slices batch rows instead
+   of coordinate columns when forming second derivatives
+   (``grad_c[d:d+1]`` at pinn.py:467 instead of ``grad_c[:, d:d+1]``), so
+   the diffusion term it trains against is wrong for all but isolated rows
+   (SURVEY.md defect D1). This module computes the true
+   ``d2u/dx2 + d2u/dy2``.
+2. Second derivatives use forward-over-reverse (``jax.jvp`` over
+   ``jax.grad``): one reverse pass gives the gradient, and one JVP per
+   spatial dimension extracts a Hessian column — the standard efficient
+   scheme for PINN residuals (2 extra passes for a 2D Laplacian instead of
+   a full Hessian).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gradient_and_laplacian_xy(
+    u_fn: Callable[[jax.Array], jax.Array], pts: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched first derivatives and spatial Laplacian of a scalar field.
+
+    Args:
+      u_fn: maps a single (3,) point [x, y, t] to a scalar.
+      pts: (N, 3) batch of points.
+
+    Returns:
+      (grad_xy (N, 2), grad_t (N, 1), laplacian_xy (N, 1)) — the same
+      triple as the reference's ``compute_gradient_and_laplacian_xy``
+      (pinn.py:442-469), with the Laplacian computed correctly.
+    """
+    grad_fn = jax.grad(u_fn)
+    e0 = jnp.zeros(3, pts.dtype).at[0].set(1.0)
+    e1 = jnp.zeros(3, pts.dtype).at[1].set(1.0)
+
+    def per_point(p):
+        g, h0 = jax.jvp(grad_fn, (p,), (e0,))  # g = grad, h0 = H @ e_x
+        _, h1 = jax.jvp(grad_fn, (p,), (e1,))  # h1 = H @ e_y
+        return g[:2], g[2:3], (h0[0] + h1[1])[None]
+
+    grad_xy, grad_t, lap = jax.vmap(per_point)(pts)
+    return grad_xy, grad_t, lap
+
+
+def pde_residual(
+    u_fn: Callable[[jax.Array], jax.Array],
+    pts: jax.Array,
+    v: jax.Array,
+    D,
+    source: jax.Array,
+) -> jax.Array:
+    """Advection-diffusion residual dc/dt + v . grad c - D lap c - s
+    at each point (pinn.py:131-146 semantics, correct Laplacian)."""
+    grad_xy, grad_t, lap = gradient_and_laplacian_xy(u_fn, pts)
+    v = jnp.asarray(v, dtype=pts.dtype)
+    v_dot_grad = jnp.sum(v[None, :2] * grad_xy, axis=1, keepdims=True)
+    return grad_t + v_dot_grad - D * lap - source.reshape(-1, 1)

@@ -144,3 +144,92 @@ def plot_error_evolution(solver, errors, save_dir="results"):
     plt.tight_layout()
     plt.savefig(f"{save_dir}/error_evolution.png", dpi=300)
     plt.close(fig)
+
+
+def plot_loss_history(history, save_dir="results", name=""):
+    """Semilogy loss curves (pinn.py:302-317)."""
+    plt, _ = _mpl()
+    os.makedirs(save_dir, exist_ok=True)
+    fig = plt.figure(figsize=(10, 6))
+    plt.semilogy(history["total_loss"], label="Total Loss", ls="-.")
+    plt.semilogy(history["pde_loss"], label="PDE Loss")
+    plt.semilogy(history["ic_loss"], label="IC Loss")
+    plt.semilogy(history["bc_loss"], label="BC Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.title("Training Loss History")
+    plt.legend()
+    plt.grid(True, which="both", ls="--")
+    plt.savefig(f"{save_dir}/loss_history_{name}.pdf", dpi=500)
+    plt.savefig(f"{save_dir}/loss_history_{name}.png", dpi=500)
+    plt.tight_layout()
+    plt.close(fig)
+
+
+def plot_pinn_solution(model, t, mesh_data, analytical_sol_fn=None,
+                       save_dir="results"):
+    """PINN solution evaluated at mesh vertices (pinn.py:319-366)."""
+    plt, mtri = _mpl()
+    os.makedirs(save_dir, exist_ok=True)
+    points = np.asarray(mesh_data.points)
+    triangles = np.asarray(mesh_data.triangles)
+    xyt = np.hstack([points, np.full((len(points), 1), t)])
+    u_num = np.asarray(model.forward(xyt)).ravel()
+    triang = mtri.Triangulation(points[:, 0], points[:, 1], triangles)
+
+    if analytical_sol_fn is not None:
+        u_ex = np.asarray(analytical_sol_fn(xyt)).ravel()
+        fig, axs = plt.subplots(1, 2, figsize=(15, 5))
+        panels = ((axs[0], u_num, "Numerical"), (axs[1], u_ex, "Analytical"))
+    else:
+        fig, ax = plt.subplots(figsize=(10, 8))
+        panels = ((ax, u_num, "Numerical"),)
+    for ax, vals, label in panels:
+        c = ax.tricontourf(triang, vals, 20, cmap="viridis")
+        ax.set_title(f"{label} Solution at t = {t:.3f}")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.colorbar(c, ax=ax)
+    plt.tight_layout()
+    plt.savefig(f"{save_dir}/solution_{t}.pdf", dpi=500)
+    plt.savefig(f"{save_dir}/solution_{t}.png", dpi=500)
+    plt.close(fig)
+
+
+def plot_pinn_interpolated_solution(model, t, mesh_data,
+                                    analytical_sol_fn=None,
+                                    save_dir="results", name=""):
+    """PINN evaluated at CR midpoints then vertex-averaged like the FEM
+    plots, for like-for-like comparison (pinn.py:368-437)."""
+    plt, mtri = _mpl()
+    os.makedirs(save_dir, exist_ok=True)
+    midpoints = np.asarray(mesh_data.midpoints)
+    xyt_mid = np.hstack([midpoints, np.full((len(midpoints), 1), t)])
+    u_mid = np.asarray(model.forward(xyt_mid)).ravel()
+
+    points = np.asarray(mesh_data.points)
+    triangles = np.asarray(mesh_data.triangles)
+    vertex_values = vertex_average(points, mesh_data.segments, u_mid)
+    triang = mtri.Triangulation(points[:, 0], points[:, 1], triangles)
+
+    if analytical_sol_fn is not None:
+        xyt_v = np.hstack([points, np.full((len(points), 1), t)])
+        u_ex = np.asarray(analytical_sol_fn(xyt_v)).ravel()
+        fig, axs = plt.subplots(1, 2, figsize=(15, 5))
+        panels = ((axs[0], vertex_values, "Numerical"),
+                  (axs[1], u_ex, "Analytical"))
+    else:
+        fig, ax = plt.subplots(figsize=(10, 8))
+        panels = ((ax, vertex_values, "Numerical"),)
+    for ax, vals, label in panels:
+        c = ax.tricontourf(triang, vals, 20, cmap="viridis")
+        ax.set_title(f"{label} Solution at t = {t:.3f}")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.colorbar(c, ax=ax)
+    plt.tight_layout()
+    base = f"{save_dir}/solution_{t}_interpolated_solution_{name}"
+    plt.savefig(base + ".pdf", dpi=500)
+    plt.savefig(base + ".png", dpi=500)
+    plt.close(fig)
+    print(f"Saved at {base}.pdf/png")

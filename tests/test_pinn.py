@@ -1,0 +1,166 @@
+"""Tests for the PINN path: autodiff, init, training, early stopping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.pinn import (
+    PINN,
+    count_parameters,
+    init_mlp_params,
+    mlp_apply,
+)
+from airpollution_tpu.ops import autodiff
+from airpollution_tpu.problems import Domain, Problem
+
+
+def test_gradient_and_laplacian_analytic():
+    """u = x^2 + y^3 + t^2: grad = (2x, 3y^2, 2t), lap_xy = 2 + 6y."""
+
+    def u(p):
+        return p[0] ** 2 + p[1] ** 3 + p[2] ** 2
+
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-2, 2, (20, 3)), jnp.float64
+    )
+    grad_xy, grad_t, lap = autodiff.gradient_and_laplacian_xy(u, pts)
+    p = np.asarray(pts)
+    np.testing.assert_allclose(np.asarray(grad_xy[:, 0]), 2 * p[:, 0], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(grad_xy[:, 1]), 3 * p[:, 1] ** 2, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(grad_t[:, 0]), 2 * p[:, 2], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(lap[:, 0]), 2 + 6 * p[:, 1], rtol=1e-10)
+
+
+def test_residual_of_exact_solution_is_zero():
+    """The Gaussian-plume analytical solution satisfies the PDE, so the
+    residual operator applied to it must vanish — the strongest oracle for
+    the (corrected) Laplacian (reference defect D1 would fail this)."""
+    problem = Problem()
+
+    def u(p):
+        return problem.analytical_solution(p[None, :])[0]
+
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(-10, 10, (50, 2)), jnp.float64
+    )
+    t = jnp.asarray(
+        np.random.default_rng(2).uniform(0.5, 10, (50, 1)), jnp.float64
+    )
+    xyt = jnp.concatenate([pts, t], axis=1)
+    res = autodiff.pde_residual(
+        u, xyt, problem.v, problem.D, problem.source_term(xyt)
+    )
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-12)
+
+
+def test_init_params_shapes_and_stats():
+    layers = [3, 32, 32, 1]
+    params = init_mlp_params(jax.random.PRNGKey(0), layers, "adaptive_tanh")
+    assert len(params) == 3
+    assert params[0]["W"].shape == (3, 32)
+    assert params[1]["W"].shape == (32, 32)
+    assert params[2]["W"].shape == (32, 1)
+    assert np.all(np.asarray(params[0]["b"]) == 0)
+    assert np.all(np.asarray(params[0]["alpha"]) == 1.0)
+    assert "alpha" not in params[2]  # no activation after the last layer
+    # Xavier-normal std.
+    std = np.std(np.asarray(params[1]["W"]))
+    assert abs(std - np.sqrt(2 / 64)) < 0.03
+    assert count_parameters(layers) == 3 * 32 + 32 + 32 * 32 + 32 + 32 + 1
+
+
+@pytest.mark.parametrize("act", ["adaptive_tanh", "tanh", "sine", "swish"])
+def test_forward_all_activations(act):
+    params = init_mlp_params(jax.random.PRNGKey(0), [3, 8, 8, 1], act)
+    out = mlp_apply(params, jnp.ones((5, 3)), act)
+    assert out.shape == (5, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_invalid_activation_raises():
+    with pytest.raises(ValueError):
+        PINN([3, 8, 1], Problem(), Domain(), activation="relu6")
+
+
+def test_training_reduces_loss_and_error():
+    domain, problem = Domain(), Problem()
+    model = PINN([3, 16, 16, 1], problem, domain, activation="tanh", seed=0)
+    err_before = None
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    err_before = model.compute_errors(md, problem.analytical_solution)[0]
+    history = model.train(
+        {"pde": 512, "ic": 128, "bc": 128},
+        epochs=400,
+        lr=2e-3,
+        lambda_weights={"pde": 2.0, "ic": 10.0, "bc": 10.0},
+    )
+    total = np.asarray(history["total_loss"])
+    assert len(total) == 400
+    assert total[-1] < total[0] * 0.5
+    err_after = model.compute_errors(md, problem.analytical_solution)[0]
+    assert np.isfinite(err_after)
+    assert err_after < err_before
+
+
+def test_early_stopping_truncates_history():
+    """With an impossible min_delta, no epoch after the first improves:
+    training stops after patience+1 recorded epochs (pinn.py:70-80
+    counter semantics)."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=0)
+    history = model.train(
+        {"pde": 64, "ic": 16, "bc": 16},
+        epochs=200,
+        lr=1e-3,
+        lambda_weights={"pde": 1.0, "ic": 1.0, "bc": 1.0},
+        early_stopping_patience=5,
+        early_stopping_min_delta=1e10,
+    )
+    assert len(history["total_loss"]) == 6  # 1 improving epoch + 5 patience
+
+
+def test_early_stopping_restores_best_params():
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=1)
+    model.train(
+        {"pde": 64, "ic": 16, "bc": 16},
+        epochs=100,
+        lr=5e-3,
+        lambda_weights={"pde": 1.0, "ic": 1.0, "bc": 1.0},
+        early_stopping_patience=20,
+    )
+    # Best params were snapshotted functionally: re-evaluating the training
+    # loss distribution with restored params should be near the best loss,
+    # not the (potentially worse) final loss. Just check params are finite
+    # and the model is usable after restore.
+    out = model.forward(jnp.zeros((3, 3)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_warm_start_continues():
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=2)
+    args = ({"pde": 64, "ic": 16, "bc": 16}, 50, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    model.train(*args)
+    l1 = model.history["total_loss"][-1]
+    model.train(*args, warm_start=True)
+    l2 = model.history["total_loss"][-1]
+    assert len(model.history["total_loss"]) == 100
+    assert np.isfinite(l2) and l2 < l1 * 2.0
+
+
+def test_minibatch_chunking_matches_full_mean_statistics():
+    """Chunked PDE loss (mean of per-chunk means) equals the plain mean when
+    chunks divide evenly; with ragged chunks it matches the reference's
+    weighting. Checked through the public loss by comparing a 5000-point
+    batch (chunked at 4096) against the directly computed value."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=3)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (5000, 3)) * 10
+    res = np.asarray(model.compute_pde_residual(pts)).ravel() ** 2
+    expect = np.mean([res[:4096].mean(), res[4096:].mean()])
+    total, (pde_loss, _, _) = model._loss_fn(
+        model.params, pts, pts[:10], jnp.zeros((10, 1)), pts[:10],
+        jnp.zeros((10, 1)),
+        {"pde": 1.0, "ic": 0.0, "bc": 0.0}, None,
+    )
+    np.testing.assert_allclose(float(pde_loss), expect, rtol=1e-6)
