@@ -77,7 +77,8 @@ class ElementCR:
 
 
 # Reference-element gradients (rows = d(shape_i)/d(xi, eta)), crbe.py:198-203.
-_REF_GRADS = jnp.asarray([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
+# Kept as numpy so importing this module does not initialize a JAX backend.
+_REF_GRADS = np.array([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
 
 
 class LocalMatrices(NamedTuple):

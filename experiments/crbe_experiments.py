@@ -1,0 +1,106 @@
+"""CRBE h-refinement sweep (parity with experiments/crbe_experiments.py).
+
+Runs the CR FEM solver over mesh sizes [4, 8, 16, 32, 64, 128] with nt=128
+on the default Gaussian problem, records errors/time/memory and writes
+``experimental_results/crbe/df_crbe_training_results.csv`` with the
+reference's exact column schema (crbe_experiments.py:71-83, :93-94), so the
+downstream table/figure generators run unchanged.
+
+Extra flags over the reference: --stiffness_convention (reference|correct,
+default reference for table parity) and --dtype.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.crbe import CRBESolver, ElementCR
+from airpollution_tpu.utils import memory_delta
+
+from experiments import common
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="CRBE mesh-refinement sweep.")
+    parser.add_argument("--mesh_sizes", type=int, nargs="*",
+                        default=common.MESH_SIZES)
+    parser.add_argument("--n_steps", type=int, default=common.N_STEPS)
+    parser.add_argument("--stiffness_convention", type=str,
+                        default="reference", choices=["reference", "correct"])
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "float64"])
+    parser.add_argument("--time_scheme_order", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    np.random.seed(common.SEED)
+    common.print_device()
+
+    exp_dir = "experimental_results/crbe"
+    os.makedirs(exp_dir, exist_ok=True)
+
+    domain = apt.Domain()
+    problem = apt.Problem(sigma=1.0)
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    cr_element = ElementCR()
+
+    crbe_results = []
+    for mesh_size in args.mesh_sizes:
+        print(f"Training for mesh size = {mesh_size} ...")
+        start_time = time.time()
+
+        mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)
+        mesh_data = apt.MeshData(mesh, domain, nt=args.n_steps, dtype=dtype)
+        solver = CRBESolver(
+            domain, problem, mesh_data, cr_element,
+            time_scheme_order=args.time_scheme_order,
+            stiffness_convention=args.stiffness_convention,
+        )
+
+        with memory_delta() as mem:
+            solver.solve()
+        train_time = time.time() - start_time
+
+        rel_l2_error, l2_error, max_error = solver.compute_errors(
+            problem.analytical_solution
+        )
+        solver.plot_interpolated_solution(
+            analytical_sol_fn=problem.analytical_solution, save_dir=exp_dir,
+            name=f"ms{mesh_size}_crbe",
+        )
+
+        crbe_results.append({
+            "mesh_size": mesh_size,
+            "n_dofs": mesh_data.number_of_segments,
+            "n_boundary_dofs": len(np.asarray(mesh_data.boundary_segments)),
+            "l2_error": l2_error,
+            "rel_l2_error": rel_l2_error,
+            "max_error": max_error,
+            "train_time": train_time,
+            "gpu_memory_usage_MB": mem["gpu_memory_usage_MB"],
+            "cpu_memory_usage_MB": mem["cpu_memory_usage_MB"],
+            "number_of_collocation_points": mesh_data.number_of_segments,
+            # TPU-native extras (appended columns; schema superset).
+            "solve_time": solver.solve_time,
+            "steps_per_sec": (args.n_steps - 1) / solver.solve_time,
+        })
+
+        print(f"Mesh size: {mesh_size}")
+        print(f"CPU Memory Used: {mem['cpu_memory_usage_MB']:.2f} MB")
+        print("-" * 40)
+
+    df_crbe = pd.DataFrame(crbe_results)
+    df_crbe.to_csv(f"{exp_dir}/df_crbe_training_results.csv")
+    print(df_crbe)
+    return df_crbe
+
+
+if __name__ == "__main__":
+    main()

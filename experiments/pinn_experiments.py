@@ -1,0 +1,132 @@
+"""PINN mesh-coupled sweep (parity with experiments/pinn_experiments.py).
+
+Per mesh size [4..128]: hidden width schedule [2,4,8,16,32,64] neurons x
+``--width`` hidden layers (the reference's --width counts *layers*,
+pinn_experiments.py:22 — naming quirk kept), epoch/patience/lr schedules
+(pinn_experiments.py:63-68), lambda = (180, 80, 80), collocation budget
+derived from the mesh. Writes
+``experimental_results/pinn/df_pinn_training_results.csv`` with the
+reference column schema (pinn_experiments.py:132-145).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.pinn import PINN, count_parameters
+from airpollution_tpu.utils import memory_delta
+
+from experiments import common
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="PINN experiment with configurable network width."
+    )
+    parser.add_argument("--width", type=int, default=4,
+                        help="Number of hidden layers in the neural network")
+    parser.add_argument("--activation", type=str, default="tanh",
+                        help="Type of activation (tanh, sine, swish)")
+    parser.add_argument("--restore_best_weights", type=common.str2bool,
+                        default=True)
+    parser.add_argument("--epochs", type=int, default=0,
+                        help="Override the per-mesh epoch schedule")
+    parser.add_argument("--mesh_sizes", type=int, nargs="*",
+                        default=common.MESH_SIZES)
+    args = parser.parse_args(argv)
+
+    np.random.seed(common.SEED)
+    common.print_device()
+
+    exp_dir = "experimental_results/pinn"
+    os.makedirs(exp_dir, exist_ok=True)
+
+    domain = apt.Domain()
+    problem = apt.Problem(sigma=1.0)
+
+    epochs_list = (
+        common.EPOCHS_LIST if not args.epochs
+        else [args.epochs] * len(common.MESH_SIZES)
+    )
+
+    pinn_results = []
+    result_history = {}
+    for i, mesh_size in enumerate(common.MESH_SIZES):
+        if mesh_size not in args.mesh_sizes:
+            continue
+        layers = [3] + [common.N_NEURONS[i]] * args.width + [1]
+        epochs = epochs_list[i]
+        patience = common.EARLY_STOPPING_PATIENCE_LIST[i]
+        lr = common.LR_LIST[i]
+
+        mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)
+        mesh_data = apt.MeshData(mesh, domain, nt=common.N_STEPS)
+        batch_sizes = common.collocation_budget(mesh_data.number_of_segments)
+
+        model = PINN(layers, problem, domain, activation=args.activation,
+                     seed=common.SEED)
+        print(f"Training for mesh size {mesh_size} ...")
+
+        start_time = time.time()
+        with memory_delta() as mem:
+            history = model.train(
+                batch_sizes, epochs, lr, common.LAMBDA_WEIGHTS,
+                early_stopping_patience=patience,
+                restore_best_weights=args.restore_best_weights,
+            )
+        train_time = time.time() - start_time
+        result_history[f"mesh_size_{mesh_size}"] = history
+
+        rel_l2_error, l2_error, max_error = model.compute_errors(
+            mesh_data, problem.analytical_solution
+        )
+        model.plot_interpolated_solution(
+            10.0, mesh_data, analytical_sol_fn=problem.analytical_solution,
+            save_dir=exp_dir, name=f"ms{mesh_size}_pinn",
+        )
+        model.plot_history(save_dir=exp_dir, name=f"ms{mesh_size}_pinn")
+
+        n_epochs_run = len(history["total_loss"])
+        pinn_results.append({
+            "mesh_size": mesh_size,
+            "n_dofs": mesh_data.number_of_segments,
+            "n_boundary_dofs": len(np.asarray(mesh_data.boundary_segments)),
+            "rel_l2_error": rel_l2_error,
+            "l2_error": l2_error,
+            "max_error": max_error,
+            "train_time": train_time,
+            "final_loss": history["total_loss"][-1],
+            "number_of_collocation_points": mesh_data.number_of_segments,
+            "n_parameters": count_parameters(layers),
+            "gpu_memory_usage_MB": mem["gpu_memory_usage_MB"],
+            "cpu_memory_usage_MB": mem["cpu_memory_usage_MB"],
+            # TPU-native extras.
+            "epochs_run": n_epochs_run,
+            "epochs_per_sec": n_epochs_run / train_time if train_time else 0.0,
+        })
+
+        print(f"Mesh size: {mesh_size}")
+        print(f"GPU Memory: {mem['gpu_memory_usage_MB']:.2f} MB")
+        print(f"CPU Memory: {mem['cpu_memory_usage_MB']:.2f} MB")
+        print("-" * 40)
+
+        # Incremental checkpoint of the table (pinn_experiments.py:154-155).
+        if mesh_size >= 32:
+            pd.DataFrame(pinn_results).to_csv(
+                f"{exp_dir}/df_pinn_training_results.csv"
+            )
+
+    df_pinn = pd.DataFrame(pinn_results)
+    df_pinn.to_csv(f"{exp_dir}/df_pinn_training_results.csv")
+    print(df_pinn)
+    return df_pinn
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Tests for the in-repo HPO engine (optuna stand-in)."""
+
+import numpy as np
+import pytest
+
+from airpollution_tpu.hpo import create_study
+
+
+def test_random_search_finds_minimum_region():
+    study = create_study(direction="minimize", seed=0)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 1e-3, 1e3, log=True)
+        return (np.log10(x) - 1.0) ** 2  # optimum at x = 10
+
+    study.optimize(objective, n_trials=40)
+    assert len(study.trials) == 40
+    best = study.best_trial
+    assert best.value < 0.5
+    assert 1.0 < best.params["x"] < 100.0
+
+
+def test_failure_returns_inf_and_excluded_from_best():
+    study = create_study(seed=1)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        if trial.number % 2 == 0:
+            raise RuntimeError("boom")
+        return x
+
+    study.optimize(objective, n_trials=6)
+    states = [t.state for t in study.trials]
+    assert states.count("FAIL") == 3
+    assert np.isfinite(study.best_trial.value)
+
+
+def test_thread_parallel_and_dataframe():
+    study = create_study(seed=2)
+
+    def objective(trial):
+        x = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
+        trial.set_user_attr("train_time", 0.1)
+        return x
+
+    study.optimize(objective, n_trials=8, n_jobs=4)
+    df = study.trials_dataframe()
+    assert len(df) == 8
+    assert {"number", "value", "params_lr", "user_attrs_train_time",
+            "state"} <= set(df.columns)
+    assert sorted(df["number"]) == list(range(8))
+
+
+def test_direction_maximize():
+    study = create_study(direction="maximize", seed=3)
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=10)
+    assert study.best_trial.value == max(
+        t.value for t in study.trials
+    )
+
+
+def test_invalid_direction():
+    with pytest.raises(ValueError):
+        create_study(direction="sideways")
