@@ -63,28 +63,39 @@ def enumerate_edges(triangles: np.ndarray, n_points: int) -> EdgeTopology:
     tris = np.asarray(triangles, dtype=np.int64)
     n_tri = tris.shape[0]
 
-    # (n_tri, 3, 2): local edges in contract order, then canonical (min, max).
-    edges = tris[:, _LOCAL_EDGES]
-    lo = edges.min(axis=2)
-    hi = edges.max(axis=2)
-    keys = (lo * n_points + hi).ravel()  # unique int64 key per undirected edge
+    native_result = None
+    if n_tri >= 4096:  # native kernel pays off on large meshes
+        from airpollution_tpu.mesh import native as native_mod
 
-    # First-encounter enumeration: np.unique gives sorted keys; remap ranks so
-    # ids follow the position of each key's first occurrence in `keys`.
-    sorted_keys, first_idx, inverse = np.unique(
-        keys, return_index=True, return_inverse=True
-    )
-    order = np.argsort(first_idx, kind="stable")  # rank -> encounter position
-    rank_to_id = np.empty_like(order)
-    rank_to_id[order] = np.arange(order.size)
-    seg_ids = rank_to_id[inverse]
+        native_result = native_mod.enumerate_edges_native(tris, n_points)
 
-    first_sorted = np.sort(first_idx)
-    seg_keys = keys[first_sorted]
-    segments = np.stack(
-        [seg_keys // n_points, seg_keys % n_points], axis=1
-    ).astype(np.int32)
-    triangle_to_segments = seg_ids.reshape(n_tri, 3).astype(np.int32)
+    if native_result is not None:
+        segments, triangle_to_segments = native_result
+        seg_ids = triangle_to_segments.reshape(-1).astype(np.int64)
+    else:
+        # Vectorized numpy fallback.
+        # (n_tri, 3, 2): local edges in contract order, canonical (min, max).
+        edges = tris[:, _LOCAL_EDGES]
+        lo = edges.min(axis=2)
+        hi = edges.max(axis=2)
+        keys = (lo * n_points + hi).ravel()  # int64 key per undirected edge
+
+        # First-encounter enumeration: np.unique gives sorted keys; remap
+        # ranks so ids follow each key's first occurrence in `keys`.
+        sorted_keys, first_idx, inverse = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank_to_id = np.empty_like(order)
+        rank_to_id[order] = np.arange(order.size)
+        seg_ids = rank_to_id[inverse]
+
+        first_sorted = np.sort(first_idx)
+        seg_keys = keys[first_sorted]
+        segments = np.stack(
+            [seg_keys // n_points, seg_keys % n_points], axis=1
+        ).astype(np.int32)
+        triangle_to_segments = seg_ids.reshape(n_tri, 3).astype(np.int32)
 
     # Boundary segments: referenced by exactly one triangle (crbe.py:77-80).
     counts = np.bincount(seg_ids, minlength=segments.shape[0])

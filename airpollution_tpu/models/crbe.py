@@ -187,6 +187,69 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     )
 
 
+def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
+                  order, tol, maxiter, store_solutions=True,
+                  collect_iters=False, matvec=None):
+    """The implicit time-stepping loop as a pure traceable function.
+
+    One ``lax.scan`` over nt-1 steps; each step forms the RHS
+    (crbe.py:383-394 semantics), masks Dirichlet rows (crbe.py:402) and
+    solves the fixed masked system with warm-started Jacobi-BiCGStab
+    (replacing the per-step SuperLU refactorization, crbe.py:426). Boundary
+    lifting is applied only to the stored snapshots (crbe.py:429, defect D7
+    semantics preserved deliberately).
+
+    Shared by :class:`CRBESolver` (jitted per instance), the vmapped
+    parameter sweeps (airpollution_tpu.parallel.sweep — ``problem`` may
+    carry traced ``D``/``v``), and the row-sharded multi-chip path
+    (airpollution_tpu.parallel.fem_shard passes a collective ``matvec``).
+    """
+    md = mesh_data
+    midpoints = md.midpoints
+    bmask = md.boundary_mask
+    nt = md.nt
+    if matvec is None:
+        matvec = partial(sparse.ell_matvec, ops.system)
+    precond = linalg.jacobi_preconditioner(ops.system_diag)
+
+    def rhs(u, t):
+        if order == 1:  # crbe.py:383-384
+            b = ops.mass_diag * u
+        else:  # crbe.py:385-386
+            b = ops.mass_diag * u - (0.5 * dt) * sparse.ell_matvec(ops.ka, u)
+        t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
+        xyt = jnp.concatenate([midpoints, t_col], axis=1)
+        b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
+        return jnp.where(bmask, 0.0, b)  # crbe.py:402
+
+    def step(u, t):
+        b = rhs(u, t)
+        res = linalg.bicgstab(
+            matvec, b, x0=jnp.where(bmask, 0.0, u),
+            tol=tol, maxiter=maxiter, precond=precond,
+        )
+        u_new = res.x
+        t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
+        xyt = jnp.concatenate([midpoints, t_col], axis=1)
+        lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
+        out = (u_new + lift) if store_solutions else None
+        if collect_iters:
+            out = (out, res.iterations)
+        return u_new, out
+
+    ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
+    u_final, outs = jax.lax.scan(step, u0, ts)
+    if collect_iters:
+        snaps, iters = outs
+    else:
+        snaps, iters = outs, None
+    if store_solutions:
+        solutions = jnp.concatenate([u0[None, :], snaps], axis=0)
+    else:
+        solutions = u_final[None, :] + 0.0  # final state only
+    return solutions, iters
+
+
 class CRBESolver:
     """Backward-Euler / Crank-Nicolson + Crouzeix-Raviart FEM solver.
 
@@ -271,67 +334,17 @@ class CRBESolver:
         return jnp.where(md.boundary_mask, vals, 0.0)
 
     def _build_solve_fn(self, store_solutions: bool, collect_iters: bool):
-        md = self.mesh_data
-        problem = self.problem
-        dt = self.dt
-        order = self.time_scheme_order
-        tol = self.solver_tol
-        maxiter = self.solver_maxiter
-        midpoints = md.midpoints
-        bmask = md.boundary_mask
-        nt = md.nt
-
-        def solve_impl(ops: GlobalOperators, u0):
-            matvec = partial(sparse.ell_matvec, ops.system)
-            precond = linalg.jacobi_preconditioner(ops.system_diag)
-
-            def rhs(u, t):
-                if order == 1:  # crbe.py:383-384
-                    b = ops.mass_diag * u
-                else:  # crbe.py:385-386
-                    b = ops.mass_diag * u - (0.5 * dt) * sparse.ell_matvec(
-                        ops.ka, u
-                    )
-                t_col = jnp.full(
-                    (midpoints.shape[0], 1), t, dtype=midpoints.dtype
-                )
-                xyt = jnp.concatenate([midpoints, t_col], axis=1)
-                b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
-                return jnp.where(bmask, 0.0, b)  # crbe.py:402
-
-            def step(u, t):
-                b = rhs(u, t)
-                res = linalg.bicgstab(
-                    matvec,
-                    b,
-                    x0=jnp.where(bmask, 0.0, u),
-                    tol=tol,
-                    maxiter=maxiter,
-                    precond=precond,
-                )
-                u_new = res.x
-                t_col = jnp.full(
-                    (midpoints.shape[0], 1), t, dtype=midpoints.dtype
-                )
-                xyt = jnp.concatenate([midpoints, t_col], axis=1)
-                lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
-                out = (u_new + lift) if store_solutions else None
-                if collect_iters:
-                    out = (out, res.iterations)
-                return u_new, out
-
-            ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
-            u_final, outs = jax.lax.scan(step, u0, ts)
-            if collect_iters:
-                snaps, iters = outs
-            else:
-                snaps, iters = outs, None
-            if store_solutions:
-                solutions = jnp.concatenate([u0[None, :], snaps], axis=0)
-            else:
-                solutions = u_final[None, :] + 0.0  # final state only
-            return solutions, iters
-
+        solve_impl = partial(
+            run_time_loop,
+            mesh_data=self.mesh_data,
+            problem=self.problem,
+            dt=self.dt,
+            order=self.time_scheme_order,
+            tol=self.solver_tol,
+            maxiter=self.solver_maxiter,
+            store_solutions=store_solutions,
+            collect_iters=collect_iters,
+        )
         return jax.jit(solve_impl)
 
     def solve(self, store_solutions: bool = True, collect_iters: bool = False):

@@ -1,0 +1,301 @@
+"""Multi-chip PINN training: data-parallel batches x tensor-parallel MLP.
+
+The reference trains its PINN on a single device (pinn.py:21, :125 — device
+placement only; no distributed backend exists anywhere in the repo, SURVEY.md
+section 2.5). This module is the TPU-native scale-out design:
+
+- **dp axis (data parallel):** the LHS collocation batch is sharded across
+  devices; the composite loss is formed with a ``psum`` over 'dp' so every
+  device computes the *global* loss, and gradients come out globally
+  correct without an explicit gradient all-reduce.
+- **tp axis (tensor parallel):** hidden layers are Megatron-style
+  column/row alternated — even hidden layers shard the output features
+  (column parallel: W P(None, 'tp'), bias/alpha sharded), odd hidden
+  layers shard the input features (row parallel: W P('tp', None)) with a
+  ``psum`` over 'tp' to reform activations. The collectives ride ICI and
+  are differentiated through by JAX (the PDE residual takes JVPs of
+  gradients *through* the psum).
+- Parameters are replicated over 'dp' and sharded over 'tp'; a fused Adam
+  (explicit m/v moments, so the optimizer state shards exactly like the
+  parameters) keeps every device's update bit-identical.
+- The epoch loop is a ``lax.scan`` *inside* ``shard_map``: per-epoch
+  resampling (keys folded with the device's dp coordinate), loss, update —
+  zero host round-trips for the entire training run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from airpollution_tpu.models.pinn import init_mlp_params
+from airpollution_tpu.ops import autodiff, sampling
+
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def _num_hidden(layers) -> int:
+    return len(layers) - 2
+
+
+def tp_param_specs(layers, activation="adaptive_tanh"):
+    """PartitionSpec pytree matching ``init_mlp_params`` structure.
+
+    Hidden layer h: column-parallel when h is even (shard out-features),
+    row-parallel when odd (shard in-features). The output layer is
+    row-parallel iff the last hidden layer left activations sharded.
+    """
+    specs = []
+    n_hidden = _num_hidden(layers)
+    for h in range(n_hidden):
+        if h % 2 == 0:  # column parallel
+            spec = {"W": P(None, "tp"), "b": P("tp")}
+            if activation == "adaptive_tanh":
+                spec["alpha"] = P("tp")
+        else:  # row parallel
+            spec = {"W": P("tp", None), "b": P(None)}
+            if activation == "adaptive_tanh":
+                spec["alpha"] = P(None)
+        specs.append(spec)
+    if n_hidden % 2 == 1:  # activations are sharded entering the last layer
+        specs.append({"W": P("tp", None), "b": P(None)})
+    else:
+        specs.append({"W": P(None, None), "b": P(None)})
+    return specs
+
+
+def validate_tp_layers(layers, tp_size):
+    """Every sharded dimension must divide by tp_size."""
+    for h in range(_num_hidden(layers)):
+        if layers[h + 1] % tp_size != 0:
+            raise ValueError(
+                f"hidden width {layers[h + 1]} not divisible by tp={tp_size}"
+            )
+
+
+def forward_tp(params, x, activation="adaptive_tanh"):
+    """Per-device tensor-parallel forward (call inside shard_map).
+
+    ``x`` is the device-local batch (replicated across 'tp'); returns the
+    full (local_batch, 1) output on every device.
+    """
+    h = x
+    sharded = False  # whether h currently holds a 'tp' shard of features
+    n_hidden = len(params) - 1
+    for i in range(n_hidden):
+        layer = params[i]
+        if not sharded:  # column parallel: out-features sharded
+            z = h @ layer["W"] + layer["b"]
+        else:  # row parallel: partial sums over sharded in-features
+            z = jax.lax.psum(h @ layer["W"], "tp") + layer["b"]
+        sharded = not sharded
+        if activation == "adaptive_tanh":
+            h = jnp.tanh(layer["alpha"] * z)
+        elif activation == "tanh":
+            h = jnp.tanh(z)
+        elif activation == "sine":
+            h = jnp.sin(z)
+        elif activation == "swish":
+            h = z * jax.nn.sigmoid(z)
+        else:
+            raise ValueError(f"Activation function {activation} not implemented")
+    last = params[-1]
+    if sharded:
+        return jax.lax.psum(h @ last["W"], "tp") + last["b"]
+    return h @ last["W"] + last["b"]
+
+
+def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
+                problem, lambda_weights, activation, totals):
+    """Global composite loss computed on-device (psum over 'dp').
+
+    ``totals`` are the *global* batch sizes; every device returns the same
+    global scalar, so ``jax.grad`` of this is the globally-reduced
+    gradient with no separate all-reduce."""
+    n_pde_total, n_ic_total, n_bc_total = totals
+
+    def u_fn(p):
+        return forward_tp(params, p[None, :], activation)[0, 0]
+
+    source = problem.source_term(xyt_pde)
+    res = autodiff.pde_residual(u_fn, xyt_pde, problem.v, problem.D, source)
+    pde_loss = jax.lax.psum(jnp.sum(jnp.square(res)), "dp") / n_pde_total
+
+    ic_pred = forward_tp(params, xyt_ic, activation)
+    ic_loss = jax.lax.psum(
+        jnp.sum(jnp.square(ic_pred - ic_target)), "dp"
+    ) / n_ic_total
+    bc_pred = forward_tp(params, xyt_bc, activation)
+    bc_loss = jax.lax.psum(
+        jnp.sum(jnp.square(bc_pred - bc_target)), "dp"
+    ) / n_bc_total
+
+    lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
+                  lambda_weights["bc"])
+    total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (lp + li + lb)
+    return total, (pde_loss, ic_loss, bc_loss)
+
+
+class ParallelTrainState(NamedTuple):
+    params: list
+    mu: list
+    nu: list
+    count: jax.Array
+
+
+def init_parallel_state(key, layers, activation="adaptive_tanh",
+                        dtype=jnp.float32) -> ParallelTrainState:
+    params = init_mlp_params(key, layers, activation, dtype)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return ParallelTrainState(
+        params=params,
+        mu=zeros,
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _adam_update(params, grads, mu, nu, count, lr):
+    """Fused Adam with explicit moments (state shards like the params)."""
+    count = count + 1
+    t = count.astype(jnp.float32)
+    mu = jax.tree.map(lambda m, g: _ADAM_B1 * m + (1 - _ADAM_B1) * g,
+                      mu, grads)
+    nu = jax.tree.map(lambda v, g: _ADAM_B2 * v + (1 - _ADAM_B2) * g * g,
+                      nu, grads)
+    bc1 = 1 - _ADAM_B1**t
+    bc2 = 1 - _ADAM_B2**t
+    params = jax.tree.map(
+        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + _ADAM_EPS),
+        params, mu, nu,
+    )
+    return params, mu, nu, count
+
+
+def build_parallel_trainer(
+    mesh: Mesh,
+    layers,
+    problem,
+    domain,
+    batch_sizes: dict,
+    lambda_weights: dict,
+    lr: float,
+    *,
+    activation: str = "adaptive_tanh",
+    epochs: int = 1,
+    dtype=jnp.float32,
+):
+    """Build a jitted multi-epoch training function over a ('dp','tp') mesh.
+
+    Returns ``train(state, xyt_ic, ic_target, key) -> (state, losses)``
+    where ``losses`` has shape (epochs, 4) (total/pde/ic/bc, all global),
+    with batches sharded over 'dp' and the MLP sharded over 'tp'. The IC
+    batch is sampled once by the caller (pinn.py:168-170 semantics) and
+    arrives dp-sharded.
+    """
+    dp = mesh.shape["dp"]
+    tp = mesh.shape["tp"]
+    validate_tp_layers(layers, tp)
+    xy_ranges = (-domain.Lx, domain.Lx, -domain.Ly, domain.Ly)
+    t_range = (0.0, domain.T)
+
+    def ceil_to(n, k):
+        return -(-n // k) * k
+
+    n_pde = ceil_to(batch_sizes["pde"], dp)
+    n_ic = ceil_to(batch_sizes["ic"], dp)
+    # The boundary sampler emits 4*(n//4) points; make the local count both
+    # whole and 4-divisible so global = dp * local keeps side structure.
+    n_bc_local = max(4, ceil_to(batch_sizes["bc"], 4 * dp) // dp)
+    n_bc = n_bc_local * dp
+    totals = (float(n_pde), float(n_ic), float(n_bc))
+
+    param_specs = tp_param_specs(layers, activation)
+    state_specs = ParallelTrainState(
+        params=param_specs,
+        mu=param_specs,
+        nu=param_specs,
+        count=P(),
+    )
+
+    loss_fn = partial(
+        _loss_local, problem=problem, lambda_weights=dict(lambda_weights),
+        activation=activation, totals=totals,
+    )
+
+    def device_train(state, xyt_ic, ic_target, key):
+        dp_idx = jax.lax.axis_index("dp")
+
+        def epoch(carry, ekey):
+            params, mu, nu, count = carry
+            # Distinct points per dp shard, identical across tp.
+            k_local = jax.random.fold_in(ekey, dp_idx)
+            k_bc, k_pde = jax.random.split(k_local)
+            xyt_bc = sampling.sample_boundary_points(
+                k_bc, n_bc_local, xy_ranges, t_range, dtype
+            )
+            bc_target = jnp.asarray(
+                problem.boundary_fn(xyt_bc), dtype
+            ).reshape(-1, 1)
+            xyt_pde = sampling.lhs_sampling(
+                k_pde, n_pde // dp, xy_ranges, t_range, dtype
+            )
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target)
+            params, mu, nu, count = _adam_update(
+                params, grads, mu, nu, count, lr
+            )
+            return (params, mu, nu, count), jnp.stack([total, *aux])
+
+        keys = jax.random.split(key, epochs)
+        carry, losses = jax.lax.scan(
+            epoch, (state.params, state.mu, state.nu, state.count), keys
+        )
+        return ParallelTrainState(*carry), losses
+
+    shard_train = jax.shard_map(
+        device_train,
+        mesh=mesh,
+        in_specs=(state_specs, P("dp"), P("dp"), P()),
+        out_specs=(state_specs, P()),
+        check_vma=True,
+    )
+    return jax.jit(shard_train), {
+        "n_pde": n_pde, "n_ic": n_ic, "n_bc": n_bc,
+        "state_specs": state_specs,
+    }
+
+
+def parallel_loss_reference(mesh, layers, params_state, batches, problem,
+                            lambda_weights, activation="adaptive_tanh"):
+    """Compute the global loss on a mesh from given (replicated-input)
+    batches — exposed for equivalence tests against the serial loss."""
+    xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target = batches
+    totals = (float(xyt_pde.shape[0]), float(xyt_ic.shape[0]),
+              float(xyt_bc.shape[0]))
+    loss_fn = partial(
+        _loss_local, problem=problem, lambda_weights=dict(lambda_weights),
+        activation=activation, totals=totals,
+    )
+    param_specs = tp_param_specs(layers, activation)
+
+    def device_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target):
+        total, aux = loss_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc,
+                             bc_target)
+        return total, jnp.stack(aux)
+
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(param_specs, P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=True,
+    )
+    return jax.jit(fn)(params_state, xyt_pde, xyt_ic, ic_target, xyt_bc,
+                       bc_target)

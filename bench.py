@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Headline benchmark: CRBE implicit solve on a 256x256 mesh, 1000 BE steps.
+
+Prints ONE JSON line:
+  {"metric": "crbe_steps_per_sec_256sq", "value": <steps/s>,
+   "unit": "steps/s", "vs_baseline": <value / reference steps/s>}
+
+Baseline: the reference implementation (crbe.py BESCRFEM: per-step LIL row
+surgery + SuperLU refactorization) measured on this host's CPU on the SAME
+257-point structured mesh (197,120 DOFs) at 5.94 s/step = 0.168 steps/s
+(steady-state per-step cost over 10 steps, measured 2026-08-16; see
+BASELINE.md targets — the north star is 1000 steps < 1 s on one v5e chip).
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_STEPS_PER_SEC = 0.168  # measured, see module docstring
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import airpollution_tpu as apt
+    from airpollution_tpu.models.crbe import CRBESolver
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    ms, nt = 257, 1001  # 256x256 cells, 1000 backward-Euler steps
+    t0 = time.time()
+    mesh = apt.create_mesh(ms, domain_size=20.0)
+    domain = apt.Domain()
+    problem = apt.Problem(sigma=1.0)
+    md = apt.MeshData(mesh, domain, nt=nt)
+    log(f"mesh: {md.number_of_segments} DOFs, setup {time.time() - t0:.1f}s")
+
+    solver = CRBESolver(
+        domain, problem, md,
+        solver_tol=1e-6, solver_maxiter=100,
+        stiffness_convention="reference",
+    )
+
+    # Warm-up: compile assembly + the full scan (cached for the timed run).
+    t0 = time.time()
+    solver.solve(store_solutions=False, collect_iters=True)
+    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s")
+    iters = np.asarray(solver.solver_iterations)
+    log(f"bicgstab iters/step: mean {iters.mean():.1f}, max {iters.max()}")
+
+    # Timed run.
+    t0 = time.time()
+    solver.solve(store_solutions=False, collect_iters=False)
+    elapsed = time.time() - t0
+    steps_per_sec = (nt - 1) / elapsed
+    log(f"timed: {elapsed:.3f}s for {nt - 1} steps "
+        f"-> {steps_per_sec:.1f} steps/s")
+
+    # Correctness guard: the solve must still produce a sane field.
+    solver.solve(store_solutions=True)
+    rel_l2, l2, mx = solver.compute_errors(problem.analytical_solution)
+    log(f"rel_l2={rel_l2:.4f} l2={l2:.4f} max={mx:.4e} (sanity)")
+    if not np.isfinite(rel_l2) or rel_l2 > 10.0:
+        log("WARNING: benchmark solution failed sanity check")
+
+    print(json.dumps({
+        "metric": "crbe_steps_per_sec_256sq",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

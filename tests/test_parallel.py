@@ -1,0 +1,162 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: TP/DP equivalence
+with the serial paths, row-sharded FEM, device-parallel sweeps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver, assemble
+from airpollution_tpu.models.pinn import PINN, init_mlp_params, mlp_apply
+from airpollution_tpu.parallel import (
+    build_parallel_trainer,
+    build_sharded_solver,
+    crbe_diffusion_sweep,
+    init_parallel_state,
+    make_mesh,
+    pad_operators,
+)
+from airpollution_tpu.parallel.pinn_parallel import parallel_loss_reference
+from airpollution_tpu.problems import Domain, Problem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_tp_dp_loss_matches_serial():
+    """The dp=4 x tp=2 sharded composite loss equals the single-device loss
+    on identical params and batches (collectives are exact)."""
+    layers = [3, 8, 8, 8, 1]
+    domain, problem = Domain(), Problem()
+    model = PINN(layers, problem, domain, activation="tanh", seed=0)
+    mesh = make_mesh({"dp": 4, "tp": 2})
+
+    rng = np.random.default_rng(0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    def spacetime(n):
+        return f32(np.hstack([rng.uniform(-20, 20, (n, 2)),
+                              rng.uniform(0, 10, (n, 1))]))
+
+    xyt_pde = spacetime(64)
+    xyt_ic = f32(np.hstack([rng.uniform(-10, 10, (16, 2)), np.zeros((16, 1))]))
+    ic_target = f32(problem.initial_condition_fn(xyt_ic[:, :2])).reshape(-1, 1)
+    xyt_bc = spacetime(16)
+    bc_target = f32(problem.boundary_fn(xyt_bc)).reshape(-1, 1)
+    lw = {"pde": 2.0, "ic": 10.0, "bc": 10.0}
+
+    serial_total, (sp, si, sb) = model._loss_fn(
+        model.params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target, lw, None
+    )
+    par_total, par_aux = parallel_loss_reference(
+        mesh, layers, model.params,
+        (xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target),
+        problem, lw, activation="tanh",
+    )
+    np.testing.assert_allclose(float(par_total), float(serial_total),
+                               rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(par_aux), [float(sp), float(si), float(sb)], rtol=2e-5
+    )
+
+
+def test_tp_forward_matches_serial():
+    """Tensor-parallel forward equals the serial MLP forward bit-for-bit
+    (up to f32 reduction order) for every activation."""
+    from jax.sharding import PartitionSpec as P
+    from airpollution_tpu.parallel.pinn_parallel import (
+        forward_tp, tp_param_specs,
+    )
+
+    for act in ("adaptive_tanh", "tanh", "sine", "swish"):
+        layers = [3, 8, 8, 8, 1]  # odd hidden count: ends row-parallel
+        params = init_mlp_params(jax.random.PRNGKey(1), layers, act)
+        x = jnp.asarray(
+            np.random.default_rng(2).uniform(-1, 1, (10, 3)), jnp.float32
+        )
+        mesh = make_mesh({"dp": 1, "tp": 2})
+        fn = jax.shard_map(
+            lambda p, xx: forward_tp(p, xx, act), mesh=mesh,
+            in_specs=(tp_param_specs(layers, act), P()),
+            out_specs=P(), check_vma=False,
+        )
+        out_tp = np.asarray(jax.jit(fn)(params, x))
+        out_serial = np.asarray(mlp_apply(params, x, act))
+        np.testing.assert_allclose(out_tp, out_serial, atol=1e-6)
+
+
+def test_parallel_training_reduces_loss():
+    layers = [3, 8, 8, 1]
+    domain, problem = Domain(), Problem()
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    trainer, info = build_parallel_trainer(
+        mesh, layers, problem, domain,
+        batch_sizes={"pde": 128, "ic": 32, "bc": 32},
+        lambda_weights={"pde": 2.0, "ic": 10.0, "bc": 10.0},
+        lr=2e-3, activation="tanh", epochs=100,
+    )
+    key = jax.random.PRNGKey(0)
+    state = init_parallel_state(jax.random.PRNGKey(1), layers, "tanh")
+    from airpollution_tpu.ops import sampling
+
+    xy_ic = sampling.lhs_sampling(jax.random.PRNGKey(2), info["n_ic"],
+                                  (-20, 20, -20, 20))
+    xyt_ic = jnp.concatenate(
+        [xy_ic, jnp.zeros((info["n_ic"], 1), jnp.float32)], axis=1
+    )
+    ic_target = jnp.asarray(
+        problem.initial_condition_fn(xy_ic), jnp.float32
+    ).reshape(-1, 1)
+    state, losses = trainer(state, xyt_ic, ic_target, key)
+    losses = np.asarray(losses)
+    assert losses.shape == (100, 4)
+    assert np.isfinite(losses).all()
+    assert losses[-1, 0] < losses[0, 0]
+
+
+def test_row_sharded_fem_matches_serial():
+    """8-way row-sharded solve equals the single-device solve."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=16, dtype=jnp.float64)
+    solver = CRBESolver(domain, problem, md, solver_tol=1e-11)
+    sols_serial = np.asarray(solver.solve(store_solutions=False))
+
+    mesh = make_mesh({"mp": 8})
+    ops, n_pad = pad_operators(solver._ops, md.number_of_segments, 8)
+    assert (md.number_of_segments + n_pad) % 8 == 0
+    sharded = build_sharded_solver(
+        mesh, md, problem, solver.dt, tol=1e-11, store_solutions=False
+    )
+    u0 = solver.set_initial_condition()
+    sols_shard = np.asarray(sharded(ops, u0))
+    np.testing.assert_allclose(sols_shard, sols_serial, atol=1e-9)
+
+
+def test_diffusion_sweep_matches_sequential():
+    """vmapped D-sweep equals per-D sequential solves; the shard_mapped
+    variant equals the vmapped one."""
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=16, dtype=jnp.float64)
+    D_values = [0.01, 0.1, 1.0]
+
+    out = crbe_diffusion_sweep(md, domain, D_values, tol=1e-11)
+    for i, D in enumerate(D_values):
+        problem = Problem(D=D)
+        s = CRBESolver(domain, problem, md, solver_tol=1e-11,
+                       stiffness_convention="reference")
+        s.solve()
+        rel, _, mx = s.compute_errors(problem.analytical_solution)
+        np.testing.assert_allclose(float(out["rel_l2_error"][i]), rel,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(out["max_error"][i]), mx,
+                                   rtol=1e-6)
+
+    mesh = make_mesh({"trial": 8})
+    out_sharded = crbe_diffusion_sweep(md, domain, D_values, tol=1e-11,
+                                       mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["rel_l2_error"]),
+        np.asarray(out["rel_l2_error"]), rtol=1e-8,
+    )
