@@ -102,3 +102,9 @@ class MeshData:
         self.ell_entry_to_slot = jnp.asarray(ell.entry_to_slot)
         self.ell_diag_slot = jnp.asarray(ell.diag_slot)
         self.ell_width = ell.width
+
+        # Structured-mesh metadata (enables the stencil SpMV fast path) and
+        # host copies of the topology for stencil pattern construction.
+        self.structured_n = getattr(mesh, "n_points_per_axis", None)
+        self._host_t2s = topo.triangle_to_segments
+        self._host_ell_cols = ell.cols

@@ -30,10 +30,15 @@ class Mesh:
     (crbe.py:50): only ``points`` (N, 2) float64 and ``triangles`` (T, 3)
     int32 are carried, as plain numpy arrays (mesh construction is host-side
     setup; device arrays are created by ``MeshData``).
+
+    ``n_points_per_axis`` is set for meshes produced by :func:`create_mesh`
+    (None for externally supplied triangulations); it unlocks the
+    structured-stencil SpMV fast path (airpollution_tpu.ops.stencil).
     """
 
     points: np.ndarray
     triangles: np.ndarray
+    n_points_per_axis: int | None = None
 
 
 def create_mesh(n_points_per_axis: int = 20, domain_size: float = 2.0) -> Mesh:
@@ -76,4 +81,4 @@ def create_mesh(n_points_per_axis: int = 20, domain_size: float = 2.0) -> Mesh:
     triangles[0::2] = tri_a
     triangles[1::2] = tri_b
 
-    return Mesh(points=points, triangles=triangles)
+    return Mesh(points=points, triangles=triangles, n_points_per_axis=n)

@@ -189,7 +189,7 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
 
 def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
-                  collect_iters=False, matvec=None):
+                  collect_iters=False, matvec=None, ka_matvec=None):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -210,13 +210,15 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     nt = md.nt
     if matvec is None:
         matvec = partial(sparse.ell_matvec, ops.system)
+    if ka_matvec is None:
+        ka_matvec = partial(sparse.ell_matvec, ops.ka)
     precond = linalg.jacobi_preconditioner(ops.system_diag)
 
     def rhs(u, t):
         if order == 1:  # crbe.py:383-384
             b = ops.mass_diag * u
         else:  # crbe.py:385-386
-            b = ops.mass_diag * u - (0.5 * dt) * sparse.ell_matvec(ops.ka, u)
+            b = ops.mass_diag * u - (0.5 * dt) * ka_matvec(u)
         t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)
         b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
@@ -270,6 +272,7 @@ class CRBESolver:
         solver_tol: float = 1e-7,
         solver_maxiter: int = 200,
         stiffness_convention: str = "correct",
+        matvec_impl: str = "auto",
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -283,11 +286,15 @@ class CRBESolver:
         self.time_scheme_order = time_scheme_order
         self.solver_tol = solver_tol
         self.solver_maxiter = solver_maxiter
+        if matvec_impl not in ("auto", "ell", "stencil"):
+            raise ValueError(f"unknown matvec_impl {matvec_impl}")
         self.stiffness_convention = stiffness_convention
+        self.matvec_impl = matvec_impl
         self.solutions = None
         self.solve_time = None
         self._ops = None
         self._solve_fn = None
+        self._pattern = None
 
     # --- assembly ---
 
@@ -333,10 +340,30 @@ class CRBESolver:
         vals = self.problem.boundary_fn(xyt)
         return jnp.where(md.boundary_mask, vals, 0.0)
 
+    def _use_stencil(self) -> bool:
+        if self.matvec_impl == "ell":
+            return False
+        if self.matvec_impl == "stencil":
+            if self.mesh_data.structured_n is None:
+                raise ValueError(
+                    "stencil matvec requires a structured mesh "
+                    "(create_mesh-produced)"
+                )
+            return True
+        return self.mesh_data.structured_n is not None  # "auto"
+
+    def _stencil_pattern(self):
+        if self._pattern is None:
+            from airpollution_tpu.ops import stencil as stencil_mod
+
+            md = self.mesh_data
+            self._pattern = stencil_mod.build_stencil_pattern(
+                md._host_t2s, md._host_ell_cols, md.structured_n
+            )
+        return self._pattern
+
     def _build_solve_fn(self, store_solutions: bool, collect_iters: bool):
-        solve_impl = partial(
-            run_time_loop,
-            mesh_data=self.mesh_data,
+        base = dict(
             problem=self.problem,
             dt=self.dt,
             order=self.time_scheme_order,
@@ -345,6 +372,49 @@ class CRBESolver:
             store_solutions=store_solutions,
             collect_iters=collect_iters,
         )
+        if not self._use_stencil():
+            solve_impl = partial(run_time_loop, mesh_data=self.mesh_data,
+                                 **base)
+            return jax.jit(solve_impl)
+
+        # Stencil fast path: run the whole loop in family-grid layout (see
+        # airpollution_tpu.ops.stencil), permute snapshots back at the end.
+        from airpollution_tpu.ops import stencil as stencil_mod
+
+        md = self.mesh_data
+        pattern = self._stencil_pattern()
+        perm = jnp.asarray(pattern.perm)
+        inv = jnp.asarray(pattern.inv_perm)
+
+        class _FamView:
+            midpoints = md.midpoints[perm]
+            boundary_mask = md.boundary_mask[perm]
+            nt = md.nt
+
+        def solve_impl(ops: GlobalOperators, u0):
+            coeffs = stencil_mod.extract_coefficients(
+                pattern, ops.system.vals
+            )
+            matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
+            if self.time_scheme_order == 2:
+                ka_coeffs = stencil_mod.extract_coefficients(
+                    pattern, ops.ka.vals
+                )
+                ka_matvec = partial(
+                    stencil_mod.stencil_matvec, pattern, ka_coeffs
+                )
+            else:
+                ka_matvec = None
+            ops_fam = ops._replace(
+                mass_diag=ops.mass_diag[perm],
+                system_diag=ops.system_diag[perm],
+            )
+            sols_fam, iters = run_time_loop(
+                ops_fam, u0[perm], mesh_data=_FamView, matvec=matvec,
+                ka_matvec=ka_matvec, **base,
+            )
+            return sols_fam[:, inv], iters
+
         return jax.jit(solve_impl)
 
     def solve(self, store_solutions: bool = True, collect_iters: bool = False):

@@ -1,0 +1,184 @@
+"""Gather-free stencil SpMV for structured CR meshes (the TPU fast path).
+
+On the structured triangulation (airpollution_tpu.mesh.structured) the CR
+edge DOFs form three regular families — horizontal edges H(i,j) (n x c
+grid), vertical edges V(i,j) (c x n) and diagonal edges D(i,j) (c x c),
+with c = n - 1 cells per axis — and every operator row couples a DOF only
+with fixed-offset neighbors in these grids. The ELL SpMV's row gather
+(``x[cols]``) is catastrophically slow on TPU (measured 12.3 ms vs 0.57 ms
+for the same memory traffic without the gather at 197k DOFs, 21x), so this
+module reorders the solve into family-grid layout where the matvec is 15
+static shift-multiply-add terms: pure VPU work, fully fused by XLA, zero
+gathers per step.
+
+The coefficient grids are extracted from the assembled ELL operator once
+per solve (a single gather outside the time loop); the time loop then runs
+entirely in family layout and the snapshots are permuted back to the
+global DOF order at the end.
+
+Derivation of the neighbor table (cell (i,j), triangles
+A = (v00, v10, v11), B = (v00, v11, v01), local edge order
+[(v1,v2), (v2,v0), (v0,v1)] per crbe.py:117):
+  t2s[A] = [V(i+1,j), D(i,j), H(i,j)]
+  t2s[B] = [H(i,j+1), V(i,j), D(i,j)]
+so each H row couples {H, V(i+1,j), D(i,j), V(i,j-1), D(i,j-1)}, each V row
+{V, D(i-1,j), H(i-1,j), H(i,j+1), D(i,j)}, each D row
+{D, V(i+1,j), H(i,j), H(i,j+1), V(i,j)}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilPattern:
+    """Host-precomputed static data for the family-grid stencil.
+
+    perm: (n_seg,) family-layout position -> global DOF id.
+    inv_perm: (n_seg,) global DOF id -> family-layout position.
+    term_slots: (15, ...) flat indices into the ELL value array, one grid
+      per stencil term (0 where invalid).
+    term_valid: matching validity masks (False where the neighbor does not
+      exist; extracted coefficients are zeroed there).
+    """
+
+    n: int
+    c: int
+    perm: np.ndarray
+    inv_perm: np.ndarray
+    term_slots: tuple
+    term_valid: tuple
+
+    @property
+    def shapes(self):
+        n, c = self.n, self.c
+        return {"H": (n, c), "V": (c, n), "D": (c, c)}
+
+
+def _family_ids(t2s: np.ndarray, n: int):
+    """Global DOF id grids for the three edge families."""
+    c = n - 1
+    jj, ii = np.meshgrid(np.arange(c), np.arange(c), indexing="ij")
+    A = 2 * (jj * c + ii)  # triangle A of cell (i, j)
+    B = A + 1
+
+    H = np.empty((n, c), dtype=np.int64)
+    H[:c, :] = t2s[A, 2]  # H(i, j) from tri A(i, j)
+    H[c, :] = t2s[B[c - 1, :], 0]  # top row from tri B(i, c-1)
+
+    V = np.empty((c, n), dtype=np.int64)
+    V[:, :c] = t2s[B, 1]  # V(i, j) from tri B(i, j)
+    V[:, c] = t2s[A[:, c - 1], 0]  # right column from tri A(c-1, j)
+
+    D = t2s[A, 1].astype(np.int64)
+    return H, V, D
+
+
+def build_stencil_pattern(t2s, ell_cols, n: int) -> StencilPattern:
+    """Precompute permutations and per-term ELL slot grids (host, once)."""
+    t2s = np.asarray(t2s)
+    ell_cols = np.asarray(ell_cols)
+    width = ell_cols.shape[1]
+    c = n - 1
+    H, V, D = _family_ids(t2s, n)
+
+    perm = np.concatenate([H.ravel(), V.ravel(), D.ravel()]).astype(np.int32)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
+
+    def term(rows, col_grid, valid):
+        """Flat ELL slot of entry (row, col) per grid cell, + validity."""
+        match = ell_cols[rows] == col_grid[..., None]  # (grid..., width)
+        k = np.argmax(match, axis=-1)
+        found = match.any(axis=-1) & valid
+        slots = (rows * width + k).astype(np.int32)
+        slots[~found] = 0
+        return slots, found
+
+    def grid_like(shape):
+        return np.zeros(shape, dtype=np.int64), np.zeros(shape, dtype=bool)
+
+    terms = []
+    # --- H rows (shape (n, c)) ---
+    terms.append(term(H, H, np.ones((n, c), bool)))  # 1 HH
+    col, val = grid_like((n, c))
+    col[:c, :], val[:c, :] = V[:, 1:], True  # 2 V(i+1, j), tri A(i, j)
+    terms.append(term(H, col, val))
+    col, val = grid_like((n, c))
+    col[:c, :], val[:c, :] = D, True  # 3 D(i, j)
+    terms.append(term(H, col, val))
+    col, val = grid_like((n, c))
+    col[1:, :], val[1:, :] = V[:, :c], True  # 4 V(i, j-1), tri B(i, j-1)
+    terms.append(term(H, col, val))
+    col, val = grid_like((n, c))
+    col[1:, :], val[1:, :] = D, True  # 5 D(i, j-1)
+    terms.append(term(H, col, val))
+    # --- V rows (shape (c, n)) ---
+    terms.append(term(V, V, np.ones((c, n), bool)))  # 6 VV
+    col, val = grid_like((c, n))
+    col[:, 1:], val[:, 1:] = D, True  # 7 D(i-1, j), tri A(i-1, j)
+    terms.append(term(V, col, val))
+    col, val = grid_like((c, n))
+    col[:, 1:], val[:, 1:] = H[:c, :], True  # 8 H(i-1, j)
+    terms.append(term(V, col, val))
+    col, val = grid_like((c, n))
+    col[:, :c], val[:, :c] = H[1:, :], True  # 9 H(i, j+1), tri B(i, j)
+    terms.append(term(V, col, val))
+    col, val = grid_like((c, n))
+    col[:, :c], val[:, :c] = D, True  # 10 D(i, j)
+    terms.append(term(V, col, val))
+    # --- D rows (shape (c, c)) ---
+    terms.append(term(D, D, np.ones((c, c), bool)))  # 11 DD
+    terms.append(term(D, V[:, 1:], np.ones((c, c), bool)))  # 12 V(i+1, j)
+    terms.append(term(D, H[:c, :], np.ones((c, c), bool)))  # 13 H(i, j)
+    terms.append(term(D, H[1:, :], np.ones((c, c), bool)))  # 14 H(i, j+1)
+    terms.append(term(D, V[:, :c], np.ones((c, c), bool)))  # 15 V(i, j)
+
+    return StencilPattern(
+        n=n, c=c, perm=perm, inv_perm=inv_perm,
+        term_slots=tuple(s for s, _ in terms),
+        term_valid=tuple(v for _, v in terms),
+    )
+
+
+def extract_coefficients(pattern: StencilPattern, ell_vals) -> tuple:
+    """Coefficient grids from the flat ELL values (one gather, per solve)."""
+    flat = ell_vals.reshape(-1)
+    return tuple(
+        jnp.where(jnp.asarray(v), flat[jnp.asarray(s)], 0.0)
+        for s, v in zip(pattern.term_slots, pattern.term_valid)
+    )
+
+
+def stencil_matvec(pattern: StencilPattern, coeffs: tuple, x_fam):
+    """y = A @ x in family layout: 15 shift-multiply-adds, no gathers."""
+    n, c = pattern.n, pattern.c
+    nH, nV = n * c, c * n
+    xH = x_fam[:nH].reshape(n, c)
+    xV = x_fam[nH:nH + nV].reshape(c, n)
+    xD = x_fam[nH + nV:].reshape(c, c)
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = coeffs
+
+    pad = jnp.pad
+    yH = (cHH * xH
+          + cHVu * pad(xV[:, 1:], ((0, 1), (0, 0)))
+          + cHDu * pad(xD, ((0, 1), (0, 0)))
+          + cHVd * pad(xV[:, :c], ((1, 0), (0, 0)))
+          + cHDd * pad(xD, ((1, 0), (0, 0))))
+    yV = (cVV * xV
+          + cVDl * pad(xD, ((0, 0), (1, 0)))
+          + cVHl * pad(xH[:c, :], ((0, 0), (1, 0)))
+          + cVHr * pad(xH[1:, :], ((0, 0), (0, 1)))
+          + cVDr * pad(xD, ((0, 0), (0, 1))))
+    yD = (cDD * xD
+          + cDVr * xV[:, 1:]
+          + cDHd * xH[:c, :]
+          + cDHu * xH[1:, :]
+          + cDVl * xV[:, :c])
+    return jnp.concatenate([yH.ravel(), yV.ravel(), yD.ravel()])
