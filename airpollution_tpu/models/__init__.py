@@ -6,6 +6,19 @@ from airpollution_tpu.models.crbe import (
     ElementCR,
     assemble,
     local_matrices,
+    run_time_loop,
+)
+from airpollution_tpu.models.pinn import (
+    PINN,
+    EarlyStopping,
+    count_parameters,
+    init_mlp_params,
+    mlp_apply,
 )
 
-__all__ = ["BESCRFEM", "CRBESolver", "ElementCR", "assemble", "local_matrices"]
+__all__ = [
+    "BESCRFEM", "CRBESolver", "ElementCR", "assemble", "local_matrices",
+    "run_time_loop",
+    "PINN", "EarlyStopping", "count_parameters", "init_mlp_params",
+    "mlp_apply",
+]

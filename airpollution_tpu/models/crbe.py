@@ -48,6 +48,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from airpollution_tpu.ops import linalg, sparse
+# Re-exports for API parity: the reference's crbe module re-exports the
+# problem-layer symbols (crbe.py:12) and experiments address them as
+# ``crbe.Problem`` / ``crbe.Domain`` (crbe_experiments.py:24-25).
+from airpollution_tpu.problems import AdDifProblem, Domain, Problem  # noqa: F401
 
 
 class ElementCR:

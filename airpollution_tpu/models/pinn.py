@@ -43,6 +43,14 @@ import numpy as np
 import optax
 
 from airpollution_tpu.ops import autodiff, sampling
+# Re-exports for API parity: the reference's pinn module re-exports the
+# problem-layer symbols (pinn.py:14) used as ``pinn.Problem`` /
+# ``pinn.Domain`` by the experiment drivers (sensitivity_analysis.py:45).
+from airpollution_tpu.ops.sampling import (  # noqa: F401
+    lhs_sampling,
+    sample_boundary_points,
+)
+from airpollution_tpu.problems import AdDifProblem, Domain, Problem  # noqa: F401
 
 _ACTIVATIONS = ("adaptive_tanh", "tanh", "sine", "swish")
 

@@ -52,14 +52,14 @@ def main():
         stiffness_convention="reference",
     )
 
-    # Warm-up: compile assembly + the full scan (cached for the timed run).
+    # Warm-up: compile assembly + the full scan. Must use the SAME
+    # (store, collect) variant as the timed run — each combination is a
+    # separate jitted program.
     t0 = time.time()
-    solver.solve(store_solutions=False, collect_iters=True)
+    solver.solve(store_solutions=False, collect_iters=False)
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s")
-    iters = np.asarray(solver.solver_iterations)
-    log(f"bicgstab iters/step: mean {iters.mean():.1f}, max {iters.max()}")
 
-    # Timed run.
+    # Timed run (compile cache hot).
     t0 = time.time()
     solver.solve(store_solutions=False, collect_iters=False)
     elapsed = time.time() - t0

@@ -1,0 +1,66 @@
+"""Tests for checkpoint/resume (io.checkpoint)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from airpollution_tpu.io import (
+    load_field,
+    load_pinn,
+    load_pytree,
+    save_field,
+    save_pinn,
+    save_pytree,
+)
+from airpollution_tpu.models.pinn import PINN
+from airpollution_tpu.problems import Domain, Problem
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": [jnp.ones((2, 3)), jnp.zeros(())]}
+    path = str(tmp_path / "tree.npz")
+    save_pytree(path, tree)
+    restored = load_pytree(path, tree)
+    np.testing.assert_array_equal(restored["a"], np.arange(5.0))
+    np.testing.assert_array_equal(restored["b"][0], np.ones((2, 3)))
+
+
+def test_pinn_checkpoint_resume(tmp_path):
+    """Params and training carry survive a save/load cycle; resumed
+    training continues from the checkpointed optimizer state."""
+    args = ({"pde": 64, "ic": 16, "bc": 16}, 30, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=0)
+    model.train(*args)
+    ckpt = str(tmp_path / "ckpt")
+    save_pinn(ckpt, model, step=30)
+
+    model2 = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=0)
+    model2.train(*args)  # populate carry structure, different end state
+    load_pinn(ckpt, model2, step=30)
+    for p1, p2 in zip(model.params, model2.params):
+        np.testing.assert_array_equal(p1["W"], p2["W"])
+    # Resume: warm start continues without error from restored carry.
+    model2.train(*args, warm_start=True)
+    assert np.isfinite(model2.history["total_loss"][-1])
+
+
+def test_field_roundtrip(tmp_path):
+    U = np.random.default_rng(0).normal(size=(4, 10))
+    t = np.linspace(0, 1, 4)
+    path = str(tmp_path / "field.npz")
+    save_field(path, U, t)
+    U2, t2 = load_field(path)
+    np.testing.assert_array_equal(U2, U)
+    np.testing.assert_array_equal(t2, t)
+
+
+def test_reference_module_reexports():
+    """API-parity: crbe.Problem / pinn.Domain style access works
+    (crbe.py:12, pinn.py:14 re-export contract)."""
+    from airpollution_tpu.models import crbe as crbe_mod
+    from airpollution_tpu.models import pinn as pinn_mod
+
+    assert crbe_mod.Problem is pinn_mod.Problem
+    assert crbe_mod.Domain().T == 10
+    assert callable(pinn_mod.lhs_sampling)
+    assert callable(pinn_mod.sample_boundary_points)
