@@ -108,6 +108,8 @@ def local_matrices(
     if stiffness_convention not in ("correct", "reference"):
         raise ValueError(f"unknown stiffness_convention {stiffness_convention}")
 
+    ref_grads = jnp.asarray(_REF_GRADS, dtype=vertices.dtype)
+
     def per_triangle(verts, area):
         # Jacobian columns are the edge vectors from vertex 0 (crbe.py:256-258).
         J = jnp.stack([verts[1] - verts[0], verts[2] - verts[0]], axis=1)
@@ -116,11 +118,11 @@ def local_matrices(
             jnp.array([[J[1, 1], -J[0, 1]], [-J[1, 0], J[0, 0]]]) / det
         )
         # Physical gradients: rows of G @ J^{-1} == (J^{-T} g_i)^T.
-        g_phys = _REF_GRADS @ J_inv
+        g_phys = ref_grads @ J_inv
         if stiffness_convention == "correct":
             g_stiff = g_phys
         else:  # reference transpose convention (crbe.py:272-276)
-            g_stiff = _REF_GRADS @ J_inv.T
+            g_stiff = ref_grads @ J_inv.T
         K = D * area * (g_stiff @ g_stiff.T)
         # A[i, j] = integral phi_i (v . grad phi_j) = (area / 3) (v . g_j)
         # (crbe.py:307-313: 2 * outer(ones * area/6, grad_phi @ v)).
@@ -290,7 +292,7 @@ class CRBESolver:
         self.time_scheme_order = time_scheme_order
         self.solver_tol = solver_tol
         self.solver_maxiter = solver_maxiter
-        if matvec_impl not in ("auto", "ell", "stencil"):
+        if matvec_impl not in ("auto", "ell", "stencil", "pallas"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         self.stiffness_convention = stiffness_convention
         self.matvec_impl = matvec_impl
@@ -347,7 +349,7 @@ class CRBESolver:
     def _use_stencil(self) -> bool:
         if self.matvec_impl == "ell":
             return False
-        if self.matvec_impl == "stencil":
+        if self.matvec_impl in ("stencil", "pallas"):
             if self.mesh_data.structured_n is None:
                 raise ValueError(
                     "stencil matvec requires a structured mesh "
@@ -395,18 +397,29 @@ class CRBESolver:
             boundary_mask = md.boundary_mask[perm]
             nt = md.nt
 
+        if self.matvec_impl == "pallas":
+            from airpollution_tpu.ops import pallas_stencil
+
+            if not pallas_stencil.fits_vmem(pattern):
+                raise ValueError(
+                    "mesh too large for the fused VMEM Pallas kernel; "
+                    "use matvec_impl='stencil'"
+                )
+            apply_fn = partial(pallas_stencil.stencil_matvec_pallas,
+                               interpret=jax.default_backend() != "tpu")
+        else:
+            apply_fn = stencil_mod.stencil_matvec
+
         def solve_impl(ops: GlobalOperators, u0):
             coeffs = stencil_mod.extract_coefficients(
                 pattern, ops.system.vals
             )
-            matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
+            matvec = partial(apply_fn, pattern, coeffs)
             if self.time_scheme_order == 2:
                 ka_coeffs = stencil_mod.extract_coefficients(
                     pattern, ops.ka.vals
                 )
-                ka_matvec = partial(
-                    stencil_mod.stencil_matvec, pattern, ka_coeffs
-                )
+                ka_matvec = partial(apply_fn, pattern, ka_coeffs)
             else:
                 ka_matvec = None
             ops_fam = ops._replace(
