@@ -170,6 +170,7 @@ class PINN:
                         "bc_loss": []}
         self.training_time = 0.0
         self._carry_state = None  # continuation across train() calls
+        self._train_fn_cache = {}  # config key -> (opt, jitted train fn)
 
     # --- forward / residual ---
 
@@ -324,11 +325,22 @@ class PINN:
         (fixed_runtime_experiments.py:89, defect D6); warm starting is the
         corrected behavior offered alongside the default parity behavior.
         """
-        opt, train_fn = self._build_train_fn(
-            dict(batch_sizes), dict(lambda_weights),
+        # The jitted trainer is cached per configuration: rebuilding it per
+        # call would re-jit (and re-compile) every train() invocation.
+        cache_key = (
+            tuple(sorted(batch_sizes.items())),
+            tuple(sorted(lambda_weights.items())),
             int(early_stopping_patience), float(early_stopping_min_delta),
             mini_batch_size, int(epochs),
         )
+        if cache_key not in self._train_fn_cache:
+            self._train_fn_cache[cache_key] = self._build_train_fn(
+                dict(batch_sizes), dict(lambda_weights),
+                int(early_stopping_patience),
+                float(early_stopping_min_delta),
+                mini_batch_size, int(epochs),
+            )
+        opt, train_fn = self._train_fn_cache[cache_key]
 
         start = time.time()
         self.key, k_ic = jax.random.split(self.key)
