@@ -93,6 +93,53 @@ def load_field(path: str):
     return data["solutions"], times
 
 
+def read_meta(ckpt_dir: str, step: int | None = None) -> dict | None:
+    tag = f"step_{step}" if step is not None else "latest"
+    path = os.path.join(ckpt_dir, f"meta_{tag}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def train_with_checkpoints(model, batch_sizes, epochs, lr, lambda_weights,
+                           ckpt_dir, checkpoint_every=500, resume=True,
+                           **train_kwargs):
+    """Train a PINN in checkpointed chunks with crash recovery.
+
+    The failure-recovery subsystem the reference lacks (SURVEY.md section
+    5.3-5.4): training runs in ``checkpoint_every``-epoch chunks under
+    ``warm_start`` continuation, persisting params + optimizer carry after
+    each chunk; on restart with ``resume=True`` the latest checkpoint is
+    loaded and training continues from the recorded epoch.
+    """
+    start_epoch = 0
+    meta = read_meta(ckpt_dir) if resume else None
+    if meta is not None:
+        # Materialize the carry structure, then restore into it.
+        model.train(batch_sizes, 0, lr, lambda_weights, **train_kwargs)
+        load_pinn(ckpt_dir, model)
+        start_epoch = int(meta.get("step") or 0)
+        print(f"Resumed from {ckpt_dir} at epoch {start_epoch}")
+
+    done = start_epoch
+    while done < epochs:
+        chunk = min(checkpoint_every, epochs - done)
+        model.train(
+            batch_sizes, chunk, lr, lambda_weights,
+            warm_start=(done > 0), **train_kwargs,
+        )
+        done += chunk
+        save_pinn(ckpt_dir, model, step=None)
+        meta_path = os.path.join(ckpt_dir, "meta_latest.json")
+        with open(meta_path) as f:
+            m = json.load(f)
+        m["step"] = done
+        with open(meta_path, "w") as f:
+            json.dump(m, f)
+    return model.history
+
+
 def have_orbax() -> bool:
     try:
         import orbax.checkpoint  # noqa: F401

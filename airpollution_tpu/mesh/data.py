@@ -98,6 +98,7 @@ class MeshData:
         bmask[topo.boundary_segments] = True
         self.boundary_mask = jnp.asarray(bmask)
 
+        self._ell = ell
         self.ell_cols = jnp.asarray(ell.cols)
         self.ell_entry_to_slot = jnp.asarray(ell.entry_to_slot)
         self.ell_diag_slot = jnp.asarray(ell.diag_slot)
@@ -108,3 +109,20 @@ class MeshData:
         self.structured_n = getattr(mesh, "n_points_per_axis", None)
         self._host_t2s = topo.triangle_to_segments
         self._host_ell_cols = ell.cols
+
+    def show(self, filename="mesh_visualition.pdf"):
+        """Visualize the triangulation (crbe.py:156-164; the reference's
+        output filename typo is kept as the default)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        pts = np.asarray(self.points)
+        plt.figure(figsize=(10, 8))
+        plt.triplot(pts[:, 0], pts[:, 1], np.asarray(self.triangles))
+        plt.axis("equal")
+        plt.grid(False)
+        plt.title("2D Mesh Visualization")
+        plt.savefig(filename, dpi=300)
+        plt.close()

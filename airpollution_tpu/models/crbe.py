@@ -70,6 +70,11 @@ class ElementCR:
         x, y = local_coords
         return np.array([-1 + 2 * (x + y), 1 - 2 * x, 1 - 2 * y])
 
+    def get_jacobian(self):
+        """Per-triangle Jacobians live in :func:`local_matrices`; the
+        reference's method is an empty stub (crbe.py:195-196)."""
+        return None
+
     def get_shape_function_derivatives(self):
         return np.array([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
 

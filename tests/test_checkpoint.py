@@ -64,3 +64,26 @@ def test_reference_module_reexports():
     assert crbe_mod.Domain().T == 10
     assert callable(pinn_mod.lhs_sampling)
     assert callable(pinn_mod.sample_boundary_points)
+
+
+def test_train_with_checkpoints_resume(tmp_path):
+    """Chunked checkpointed training resumes from the recorded epoch after
+    a simulated crash."""
+    from airpollution_tpu.io import read_meta, train_with_checkpoints
+
+    args = dict(batch_sizes={"pde": 64, "ic": 16, "bc": 16}, epochs=40,
+                lr=1e-3, lambda_weights={"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    ckpt = str(tmp_path / "ck")
+
+    m1 = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=0)
+    train_with_checkpoints(m1, ckpt_dir=ckpt, checkpoint_every=10, **args)
+    assert read_meta(ckpt)["step"] == 40
+    assert len(m1.history["total_loss"]) == 40
+
+    # "Crash" after epoch 40 of an 80-epoch run: a fresh process resumes.
+    m2 = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=1)
+    args80 = dict(args, epochs=80)
+    train_with_checkpoints(m2, ckpt_dir=ckpt, checkpoint_every=10, **args80)
+    assert read_meta(ckpt)["step"] == 80
+    # Only the remaining 40 epochs were run in this process.
+    assert len(m2.history["total_loss"]) == 40
