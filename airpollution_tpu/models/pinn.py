@@ -109,6 +109,52 @@ def count_parameters(layers):
     return sum(l1 * l2 + l2 for l1, l2 in zip(layers[:-1], layers[1:]))
 
 
+def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
+                   bc_target, lambda_weights, mini_batch_size, activation):
+    """The weighted composite PINN loss (pinn.py:182-216 semantics).
+
+    ``problem`` is a pytree (physical parameters are traced leaves), so
+    one compiled program serves every parameter value."""
+
+    def u(p):
+        return mlp_apply(params, p, activation)[0]
+
+    source = problem.source_term(xyt_pde)
+    residual = autodiff.pde_residual(u, xyt_pde, problem.v, problem.D,
+                                     source)
+    res2 = jnp.square(residual).reshape(-1)
+    n_pde = res2.shape[0]
+    if n_pde > _MINI_BATCH_THRESHOLD:
+        # Mean of per-chunk means, ragged last chunk included
+        # (pinn.py:182-193) — computed without a loop.
+        chunk = mini_batch_size or _MINI_BATCH_THRESHOLD
+        n_chunks = -(-n_pde // chunk)
+        pad = n_chunks * chunk - n_pde
+        padded = jnp.concatenate([res2, jnp.zeros((pad,), res2.dtype)])
+        sums = padded.reshape(n_chunks, chunk).sum(axis=1)
+        sizes = jnp.full((n_chunks,), chunk, res2.dtype).at[-1].add(-pad)
+        pde_loss = jnp.mean(sums / sizes)
+    else:
+        pde_loss = jnp.mean(res2)
+
+    ic_pred = mlp_apply(params, xyt_ic, activation)
+    ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
+    bc_pred = mlp_apply(params, xyt_bc, activation)
+    bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
+
+    lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
+                  lambda_weights["bc"])
+    total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (lp + li + lb)
+    return total, (pde_loss, ic_loss, bc_loss)
+
+
+# Module-level trainer cache: one compiled program per configuration,
+# shared across PINN instances and problem-parameter values (the problem
+# is a traced pytree argument). Without this, every PINN() in a sweep
+# re-jits and re-compiles its training scan.
+_TRAIN_FN_CACHE: dict = {}
+
+
 class EarlyStopping:
     """Host-side early stopping with functional snapshots (API parity with
     pinn.py:60-85; snapshot is a real copy, fixing defect D2)."""
@@ -170,7 +216,6 @@ class PINN:
                         "bc_loss": []}
         self.training_time = 0.0
         self._carry_state = None  # continuation across train() calls
-        self._train_fn_cache = {}  # config key -> (opt, jitted train fn)
 
     # --- forward / residual ---
 
@@ -198,53 +243,31 @@ class PINN:
 
     def _loss_fn(self, params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
                  lambda_weights, mini_batch_size):
-        u = self._point_fn(params)
-        source = self.problem.source_term(xyt_pde)
-        residual = autodiff.pde_residual(u, xyt_pde, self.problem.v,
-                                         self.problem.D, source)
-        res2 = jnp.square(residual).reshape(-1)
-        n_pde = res2.shape[0]
-        if n_pde > _MINI_BATCH_THRESHOLD:
-            # Mean of per-chunk means, ragged last chunk included
-            # (pinn.py:182-193) — computed without a loop.
-            chunk = mini_batch_size or _MINI_BATCH_THRESHOLD
-            n_chunks = -(-n_pde // chunk)
-            pad = n_chunks * chunk - n_pde
-            padded = jnp.concatenate([res2, jnp.zeros((pad,), res2.dtype)])
-            sums = padded.reshape(n_chunks, chunk).sum(axis=1)
-            sizes = jnp.full((n_chunks,), chunk, res2.dtype).at[-1].add(-pad)
-            pde_loss = jnp.mean(sums / sizes)
-        else:
-            pde_loss = jnp.mean(res2)
+        return composite_loss(
+            params, self.problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
+            bc_target, lambda_weights, mini_batch_size, self.activation,
+        )
 
-        ic_pred = mlp_apply(params, xyt_ic, self.activation)
-        ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
-        bc_pred = mlp_apply(params, xyt_bc, self.activation)
-        bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
-
-        lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
-                      lambda_weights["bc"])
-        total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (lp + li + lb)
-        return total, (pde_loss, ic_loss, bc_loss)
-
-    def _build_train_fn(self, batch_sizes, lambda_weights, es_patience,
-                        es_min_delta, mini_batch_size, epochs):
+    @staticmethod
+    def _build_train_fn(batch_sizes, lambda_weights, es_patience,
+                        es_min_delta, mini_batch_size, epochs, activation,
+                        xy_ranges, t_range, dtype):
         n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
         loss_fn = partial(
-            self._loss_fn,
+            composite_loss,
             lambda_weights=dict(lambda_weights),
             mini_batch_size=mini_batch_size,
+            activation=activation,
         )
-        xy_ranges, t_range, dtype = self.xy_ranges, self.t_range, self.dtype
 
-        def epoch(state: TrainState, _, xyt_ic, ic_target):
+        def epoch(state: TrainState, _, xyt_ic, ic_target, problem):
             key, k_bc, k_pde = jax.random.split(state.key, 3)
             xyt_bc = sampling.sample_boundary_points(
                 k_bc, n_bc, xy_ranges, t_range, dtype
             )
             bc_target = jnp.asarray(
-                self.problem.boundary_fn(xyt_bc), dtype
+                problem.boundary_fn(xyt_bc), dtype
             ).reshape(-1, 1)
             xyt_pde = sampling.lhs_sampling(
                 k_pde, n_pde, xy_ranges, t_range, dtype
@@ -252,7 +275,8 @@ class PINN:
 
             (total, (lp_, li_, lb_)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target)
+            )(state.params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
+              bc_target)
 
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = state.lr
@@ -304,8 +328,9 @@ class PINN:
             losses = jnp.stack([total, lp_, li_, lb_])
             return new_state, (losses, frozen)
 
-        def train_impl(state: TrainState, xyt_ic, ic_target):
-            body = partial(epoch, xyt_ic=xyt_ic, ic_target=ic_target)
+        def train_impl(state: TrainState, xyt_ic, ic_target, problem):
+            body = partial(epoch, xyt_ic=xyt_ic, ic_target=ic_target,
+                           problem=problem)
             final_state, (losses, frozen) = jax.lax.scan(
                 body, state, None, length=epochs
             )
@@ -325,22 +350,27 @@ class PINN:
         (fixed_runtime_experiments.py:89, defect D6); warm starting is the
         corrected behavior offered alongside the default parity behavior.
         """
-        # The jitted trainer is cached per configuration: rebuilding it per
-        # call would re-jit (and re-compile) every train() invocation.
+        # The jitted trainer is cached globally per configuration (the
+        # problem is a traced argument): rebuilding per call or per model
+        # instance would re-jit (and re-compile) every train() invocation
+        # and every sweep iteration.
         cache_key = (
+            type(self.problem), self.activation,
             tuple(sorted(batch_sizes.items())),
             tuple(sorted(lambda_weights.items())),
             int(early_stopping_patience), float(early_stopping_min_delta),
             mini_batch_size, int(epochs),
+            self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
         )
-        if cache_key not in self._train_fn_cache:
-            self._train_fn_cache[cache_key] = self._build_train_fn(
+        if cache_key not in _TRAIN_FN_CACHE:
+            _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
                 dict(batch_sizes), dict(lambda_weights),
                 int(early_stopping_patience),
                 float(early_stopping_min_delta),
-                mini_batch_size, int(epochs),
+                mini_batch_size, int(epochs), self.activation,
+                self.xy_ranges, self.t_range, self.dtype,
             )
-        opt, train_fn = self._train_fn_cache[cache_key]
+        opt, train_fn = _TRAIN_FN_CACHE[cache_key]
 
         start = time.time()
         self.key, k_ic = jax.random.split(self.key)
@@ -373,7 +403,8 @@ class PINN:
                 key=k_train,
             )
 
-        final_state, losses, frozen = train_fn(state, xyt_ic, ic_target)
+        final_state, losses, frozen = train_fn(state, xyt_ic, ic_target,
+                                               self.problem)
         losses = np.asarray(losses)
         frozen = np.asarray(frozen)
 

@@ -30,6 +30,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _register_problem_pytree(cls, fields):
+    """Register a problem class as a pytree with the given leaf fields.
+
+    Physical parameters become traced leaves, so one compiled program
+    serves every parameter value: the sensitivity sweep vmaps over traced
+    ``D`` (parallel/sweep.py) and the PINN trainer cache is shared across
+    problem instances (models/pinn.py)."""
+
+    def flatten(p):
+        return tuple(getattr(p, f) for f in fields), None
+
+    def unflatten(_, children):
+        obj = object.__new__(cls)
+        for f, c in zip(fields, children):
+            setattr(obj, f, c)
+        return obj
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
 class AdDifProblem(abc.ABC):
     """Abstract 2D advection-diffusion problem.
 
@@ -131,6 +152,12 @@ class SquarePulseProblem(AdDifProblem):
     def source_term(self, xyt):
         xyt = jnp.asarray(xyt)
         return jnp.zeros_like(xyt[..., 0])
+
+
+_register_problem_pytree(Problem, ("v", "D", "sigma"))
+_register_problem_pytree(
+    SquarePulseProblem, ("v", "D", "lo", "hi", "amplitude")
+)
 
 
 @dataclasses.dataclass(frozen=True)
