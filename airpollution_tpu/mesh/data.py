@@ -98,7 +98,6 @@ class MeshData:
         bmask[topo.boundary_segments] = True
         self.boundary_mask = jnp.asarray(bmask)
 
-        self._ell = ell
         self.ell_cols = jnp.asarray(ell.cols)
         self.ell_entry_to_slot = jnp.asarray(ell.entry_to_slot)
         self.ell_diag_slot = jnp.asarray(ell.diag_slot)

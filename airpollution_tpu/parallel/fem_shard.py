@@ -15,7 +15,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from airpollution_tpu.models.crbe import GlobalOperators, run_time_loop
@@ -92,9 +91,6 @@ def build_sharded_solver(mesh: Mesh, mesh_data, problem, dt, *,
     def solve(ops: GlobalOperators, u0):
         n_pad = ops.system.vals.shape[0] - n_seg
         md_view = _PaddedMeshData(mesh_data, n_pad)
-
-        def padded_problem_source(xyt):
-            return problem.source_term(xyt)
 
         class _ProblemView:
             v = problem.v

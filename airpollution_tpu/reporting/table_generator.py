@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from math import floor, log10
-
 import numpy as np
 import pandas as pd
 from scipy.stats import linregress

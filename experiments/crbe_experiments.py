@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 import airpollution_tpu as apt
 from airpollution_tpu.models.crbe import CRBESolver, ElementCR
-from airpollution_tpu.utils import memory_delta
+from airpollution_tpu.utils import memory_delta, profiler_trace
 
 from experiments import common
 
@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "float64"])
     parser.add_argument("--time_scheme_order", type=int, default=1)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="Write a jax.profiler trace of the solves here")
     args = parser.parse_args(argv)
 
     np.random.seed(common.SEED)
@@ -64,7 +66,7 @@ def main(argv=None):
             stiffness_convention=args.stiffness_convention,
         )
 
-        with memory_delta() as mem:
+        with memory_delta() as mem, profiler_trace(args.profile_dir or None):
             solver.solve()
         train_time = time.time() - start_time
 

@@ -20,7 +20,7 @@ import pandas as pd
 
 import airpollution_tpu as apt
 from airpollution_tpu.models.pinn import PINN, count_parameters
-from airpollution_tpu.utils import memory_delta
+from airpollution_tpu.utils import memory_delta, profiler_trace
 
 from experiments import common
 
@@ -39,6 +39,8 @@ def main(argv=None):
                         help="Override the per-mesh epoch schedule")
     parser.add_argument("--mesh_sizes", type=int, nargs="*",
                         default=common.MESH_SIZES)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="Write a jax.profiler trace of training here")
     args = parser.parse_args(argv)
 
     np.random.seed(common.SEED)
@@ -74,7 +76,7 @@ def main(argv=None):
         print(f"Training for mesh size {mesh_size} ...")
 
         start_time = time.time()
-        with memory_delta() as mem:
+        with memory_delta() as mem, profiler_trace(args.profile_dir or None):
             history = model.train(
                 batch_sizes, epochs, lr, common.LAMBDA_WEIGHTS,
                 early_stopping_patience=patience,

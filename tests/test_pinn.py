@@ -164,3 +164,35 @@ def test_minibatch_chunking_matches_full_mean_statistics():
         {"pde": 1.0, "ic": 0.0, "bc": 0.0}, None,
     )
     np.testing.assert_allclose(float(pde_loss), expect, rtol=1e-6)
+
+
+def test_problem_pytree_registration():
+    """Problems are pytrees: physical parameters are traced leaves, so
+    vmap over D works and one compiled trainer serves all instances."""
+    p = Problem(D=0.5)
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    assert len(leaves) == 3  # v, D, sigma
+    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert float(p2.D) == 0.5
+
+    # vmap the analytical solution over D.
+    def sol(D):
+        return Problem(D=D).analytical_solution(
+            jnp.asarray([[1.0, 2.0, 3.0]])
+        )[0]
+
+    out = jax.vmap(sol)(jnp.asarray([0.01, 0.1, 1.0]))
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(set(np.asarray(out).tolist())) == 3
+
+
+def test_trainer_cache_shared_across_instances():
+    from airpollution_tpu.models import pinn as pinn_mod
+
+    pinn_mod._TRAIN_FN_CACHE.clear()
+    args = ({"pde": 32, "ic": 8, "bc": 8}, 5, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    for D in (0.01, 0.1):
+        m = PINN([3, 8, 1], Problem(D=D), Domain(), activation="tanh")
+        m.train(*args)
+    assert len(pinn_mod._TRAIN_FN_CACHE) == 1  # one compile served both
