@@ -284,6 +284,7 @@ class CRBESolver:
         solver_maxiter: int = 200,
         stiffness_convention: str = "correct",
         matvec_impl: str = "auto",
+        fused_iters: int = 5,
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -297,10 +298,11 @@ class CRBESolver:
         self.time_scheme_order = time_scheme_order
         self.solver_tol = solver_tol
         self.solver_maxiter = solver_maxiter
-        if matvec_impl not in ("auto", "ell", "stencil", "pallas"):
+        if matvec_impl not in ("auto", "ell", "stencil", "pallas", "fused"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         self.stiffness_convention = stiffness_convention
         self.matvec_impl = matvec_impl
+        self.fused_iters = fused_iters
         self.solutions = None
         self.solve_time = None
         self._ops = None
@@ -354,7 +356,7 @@ class CRBESolver:
     def _use_stencil(self) -> bool:
         if self.matvec_impl == "ell":
             return False
-        if self.matvec_impl in ("stencil", "pallas"):
+        if self.matvec_impl in ("stencil", "pallas", "fused"):
             if self.mesh_data.structured_n is None:
                 raise ValueError(
                     "stencil matvec requires a structured mesh "
@@ -396,6 +398,48 @@ class CRBESolver:
         pattern = self._stencil_pattern()
         perm = jnp.asarray(pattern.perm)
         inv = jnp.asarray(pattern.inv_perm)
+
+        if self.matvec_impl == "fused":
+            # Entire time loop in one VMEM-resident Pallas kernel
+            # (ops/pallas_solver.py). Scope guards:
+            if self.time_scheme_order != 1:
+                raise ValueError("fused solver supports backward Euler only")
+            if not getattr(self.problem, "zero_source", False):
+                raise ValueError(
+                    "fused solver requires a zero-source problem"
+                )
+            if store_solutions or collect_iters:
+                raise ValueError(
+                    "fused solver returns the final state only "
+                    "(store_solutions=False, collect_iters=False)"
+                )
+            from airpollution_tpu.ops import pallas_solver
+
+            if not _pallas_fused_fits(pattern):
+                raise ValueError(
+                    "mesh too large for the VMEM-resident fused solver"
+                )
+            interpret = jax.default_backend() != "tpu"
+            n_steps = md.nt - 1
+            n_iters = self.fused_iters
+
+            def solve_impl(ops: GlobalOperators, u0):
+                coeffs = stencil_mod.extract_coefficients(
+                    pattern, ops.system.vals
+                )
+                bmask_fam = md.boundary_mask[perm]
+                mass_fam = jnp.where(
+                    bmask_fam, 0.0, ops.mass_diag[perm]
+                )
+                inv_diag_fam = 1.0 / ops.system_diag[perm]
+                u0_fam = jnp.where(bmask_fam, 0.0, u0[perm])
+                u_fam = pallas_solver.fused_solve(
+                    pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
+                    n_steps=n_steps, n_iters=n_iters, interpret=interpret,
+                )
+                return u_fam[inv][None, :], None
+
+            return jax.jit(solve_impl)
 
         class _FamView:
             midpoints = md.midpoints[perm]
@@ -514,6 +558,12 @@ class CRBESolver:
         from airpollution_tpu.reporting import plots
 
         plots.plot_error_evolution(self, errors, save_dir)
+
+
+def _pallas_fused_fits(pattern) -> bool:
+    """VMEM budget for the fused solver: 15 coeffs + ~12 vector grids."""
+    per_grid = pattern.n * pattern.c * 4
+    return (15 + 13) * per_grid < 14 * 1024 * 1024
 
 
 # Reference-compatible alias (crbe.py:225).

@@ -61,6 +61,10 @@ class AdDifProblem(abc.ABC):
     latter makes problems vmappable over physical parameters).
     """
 
+    # True when source_term is identically zero — unlocks fused solver
+    # kernels that skip source evaluation (ops/pallas_solver.py).
+    zero_source = False
+
     def __init__(self, v, D):
         self.v = v
         self.D = D
@@ -85,6 +89,8 @@ class Problem(AdDifProblem):
     solution doubles as initial and boundary data, which makes this problem
     the validation oracle for both solvers (SURVEY.md section 4).
     """
+
+    zero_source = True  # common.py:72-76
 
     def __init__(self, v=(1.0, 0.5), D=0.1, sigma=1.0):
         super().__init__(jnp.asarray(v), D)
@@ -130,6 +136,8 @@ class SquarePulseProblem(AdDifProblem):
     against physics invariants (mass conservation, center-of-mass trajectory,
     spreading rate - see airpollution_tpu.diagnostics).
     """
+
+    zero_source = True  # scripts/problem3.py:44-46
 
     def __init__(self, v=(1.0, 0.0), D=0.1, lo=8.0, hi=12.0, amplitude=1.0):
         super().__init__(jnp.asarray(v), D)

@@ -46,15 +46,17 @@ def main():
     md = apt.MeshData(mesh, domain, nt=nt)
     log(f"mesh: {md.number_of_segments} DOFs, setup {time.time() - t0:.1f}s")
 
+    # Timed path: the fully fused VMEM-resident Pallas solver
+    # (ops/pallas_solver.py) — the whole time loop in one kernel.
     solver = CRBESolver(
         domain, problem, md,
-        solver_tol=1e-6, solver_maxiter=100,
         stiffness_convention="reference",
+        matvec_impl="fused", fused_iters=4,
     )
 
-    # Warm-up: compile assembly + the full scan. Must use the SAME
-    # (store, collect) variant as the timed run — each combination is a
-    # separate jitted program.
+    # Warm-up: compile assembly + the fused kernel. Must use the SAME
+    # variant as the timed run — each option combination is a separate
+    # jitted program.
     t0 = time.time()
     solver.solve(store_solutions=False, collect_iters=False)
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s")
@@ -67,9 +69,20 @@ def main():
     log(f"timed: {elapsed:.3f}s for {nt - 1} steps "
         f"-> {steps_per_sec:.1f} steps/s")
 
-    # Correctness guard: the solve must still produce a sane field.
-    solver.solve(store_solutions=True)
-    rel_l2, l2, mx = solver.compute_errors(problem.analytical_solution)
+    # Correctness guard via the general (scan + stencil SpMV) path.
+    check = CRBESolver(
+        domain, problem, md,
+        solver_tol=1e-6, solver_maxiter=100,
+        stiffness_convention="reference", matvec_impl="stencil",
+    )
+    check.solve(store_solutions=True)
+    rel_l2, l2, mx = check.compute_errors(problem.analytical_solution)
+    u_fused = np.asarray(solver.solutions[-1])
+    u_check = np.asarray(check.solutions[-1]) - np.asarray(
+        check.boundary_values(domain.T)
+    )
+    fused_diff = float(np.abs(u_fused - u_check).max())
+    log(f"fused vs scan max diff: {fused_diff:.3e}")
     log(f"rel_l2={rel_l2:.4f} l2={l2:.4f} max={mx:.4e} (sanity)")
     if not np.isfinite(rel_l2) or rel_l2 > 10.0:
         log("WARNING: benchmark solution failed sanity check")

@@ -94,6 +94,9 @@ def main(argv=None):
             "cr_l2_error": crbe_rel_l2,
             "cr_max_error": crbe_max,
         })
+        # Incremental save (the reference only writes at the end,
+        # sensitivity_analysis.py:121-123 — a crash loses everything).
+        pd.DataFrame(sensitivity_data).to_csv(filename)
         print("=" * 50)
 
     df = pd.DataFrame(sensitivity_data)

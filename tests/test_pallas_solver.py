@@ -1,0 +1,43 @@
+"""Tests for the fully fused Pallas solve kernel (interpreter on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.problems import Domain, Problem, SquarePulseProblem
+
+
+@pytest.mark.parametrize("problem_cls", [Problem, SquarePulseProblem])
+def test_fused_matches_stencil_final_state(problem_cls):
+    domain = Domain()
+    problem = problem_cls()
+    md = MeshData(create_mesh(10, 20.0), domain, nt=12)
+    ref = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                     solver_tol=1e-12, solver_maxiter=5)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                       fused_iters=5)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    # Same algorithm, same iteration count -> tight agreement in f32.
+    np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
+
+
+def test_fused_scope_guards():
+    domain = Domain()
+    md = MeshData(create_mesh(6, 20.0), domain, nt=4)
+    s = CRBESolver(domain, Problem(), md, matvec_impl="fused",
+                   time_scheme_order=2)
+    with pytest.raises(ValueError):
+        s.solve(store_solutions=False)
+    s = CRBESolver(domain, Problem(), md, matvec_impl="fused")
+    with pytest.raises(ValueError):
+        s.solve(store_solutions=True)
+
+    class SourcedProblem(Problem):
+        zero_source = False
+
+    s = CRBESolver(domain, SourcedProblem(), md, matvec_impl="fused")
+    with pytest.raises(ValueError):
+        s.solve(store_solutions=False)
