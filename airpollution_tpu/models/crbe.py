@@ -568,3 +568,28 @@ def _pallas_fused_fits(pattern) -> bool:
 
 # Reference-compatible alias (crbe.py:225).
 BESCRFEM = CRBESolver
+
+
+if __name__ == "__main__":
+    # Demo mirroring the reference's crbe.py __main__ (crbe.py:665-704):
+    # ms=128 mesh, nt=128 backward Euler on the default Gaussian problem.
+    from airpollution_tpu.mesh import MeshData, create_mesh
+
+    domain = Domain(Lx=20.0, Ly=20.0, T=10.0)
+    problem = Problem(v=(1.0, 0.5), D=0.1, sigma=1.0)
+    ms = 128
+    mesh_data = MeshData(create_mesh(ms, 20.0), domain, nt=128)
+    print(mesh_data.number_of_segments)
+
+    solver1 = CRBESolver(domain, problem, mesh_data, ElementCR(), 1)
+    solver1.solve()
+    rel_l2_error, l2_error, max_error = solver1.compute_errors(
+        problem.analytical_solution
+    )
+    print(f"Rel L2 Error: {rel_l2_error:0.4f}")
+    print(f"L2 Error: {l2_error:0.4f}")
+    print(f"Max Error: {max_error:0.4f}")
+    solver1.plot_interpolated_solution(
+        problem.analytical_solution, name=f"crbe{ms}"
+    )
+    solver1.plot_solution()

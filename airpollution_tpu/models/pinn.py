@@ -467,3 +467,30 @@ class PINN:
         plots.plot_pinn_interpolated_solution(
             self, t, mesh_data, analytical_sol_fn, save_dir, name
         )
+
+
+if __name__ == "__main__":
+    # Demo mirroring the reference's pinn.py __main__ (pinn.py:533-595):
+    # mesh-64 evaluation grid, [3, 20x5, 1] adaptive-tanh PINN.
+    from airpollution_tpu.mesh import MeshData, create_mesh
+
+    print("Running main block in pinn.py")
+    domain = Domain()
+    problem = Problem(sigma=1.0)
+    mesh_data = MeshData(create_mesh(64, 20.0), domain, nt=128)
+
+    layers = [3, 20, 20, 20, 20, 20, 1]
+    n_col = round(mesh_data.number_of_segments / 1.4)
+    n_ic = round(0.2 * n_col)
+    batch_sizes = {"pde": n_col, "ic": n_ic, "bc": n_ic}
+    lambda_weights = {"pde": 2.0, "ic": 10.0, "bc": 10.0}
+
+    model = PINN(layers, problem, domain)
+    model.train(batch_sizes, 1000, 0.001, lambda_weights,
+                early_stopping_patience=10)
+    model.plot_history()
+    errors = model.compute_errors(mesh_data, problem.analytical_solution)
+    print(f"Compute error\n\tRel L2 Error: {errors[0]:.4f}"
+          f"\n\tL2 Error: {errors[1]:.4f}\n\tMax Error: {errors[2]:.4f}")
+    model.plot_interpolated_solution(10.0, mesh_data,
+                                     problem.analytical_solution)
