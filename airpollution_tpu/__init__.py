@@ -18,7 +18,7 @@ from airpollution_tpu.problems import (
     Problem,
     SquarePulseProblem,
 )
-from airpollution_tpu.mesh import Mesh, MeshData, create_mesh
+from airpollution_tpu.mesh import Mesh, MeshData, create_mesh, create_unstructured_mesh
 
 __version__ = "0.1.0"
 
@@ -30,4 +30,5 @@ __all__ = [
     "Mesh",
     "MeshData",
     "create_mesh",
+    "create_unstructured_mesh",
 ]

@@ -1,6 +1,6 @@
 """Mesh layer: structured triangulation, edge topology, device MeshData."""
 
-from airpollution_tpu.mesh.structured import Mesh, create_mesh
+from airpollution_tpu.mesh.structured import Mesh, create_mesh, create_unstructured_mesh
 from airpollution_tpu.mesh.topology import (
     EdgeTopology,
     EllPattern,
@@ -11,6 +11,7 @@ from airpollution_tpu.mesh.data import MeshData
 
 __all__ = [
     "Mesh",
+    "create_unstructured_mesh",
     "create_mesh",
     "EdgeTopology",
     "EllPattern",

@@ -41,6 +41,48 @@ class Mesh:
     n_points_per_axis: int | None = None
 
 
+def create_unstructured_mesh(n_points_per_axis: int = 20,
+                             domain_size: float = 2.0,
+                             jitter: float = 0.3,
+                             seed: int = 0) -> Mesh:
+    """Unstructured triangulation of the box (gmsh-like geometry).
+
+    The reference's gmsh meshes are unstructured Delaunay triangulations
+    (crbe.py:37); this produces a comparable mesh without the C++ CAD
+    kernel: grid points with interior nodes jittered by ``jitter * h``,
+    Delaunay-triangulated (scipy.spatial), triangles oriented CCW. The
+    stencil fast path does not apply (``n_points_per_axis`` is left None);
+    the solver automatically uses the general ELL SpMV path.
+    """
+    from scipy.spatial import Delaunay
+
+    base = create_mesh(n_points_per_axis, domain_size)
+    pts = base.points.copy()
+    n = int(n_points_per_axis)
+    L = float(domain_size)
+    h = 2 * L / (n - 1)
+    rng = np.random.default_rng(seed)
+    interior = (
+        (np.abs(pts[:, 0]) < L - 1e-12) & (np.abs(pts[:, 1]) < L - 1e-12)
+    )
+    pts[interior] += rng.uniform(-jitter * h, jitter * h,
+                                 size=(int(interior.sum()), 2))
+
+    tri = Delaunay(pts)
+    triangles = tri.simplices.astype(np.int32)
+    # Enforce CCW orientation (scipy does not guarantee it).
+    p0, p1, p2 = (pts[triangles[:, 0]], pts[triangles[:, 1]],
+                  pts[triangles[:, 2]])
+    signed = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (
+        p2[:, 0] - p0[:, 0]
+    ) * (p1[:, 1] - p0[:, 1])
+    flip = signed < 0
+    triangles[flip, 1], triangles[flip, 2] = (
+        triangles[flip, 2].copy(), triangles[flip, 1].copy()
+    )
+    return Mesh(points=pts, triangles=triangles, n_points_per_axis=None)
+
+
 def create_mesh(n_points_per_axis: int = 20, domain_size: float = 2.0) -> Mesh:
     """Triangulate [-domain_size, domain_size]^2 with a structured grid.
 
