@@ -38,12 +38,20 @@ def save_pytree(path: str, tree) -> None:
 
 def load_pytree(path: str, like):
     """Load arrays saved by :func:`save_pytree` into the structure of
-    ``like`` (the treedef descriptor is used as a consistency check)."""
-    data = np.load(path if path.endswith(".npz") else path + ".npz"
-                   if os.path.exists(path + ".npz") else path)
+    ``like``. The saved ``.tree`` descriptor must match ``like``'s
+    structure (guards against loading into a mismatched model)."""
+    data = np.load(path)
     flat_like, treedef = _flatten_with_paths(like)
-    n = len(flat_like)
-    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    tree_path = path + ".tree"
+    if os.path.exists(tree_path):
+        with open(tree_path) as f:
+            saved = f.read()
+        if saved != str(treedef):
+            raise ValueError(
+                f"checkpoint structure mismatch: {path} was saved with a "
+                "different pytree structure than the target"
+            )
+    leaves = [data[f"leaf_{i}"] for i in range(len(flat_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

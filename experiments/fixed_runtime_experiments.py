@@ -44,7 +44,6 @@ def run_pinn_with_time_budget(domain, problem, mesh_data, time_budget,
     batch_sizes = common.collocation_budget(mesh_data.number_of_segments)
     model = PINN(layers, problem, domain, seed=common.SEED)
 
-    history = {"total_loss": [], "pde_loss": [], "ic_loss": [], "bc_loss": []}
     print(f"PINN training with {time_budget}s budget...")
     start_time = time.time()
     epoch = 0
