@@ -1,0 +1,75 @@
+"""Tests for utils.profiling and the reporting plot functions."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.models.pinn import PINN
+from airpollution_tpu.problems import Domain, Problem
+from airpollution_tpu.reporting import plots
+from airpollution_tpu.utils import Timer, get_cpu_memory_mb, memory_delta
+
+
+def test_timer_and_rate():
+    import time
+
+    with Timer() as t:
+        time.sleep(0.05)
+    assert 0.04 < t.elapsed < 1.0
+    assert t.rate(10) == 10 / t.elapsed
+
+
+def test_memory_tracking():
+    assert get_cpu_memory_mb() > 10  # a real process RSS
+    with memory_delta() as mem:
+        _ = np.zeros((1000, 1000))
+    assert "cpu_memory_usage_MB" in mem
+    assert "gpu_memory_usage_MB" in mem
+
+
+def test_vertex_average_matches_loop():
+    """Vectorized vertex averaging equals the reference loop
+    (crbe.py:602-609)."""
+    md = MeshData(create_mesh(5, 2.0), Domain(Lx=2, Ly=2, T=1), nt=2)
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=md.number_of_segments)
+    got = plots.vertex_average(np.asarray(md.points), md.segments, vals)
+    expect = np.zeros(md.number_of_points)
+    count = np.zeros(md.number_of_points)
+    for i, (a, b) in enumerate(np.asarray(md.segments)):
+        expect[a] += vals[i]
+        expect[b] += vals[i]
+        count[a] += 1
+        count[b] += 1
+    expect /= np.maximum(count, 1)
+    np.testing.assert_allclose(got, expect, atol=1e-12)
+
+
+def test_solver_and_pinn_plots_write_files(tmp_path):
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(6, 20.0), domain, nt=4)
+    solver = CRBESolver(domain, problem, md)
+    solver.solve()
+    d = str(tmp_path)
+    solver.plot_solution(problem.analytical_solution, save_dir=d)
+    solver.plot_interpolated_solution(problem.analytical_solution,
+                                      save_dir=d, name="t")
+    solver.plot_error_evolution(
+        {"l2_errors": np.ones(md.nt), "linf_errors": np.ones(md.nt)},
+        save_dir=d,
+    )
+    model = PINN([3, 4, 1], problem, domain, activation="tanh")
+    model.train({"pde": 16, "ic": 8, "bc": 8}, 2, 1e-3,
+                {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    model.plot_history(save_dir=d, name="t")
+    model.plot_solution(1.0, md, problem.analytical_solution, save_dir=d)
+    model.plot_interpolated_solution(1.0, md, problem.analytical_solution,
+                                     save_dir=d, name="t")
+    made = os.listdir(d)
+    assert any(f.startswith("solution_t3") for f in made)
+    assert "error_evolution.png" in made
+    assert any(f.startswith("loss_history") for f in made)
+    assert len([f for f in made if f.endswith(".png")]) >= 5
