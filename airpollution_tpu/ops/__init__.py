@@ -8,6 +8,7 @@ from airpollution_tpu.ops.sparse import (
     ell_matvec,
 )
 from airpollution_tpu.ops.linalg import (
+    gmres,
     SolveResult,
     bicgstab,
     cg,
@@ -17,5 +18,5 @@ from airpollution_tpu.ops.linalg import (
 __all__ = [
     "EllMatrix", "ell_diagonal", "ell_from_entries",
     "ell_mask_dirichlet_rows", "ell_matvec",
-    "SolveResult", "bicgstab", "cg", "jacobi_preconditioner",
+    "SolveResult", "bicgstab", "cg", "gmres", "jacobi_preconditioner",
 ]

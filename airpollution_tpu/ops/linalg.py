@@ -142,6 +142,77 @@ def bicgstab(
     return SolveResult(x=x, iterations=k, residual_norm=jnp.linalg.norm(r))
 
 
+def gmres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 20,
+    maxiter: int = 50,
+    precond: Optional[Callable] = None,
+) -> SolveResult:
+    """Restarted GMRES(m) for general systems (right-preconditioned).
+
+    The alternative Krylov method SURVEY.md section 2.4 names alongside
+    BiCGStab for the nonsymmetric CRBE system. Fixed-shape Arnoldi basis
+    (restart x n) built under ``fori_loop`` with Givens-free least squares:
+    the small (m+1) x m Hessenberg system is solved densely per restart
+    cycle — jit-friendly, usable inside ``lax.scan`` time loops.
+    ``maxiter`` counts restart cycles.
+    """
+    M = precond or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = restart
+    target = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+    eps = jnp.asarray(1e-30, dtype=b.dtype)
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(
+            r / jnp.where(beta == 0, eps, beta)
+        )
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = matvec(M(V[j]))
+            # Modified Gram-Schmidt against all basis vectors (rows > j are
+            # zero, so the masked full contraction is exact).
+            h = V @ w
+            mask = jnp.arange(m + 1) <= j
+            h = jnp.where(mask, h, 0.0)
+            w = w - h @ V
+            hnorm = jnp.linalg.norm(w)
+            H = H.at[:, j].set(h.at[j + 1].set(hnorm)[: m + 1])
+            V = V.at[j + 1].set(w / jnp.where(hnorm == 0, eps, hnorm))
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        # Least squares min ||beta e1 - H y|| via normal equations on the
+        # small dense Hessenberg (regularized for breakdown columns).
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        A_small = H.T @ H + 1e-30 * jnp.eye(m, dtype=b.dtype)
+        y = jnp.linalg.solve(A_small, H.T @ e1)
+        return x + M(y @ V[:m])
+
+    def cond(state):
+        x, k = state
+        return (jnp.linalg.norm(b - matvec(x)) > target) & (k < maxiter)
+
+    def body(state):
+        x, k = state
+        return cycle(x), k + 1
+
+    x, k = jax.lax.while_loop(cond, body, (x0, jnp.int32(0)))
+    return SolveResult(
+        x=x, iterations=k, residual_norm=jnp.linalg.norm(b - matvec(x))
+    )
+
+
 def jacobi_preconditioner(diag: jax.Array) -> Callable:
     """Diagonal (Jacobi) preconditioner M^{-1} r = r / diag."""
     inv = 1.0 / diag
