@@ -402,8 +402,6 @@ class CRBESolver:
         if self.matvec_impl == "fused":
             # Entire time loop in one VMEM-resident Pallas kernel
             # (ops/pallas_solver.py). Scope guards:
-            if self.time_scheme_order != 1:
-                raise ValueError("fused solver supports backward Euler only")
             if not getattr(self.problem, "zero_source", False):
                 raise ValueError(
                     "fused solver requires a zero-source problem"
@@ -415,13 +413,16 @@ class CRBESolver:
                 )
             from airpollution_tpu.ops import pallas_solver
 
-            if not _pallas_fused_fits(pattern):
+            use_ka = self.time_scheme_order == 2
+            if not _pallas_fused_fits(pattern, has_ka=use_ka):
                 raise ValueError(
                     "mesh too large for the VMEM-resident fused solver"
                 )
             interpret = jax.default_backend() != "tpu"
             n_steps = md.nt - 1
             n_iters = self.fused_iters
+            dt = self.dt
+            n, c = pattern.n, pattern.c
 
             def solve_impl(ops: GlobalOperators, u0):
                 coeffs = stencil_mod.extract_coefficients(
@@ -433,9 +434,28 @@ class CRBESolver:
                 )
                 inv_diag_fam = 1.0 / ops.system_diag[perm]
                 u0_fam = jnp.where(bmask_fam, 0.0, u0[perm])
+                ka_coeffs = None
+                if use_ka:
+                    # CN RHS term: -(dt/2)(K+A) with Dirichlet out-rows
+                    # zeroed so the kernel's zero-boundary invariant holds.
+                    raw = stencil_mod.extract_coefficients(
+                        pattern, ops.ka.vals
+                    )
+                    interior = 1.0 - bmask_fam.astype(u0_fam.dtype)
+                    nH, nV = n * c, c * n
+                    masks = (
+                        interior[:nH].reshape(n, c),
+                        interior[nH:nH + nV].reshape(c, n),
+                        interior[nH + nV:].reshape(c, c),
+                    )
+                    ka_coeffs = tuple(
+                        (-0.5 * dt) * g * masks[min(i // 5, 2)]
+                        for i, g in enumerate(raw)
+                    )
                 u_fam = pallas_solver.fused_solve(
                     pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
-                    n_steps=n_steps, n_iters=n_iters, interpret=interpret,
+                    n_steps=n_steps, n_iters=n_iters, ka_coeffs=ka_coeffs,
+                    interpret=interpret,
                 )
                 return u_fam[inv][None, :], None
 
@@ -560,10 +580,12 @@ class CRBESolver:
         plots.plot_error_evolution(self, errors, save_dir)
 
 
-def _pallas_fused_fits(pattern) -> bool:
-    """VMEM budget for the fused solver: 15 coeffs + ~12 vector grids."""
-    per_grid = pattern.n * pattern.c * 4
-    return (15 + 13) * per_grid < 14 * 1024 * 1024
+def _pallas_fused_fits(pattern, has_ka: bool = False) -> bool:
+    """VMEM budget for the fused solver: coefficient canvases (15, or 30
+    with the CN RHS set) + ~13 vector canvases."""
+    per_canvas = pattern.n * pattern.n * 4
+    n_coeff = 30 if has_ka else 15
+    return (n_coeff + 13) * per_canvas < 14 * 1024 * 1024
 
 
 # Reference-compatible alias (crbe.py:225).

@@ -81,29 +81,34 @@ def coeff_canvases(pattern: StencilPattern, coeffs: tuple):
 
 
 def _solver_kernel(
-    # 15 stencil coefficient canvases
-    cHH, cHVu, cHDu, cHVd, cHDd,
-    cVV, cVDl, cVHl, cVHr, cVDr,
-    cDD, cDVr, cDHd, cDHu, cDVl,
-    # masked mass (zero on Dirichlet rows / outside valid regions) and
-    # Jacobi inverse diagonal, as canvases
-    mH, mV, mD, idH, idV, idD,
-    # initial state canvases (zero on Dirichlet rows)
-    u0H, u0V, u0D,
-    # outputs: final homogeneous state canvases
-    uH, uV, uD,
-    # scratch: Krylov vector canvases (triples)
-    rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
-    vH, vV, vD, tH, tV, tD, wH, wV, wD,
-    *, n: int, n_steps: int, n_iters: int,
+    *refs,
+    n: int, n_steps: int, n_iters: int, has_ka: bool,
 ):
+    # Ref layout: 15 system coefficient canvases, [15 CN RHS coefficient
+    # canvases when has_ka], masked mass x3, inverse diagonal x3, u0 x3,
+    # outputs u x3, then 18 Krylov scratch canvases.
+    sys_coeffs = refs[0:15]
+    base = 15
+    ka_coeffs = None
+    if has_ka:
+        ka_coeffs = refs[15:30]
+        base = 30
+    mH, mV, mD, idH, idV, idD = refs[base:base + 6]
+    u0H, u0V, u0D = refs[base + 6:base + 9]
+    uH, uV, uD = refs[base + 9:base + 12]
+    (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
+     vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[base + 12:base + 30]
+
     def roll(x, shift, axis):
         # pltpu.roll requires non-negative shifts; -1 == n-1 circularly.
         return pltpu.roll(x, shift % n, axis)
 
-    def matvec(outs, xH, xV, xD):
+    def matvec(coeffs, outs, xH, xV, xD):
         """One stencil application on canvases: rolls + multiply-adds.
         Wrapped-in values land only where coefficients are zero."""
+        (cHH, cHVu, cHDu, cHVd, cHDd,
+         cVV, cVDl, cVHl, cVHr, cVDr,
+         cDD, cDVr, cDHd, cDHu, cDVl) = coeffs
         oH, oV, oD = outs
         oH[:] = (cHH[:] * xH
                  + cHVu[:] * roll(xV, -1, 1)   # V(i+1, j)
@@ -135,10 +140,20 @@ def _solver_kernel(
     uD[:] = u0D[:]
 
     def step(_, carry):
-        # b = M u_prev; warm start x = u_prev; r = b - A x.
-        matvec(t3, uH[:], uV[:], uD[:])
-        for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
-            r_[:] = m_[:] * u_[:] - t_[:]
+        # Backward Euler: b = M u_prev (crbe.py:383-384); Crank-Nicolson
+        # adds the pre-scaled, row-masked -(dt/2)(K+A) u term
+        # (crbe.py:385-386). Warm start x = u_prev; r = b - S x.
+        if ka_coeffs is not None:
+            matvec(ka_coeffs, t3, uH[:], uV[:], uD[:])
+            for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
+                r_[:] = m_[:] * u_[:] + t_[:]
+            matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
+            for r_, t_ in zip(r3, t3):
+                r_[:] = r_[:] - t_[:]
+        else:
+            matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
+            for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
+                r_[:] = m_[:] * u_[:] - t_[:]
         for rh_, r_ in zip(rh3, r3):
             rh_[:] = r_[:]
         for p_, v_ in zip(p3, v3):
@@ -155,7 +170,7 @@ def _solver_kernel(
                 p_[:] = r_[:] + beta * (p_[:] - omega * v_[:])
             for w_, id_, p_ in zip(w3, id3, p3):
                 w_[:] = id_[:] * p_[:]
-            matvec(v3, wH[:], wV[:], wD[:])
+            matvec(sys_coeffs, v3, wH[:], wV[:], wD[:])
             denom = dot3(rh3, v3)
             alpha = rho / jnp.where(denom == 0, _EPS, denom)
             for u_, w_ in zip(u3, w3):
@@ -164,7 +179,7 @@ def _solver_kernel(
                 r_[:] = r_[:] - alpha * v_[:]  # r now holds s
             for w_, id_, r_ in zip(w3, id3, r3):
                 w_[:] = id_[:] * r_[:]  # shat
-            matvec(t3, wH[:], wV[:], wD[:])
+            matvec(sys_coeffs, t3, wH[:], wV[:], wD[:])
             tt = dot3(t3, t3)
             omega = dot3(t3, r3) / jnp.where(tt == 0, _EPS, tt)
             for u_, w_ in zip(u3, w3):
@@ -182,31 +197,37 @@ def _solver_kernel(
 
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
                 inv_diag_fam, u0_fam, *, n_steps: int, n_iters: int = 5,
-                interpret: bool = False):
-    """Run the full zero-source BE time loop in one kernel.
+                ka_coeffs: tuple | None = None, interpret: bool = False):
+    """Run the full zero-source implicit time loop in one kernel.
 
     All vectors arrive in family layout (see ops/stencil.py); ``u0_fam``
-    and ``mass_masked_fam`` must be zero on Dirichlet rows. Returns the
-    final homogeneous state in family layout.
+    and ``mass_masked_fam`` must be zero on Dirichlet rows. For
+    Crank-Nicolson pass ``ka_coeffs``: the K+A coefficient grids already
+    scaled by -(dt/2) and with Dirichlet out-rows zeroed (so the kernel's
+    zero-boundary invariant holds). Returns the final homogeneous state in
+    family layout.
     """
     n = pattern.n
     dtype = u0_fam.dtype
     ccan = coeff_canvases(pattern, coeffs)
+    kacan = coeff_canvases(pattern, ka_coeffs) if ka_coeffs else ()
     m3 = to_canvases(pattern, mass_masked_fam)
     id3 = to_canvases(pattern, inv_diag_fam)
     u3 = to_canvases(pattern, u0_fam)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = partial(_solver_kernel, n=n, n_steps=n_steps, n_iters=n_iters)
+    kernel = partial(_solver_kernel, n=n, n_steps=n_steps, n_iters=n_iters,
+                     has_ka=bool(ka_coeffs))
     scratch = [pltpu.VMEM((n, n), dtype) for _ in range(18)]
+    n_in = 24 + (15 if ka_coeffs else 0)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n, n), dtype) for _ in range(3)
         ),
-        in_specs=[vmem] * 24,
+        in_specs=[vmem] * n_in,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*ccan, *m3, *id3, *u3)
+    )(*ccan, *kacan, *m3, *id3, *u3)
     return from_canvases(pattern, *outs)

@@ -10,15 +10,17 @@ from airpollution_tpu.problems import Domain, Problem, SquarePulseProblem
 
 
 @pytest.mark.parametrize("problem_cls", [Problem, SquarePulseProblem])
-def test_fused_matches_stencil_final_state(problem_cls):
+@pytest.mark.parametrize("order", [1, 2])
+def test_fused_matches_stencil_final_state(problem_cls, order):
     domain = Domain()
     problem = problem_cls()
     md = MeshData(create_mesh(10, 20.0), domain, nt=12)
     ref = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                     time_scheme_order=order,
                      solver_tol=1e-12, solver_maxiter=5)
     u_ref = np.asarray(ref.solve(store_solutions=False))
     fused = CRBESolver(domain, problem, md, matvec_impl="fused",
-                       fused_iters=5)
+                       time_scheme_order=order, fused_iters=5)
     u_fused = np.asarray(fused.solve(store_solutions=False))
     # Same algorithm, same iteration count -> tight agreement in f32.
     np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
@@ -27,10 +29,6 @@ def test_fused_matches_stencil_final_state(problem_cls):
 def test_fused_scope_guards():
     domain = Domain()
     md = MeshData(create_mesh(6, 20.0), domain, nt=4)
-    s = CRBESolver(domain, Problem(), md, matvec_impl="fused",
-                   time_scheme_order=2)
-    with pytest.raises(ValueError):
-        s.solve(store_solutions=False)
     s = CRBESolver(domain, Problem(), md, matvec_impl="fused")
     with pytest.raises(ValueError):
         s.solve(store_solutions=True)
