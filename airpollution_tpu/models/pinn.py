@@ -430,6 +430,56 @@ class PINN:
         self.training_time = time.time() - start
         return self.history
 
+    def train_parallel(self, mesh, batch_sizes, epochs, lr, lambda_weights):
+        """Multi-chip training over a ('dp','tp') device mesh.
+
+        Convenience bridge to airpollution_tpu.parallel.pinn_parallel:
+        shards collocation batches over 'dp' and the MLP over 'tp', runs
+        ``epochs`` fused steps, appends the (global) loss history and syncs
+        the updated parameters back onto this model. Hidden widths must be
+        divisible by the 'tp' axis size. Optimizer state carries across
+        calls (fused Adam moments live in ``self._parallel_state``)."""
+        from airpollution_tpu.parallel import pinn_parallel
+
+        trainer, info = pinn_parallel.build_parallel_trainer(
+            mesh, self.layers, self.problem, self.domain,
+            dict(batch_sizes), dict(lambda_weights), lr,
+            activation=self.activation, epochs=int(epochs),
+            dtype=self.dtype,
+        )
+        state = getattr(self, "_parallel_state", None)
+        if state is None:
+            zeros = jax.tree.map(jnp.zeros_like, self.params)
+            state = pinn_parallel.ParallelTrainState(
+                params=self.params,
+                mu=zeros,
+                nu=jax.tree.map(jnp.zeros_like, self.params),
+                count=jnp.zeros((), jnp.int32),
+            )
+        else:
+            state = state._replace(params=self.params)
+
+        start = time.time()
+        self.key, k_ic, k_train = jax.random.split(self.key, 3)
+        xy_ic = sampling.lhs_sampling(k_ic, info["n_ic"], self.xy_ranges,
+                                      dtype=self.dtype)
+        xyt_ic = jnp.concatenate(
+            [xy_ic, jnp.zeros((info["n_ic"], 1), self.dtype)], axis=1
+        )
+        ic_target = jnp.asarray(
+            self.problem.initial_condition_fn(xy_ic), self.dtype
+        ).reshape(-1, 1)
+
+        state, losses = trainer(state, xyt_ic, ic_target, k_train)
+        self._parallel_state = state
+        self.params = state.params
+        losses = np.asarray(losses)
+        for i, k in enumerate(("total_loss", "pde_loss", "ic_loss",
+                               "bc_loss")):
+            self.history[k].extend(losses[:, i].tolist())
+        self.training_time = time.time() - start
+        return self.history
+
     # --- evaluation ---
 
     def compute_errors(self, mesh_data, analytical_sol_fn):

@@ -160,3 +160,25 @@ def test_diffusion_sweep_matches_sequential():
         np.asarray(out_sharded["rel_l2_error"]),
         np.asarray(out["rel_l2_error"]), rtol=1e-8,
     )
+
+
+def test_pinn_train_parallel_method():
+    """The PINN.train_parallel bridge trains over a dp x tp mesh, syncs
+    params back, and continues optimizer state across calls."""
+    domain, problem = Domain(), Problem()
+    model = PINN([3, 8, 8, 1], problem, domain, activation="tanh", seed=0)
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    args = ({"pde": 64, "ic": 16, "bc": 16}, 60, 2e-3,
+            {"pde": 2.0, "ic": 10.0, "bc": 10.0})
+    model.train_parallel(mesh, *args)
+    assert len(model.history["total_loss"]) == 60
+    first = model.history["total_loss"][0]
+    model.train_parallel(mesh, *args)  # continuation
+    assert len(model.history["total_loss"]) == 120
+    assert int(model._parallel_state.count) == 120
+    assert model.history["total_loss"][-1] < first
+    # Sharded-trained params serve the ordinary serial forward.
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    assert np.isfinite(
+        model.compute_errors(md, problem.analytical_solution)[0]
+    )
