@@ -134,12 +134,17 @@ class Study:
             with self._lock:
                 self.trials.append(trial)
 
+        # Continue numbering across optimize() calls (optuna semantics):
+        # restarting at 0 would reuse rng streams and re-propose already
+        # evaluated points.
+        start = len(self.trials)
+        numbers = range(start, start + n_trials)
         if n_jobs == 1:
-            for i in range(n_trials):
+            for i in numbers:
                 run_one(i)
         else:
             with concurrent.futures.ThreadPoolExecutor(n_jobs) as pool:
-                list(pool.map(run_one, range(n_trials)))
+                list(pool.map(run_one, numbers))
 
     def trials_dataframe(self):
         """optuna-compatible trials table (columns as in

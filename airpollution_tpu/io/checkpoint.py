@@ -52,6 +52,13 @@ def load_pytree(path: str, like):
                 "different pytree structure than the target"
             )
     leaves = [data[f"leaf_{i}"] for i in range(len(flat_like))]
+    for i, (saved, target) in enumerate(zip(leaves, flat_like)):
+        if tuple(saved.shape) != tuple(np.shape(target)):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(saved.shape)} but the "
+                f"target expects {tuple(np.shape(target))} — the checkpoint "
+                "was saved from a different model size"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -259,7 +259,14 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     if store_solutions:
         solutions = jnp.concatenate([u0[None, :], snaps], axis=0)
     else:
-        solutions = u_final[None, :] + 0.0  # final state only
+        # Final state only — with the boundary lift applied, so
+        # solutions[-1] means the same thing in both modes.
+        t_final = dt * (nt - 1)
+        t_col = jnp.full((midpoints.shape[0], 1), t_final,
+                         dtype=midpoints.dtype)
+        xyt = jnp.concatenate([midpoints, t_col], axis=1)
+        lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
+        solutions = (u_final + lift)[None, :]
     return solutions, iters
 
 
@@ -306,7 +313,7 @@ class CRBESolver:
         self.solutions = None
         self.solve_time = None
         self._ops = None
-        self._solve_fn = None
+        self._solve_fn_cache = {}
         self._pattern = None
 
     # --- assembly ---
@@ -433,20 +440,25 @@ class CRBESolver:
                     bmask_fam, 0.0, ops.mass_diag[perm]
                 )
                 inv_diag_fam = 1.0 / ops.system_diag[perm]
-                u0_fam = jnp.where(bmask_fam, 0.0, u0[perm])
+                # u0 goes in FULL (boundary values included): the first
+                # step's RHS may read boundary columns (CN's (K+A) u0
+                # term); the kernel masks the warm start itself.
+                u0_fam = u0[perm]
+                interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
                 ka_coeffs = None
                 if use_ka:
-                    # CN RHS term: -(dt/2)(K+A) with Dirichlet out-rows
-                    # zeroed so the kernel's zero-boundary invariant holds.
+                    # CN RHS term: -(dt/2)(K+A) with Dirichlet out-ROWS
+                    # zeroed (out-columns kept) so b stays zero on
+                    # boundary rows while interior rows see boundary
+                    # neighbors.
                     raw = stencil_mod.extract_coefficients(
                         pattern, ops.ka.vals
                     )
-                    interior = 1.0 - bmask_fam.astype(u0_fam.dtype)
                     nH, nV = n * c, c * n
                     masks = (
-                        interior[:nH].reshape(n, c),
-                        interior[nH:nH + nV].reshape(c, n),
-                        interior[nH + nV:].reshape(c, c),
+                        interior_fam[:nH].reshape(n, c),
+                        interior_fam[nH:nH + nV].reshape(c, n),
+                        interior_fam[nH + nV:].reshape(c, c),
                     )
                     ka_coeffs = tuple(
                         (-0.5 * dt) * g * masks[min(i // 5, 2)]
@@ -454,10 +466,19 @@ class CRBESolver:
                     )
                 u_fam = pallas_solver.fused_solve(
                     pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
+                    interior_fam,
                     n_steps=n_steps, n_iters=n_iters, ka_coeffs=ka_coeffs,
                     interpret=interpret,
                 )
-                return u_fam[inv][None, :], None
+                u_global = u_fam[inv]
+                # Boundary lift at the final time (matches run_time_loop's
+                # final-state-only output).
+                t_col = jnp.full((md.midpoints.shape[0], 1),
+                                 dt * n_steps, dtype=md.midpoints.dtype)
+                xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+                lift = jnp.where(md.boundary_mask,
+                                 self.problem.boundary_fn(xyt), 0.0)
+                return (u_global + lift)[None, :], None
 
             return jax.jit(solve_impl)
 
@@ -509,10 +530,10 @@ class CRBESolver:
         ops = self._require_ops()
         u0 = self.set_initial_condition()
         key = (store_solutions, collect_iters)
-        if self._solve_fn is None or self._solve_fn[0] != key:
-            self._solve_fn = (key, self._build_solve_fn(*key))
+        if key not in self._solve_fn_cache:
+            self._solve_fn_cache[key] = self._build_solve_fn(*key)
         start = time.time()
-        solutions, iters = self._solve_fn[1](ops, u0)
+        solutions, iters = self._solve_fn_cache[key](ops, u0)
         solutions.block_until_ready()
         self.solve_time = time.time() - start
         self.solutions = solutions
@@ -581,11 +602,12 @@ class CRBESolver:
 
 
 def _pallas_fused_fits(pattern, has_ka: bool = False) -> bool:
-    """VMEM budget for the fused solver: coefficient canvases (15, or 30
-    with the CN RHS set) + ~13 vector canvases."""
+    """VMEM budget for the fused solver. All operands are live at once:
+    coefficient canvases (15, or 30 with the CN RHS set) + mass/inv-diag/
+    mask/u0 inputs (12) + 3 outputs + 18 Krylov scratch canvases."""
     per_canvas = pattern.n * pattern.n * 4
-    n_coeff = 30 if has_ka else 15
-    return (n_coeff + 13) * per_canvas < 14 * 1024 * 1024
+    n_canvases = (30 if has_ka else 15) + 12 + 3 + 18
+    return n_canvases * per_canvas < 14 * 1024 * 1024
 
 
 # Reference-compatible alias (crbe.py:225).

@@ -153,6 +153,7 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
 # is a traced pytree argument). Without this, every PINN() in a sweep
 # re-jits and re-compiles its training scan.
 _TRAIN_FN_CACHE: dict = {}
+_PARALLEL_TRAIN_FN_CACHE: dict = {}
 
 
 class EarlyStopping:
@@ -216,6 +217,7 @@ class PINN:
                         "bc_loss": []}
         self.training_time = 0.0
         self._carry_state = None  # continuation across train() calls
+        self._last_lr = None  # base lr of the previous train() call
 
     # --- forward / residual ---
 
@@ -283,9 +285,12 @@ class PINN:
             updates, new_opt_state = opt.update(grads, opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
 
-            # Plateau LR schedule (torch semantics, pinn.py:152).
+            # Plateau LR schedule (torch semantics, pinn.py:152). Note
+            # torch's `best` only moves on a >threshold improvement —
+            # slow-but-steady progress accumulates against a stale best
+            # until it clears the relative threshold.
             improved = total < state.plateau_best * (1 - _PLATEAU_THRESHOLD)
-            plateau_best = jnp.minimum(state.plateau_best, total)
+            plateau_best = jnp.where(improved, total, state.plateau_best)
             plateau_bad = jnp.where(improved, 0, state.plateau_bad + 1)
             reduce = plateau_bad > _PLATEAU_PATIENCE
             lr = jnp.where(reduce, state.lr * _PLATEAU_FACTOR, state.lr)
@@ -349,6 +354,12 @@ class PINN:
         reference's fixed-runtime loop re-creates Adam every epoch
         (fixed_runtime_experiments.py:89, defect D6); warm starting is the
         corrected behavior offered alongside the default parity behavior.
+
+        Early stopping preserves the reference numerics exactly, but the
+        fixed-length scan still executes the remaining epochs as masked
+        no-ops — it does not save wall-clock. For long runs where stopping
+        early matters for time, train in chunks (``warm_start=True`` or
+        ``io.checkpoint.train_with_checkpoints``) and stop between chunks.
         """
         # The jitted trainer is cached globally per configuration (the
         # problem is a traced argument): rebuilding per call or per model
@@ -388,6 +399,13 @@ class PINN:
             prev = self._carry_state
             state = prev._replace(params=self.params, key=k_train,
                                   stopped=jnp.asarray(False))
+            # The carried LR continues any plateau reductions, but an
+            # explicitly CHANGED base lr wins (otherwise the argument would
+            # be silently ignored across warm-started calls).
+            if self._last_lr is not None and lr != self._last_lr:
+                state = state._replace(
+                    lr=jnp.asarray(lr, self.dtype)
+                )
         else:
             f32 = lambda x: jnp.asarray(x, self.dtype)
             state = TrainState(
@@ -423,6 +441,7 @@ class PINN:
         else:
             self.params = final_state.params
         self._carry_state = final_state._replace(params=self.params)
+        self._last_lr = lr
 
         for i, k in enumerate(("total_loss", "pde_loss", "ic_loss",
                                "bc_loss")):
@@ -441,12 +460,32 @@ class PINN:
         calls (fused Adam moments live in ``self._parallel_state``)."""
         from airpollution_tpu.parallel import pinn_parallel
 
-        trainer, info = pinn_parallel.build_parallel_trainer(
-            mesh, self.layers, self.problem, self.domain,
-            dict(batch_sizes), dict(lambda_weights), lr,
-            activation=self.activation, epochs=int(epochs),
-            dtype=self.dtype,
+        # Cache the jitted shard_map trainer like the serial path does —
+        # rebuilding per call would recompile the full epoch scan on every
+        # continuation chunk.
+        # Unlike the serial trainer, the parallel builder closes over the
+        # problem instance, so its parameter VALUES are part of the key.
+        problem_leaves = tuple(
+            tuple(np.asarray(leaf).ravel().tolist())
+            for leaf in jax.tree_util.tree_leaves(self.problem)
         )
+        cache_key = (
+            tuple(mesh.shape.items()), tuple(self.layers), self.activation,
+            tuple(sorted(batch_sizes.items())),
+            tuple(sorted(lambda_weights.items())), float(lr), int(epochs),
+            self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
+            type(self.problem), problem_leaves,
+        )
+        if cache_key not in _PARALLEL_TRAIN_FN_CACHE:
+            _PARALLEL_TRAIN_FN_CACHE[cache_key] = (
+                pinn_parallel.build_parallel_trainer(
+                    mesh, self.layers, self.problem, self.domain,
+                    dict(batch_sizes), dict(lambda_weights), lr,
+                    activation=self.activation, epochs=int(epochs),
+                    dtype=self.dtype,
+                )
+            )
+        trainer, info = _PARALLEL_TRAIN_FN_CACHE[cache_key]
         state = getattr(self, "_parallel_state", None)
         if state is None:
             zeros = jax.tree.map(jnp.zeros_like, self.params)

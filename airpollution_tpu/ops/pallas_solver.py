@@ -19,10 +19,13 @@ built-in problems), final-state-only output. Under these conditions the
 fused solve is the same algorithm as the general path with a fixed
 iteration count:
 
-- Dirichlet rows are identity rows with zero RHS, so once the state is
-  zero on boundary DOFs every Krylov vector stays zero there (the masked
-  mass canvas has zeros on boundary rows) — no per-step masking needed.
-- The RHS is ``b = M u_prev`` (crbe.py:383-384) with zero source.
+- Dirichlet rows are identity rows with zero RHS, so once the warm start
+  is boundary-masked (one elementwise multiply per step) every Krylov
+  vector stays zero there; the RHS is formed from the UNMASKED state so
+  the first step sees u0's boundary columns.
+- The RHS is ``b = M u_prev`` (crbe.py:383-384), plus the pre-scaled
+  row-masked -(dt/2)(K+A) u_prev term for Crank-Nicolson (crbe.py:385-386);
+  the source term is zero by scope.
 - BiCGStab runs a *static* number of iterations (default 5; the adaptive
   solver needs <= 4 at 256^2 with warm starts), right-preconditioned by
   the Jacobi inverse diagonal, with the same breakdown guards as
@@ -85,8 +88,9 @@ def _solver_kernel(
     n: int, n_steps: int, n_iters: int, has_ka: bool,
 ):
     # Ref layout: 15 system coefficient canvases, [15 CN RHS coefficient
-    # canvases when has_ka], masked mass x3, inverse diagonal x3, u0 x3,
-    # outputs u x3, then 18 Krylov scratch canvases.
+    # canvases when has_ka], masked mass x3, inverse diagonal x3,
+    # interior mask x3, u0 x3, outputs u x3, then 18 Krylov scratch
+    # canvases.
     sys_coeffs = refs[0:15]
     base = 15
     ka_coeffs = None
@@ -94,10 +98,11 @@ def _solver_kernel(
         ka_coeffs = refs[15:30]
         base = 30
     mH, mV, mD, idH, idV, idD = refs[base:base + 6]
-    u0H, u0V, u0D = refs[base + 6:base + 9]
-    uH, uV, uD = refs[base + 9:base + 12]
+    mkH, mkV, mkD = refs[base + 6:base + 9]
+    u0H, u0V, u0D = refs[base + 9:base + 12]
+    uH, uV, uD = refs[base + 12:base + 15]
     (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
-     vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[base + 12:base + 30]
+     vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[base + 15:base + 33]
 
     def roll(x, shift, axis):
         # pltpu.roll requires non-negative shifts; -1 == n-1 circularly.
@@ -134,6 +139,7 @@ def _solver_kernel(
     r3, rh3, p3 = (rH, rV, rD), (rhH, rhV, rhD), (pH, pV, pD)
     v3, t3, w3 = (vH, vV, vD), (tH, tV, tD), (wH, wV, wD)
     u3, m3, id3 = (uH, uV, uD), (mH, mV, mD), (idH, idV, idD)
+    mk3 = (mkH, mkV, mkD)
 
     uH[:] = u0H[:]
     uV[:] = u0V[:]
@@ -142,18 +148,22 @@ def _solver_kernel(
     def step(_, carry):
         # Backward Euler: b = M u_prev (crbe.py:383-384); Crank-Nicolson
         # adds the pre-scaled, row-masked -(dt/2)(K+A) u term
-        # (crbe.py:385-386). Warm start x = u_prev; r = b - S x.
+        # (crbe.py:385-386). b is formed from the UNMASKED u (the first
+        # step's u0 carries boundary values whose columns feed interior
+        # rows); the warm start x is then boundary-masked, after which
+        # every Krylov vector stays zero on Dirichlet rows.
         if ka_coeffs is not None:
             matvec(ka_coeffs, t3, uH[:], uV[:], uD[:])
             for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
                 r_[:] = m_[:] * u_[:] + t_[:]
-            matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
-            for r_, t_ in zip(r3, t3):
-                r_[:] = r_[:] - t_[:]
         else:
-            matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
-            for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
-                r_[:] = m_[:] * u_[:] - t_[:]
+            for r_, m_, u_ in zip(r3, m3, u3):
+                r_[:] = m_[:] * u_[:]
+        for u_, mk_ in zip(u3, mk3):
+            u_[:] = u_[:] * mk_[:]
+        matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
+        for r_, t_ in zip(r3, t3):
+            r_[:] = r_[:] - t_[:]
         for rh_, r_ in zip(rh3, r3):
             rh_[:] = r_[:]
         for p_, v_ in zip(p3, v3):
@@ -196,16 +206,18 @@ def _solver_kernel(
 
 
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
-                inv_diag_fam, u0_fam, *, n_steps: int, n_iters: int = 5,
-                ka_coeffs: tuple | None = None, interpret: bool = False):
+                inv_diag_fam, u0_fam, interior_fam, *, n_steps: int,
+                n_iters: int = 5, ka_coeffs: tuple | None = None,
+                interpret: bool = False):
     """Run the full zero-source implicit time loop in one kernel.
 
-    All vectors arrive in family layout (see ops/stencil.py); ``u0_fam``
-    and ``mass_masked_fam`` must be zero on Dirichlet rows. For
-    Crank-Nicolson pass ``ka_coeffs``: the K+A coefficient grids already
-    scaled by -(dt/2) and with Dirichlet out-rows zeroed (so the kernel's
-    zero-boundary invariant holds). Returns the final homogeneous state in
-    family layout.
+    All vectors arrive in family layout (see ops/stencil.py).
+    ``mass_masked_fam`` must be zero on Dirichlet rows; ``u0_fam`` arrives
+    FULL (boundary values included — its columns feed the first step's
+    RHS); ``interior_fam`` is 1 on interior DOFs and 0 on Dirichlet rows.
+    For Crank-Nicolson pass ``ka_coeffs``: the K+A coefficient grids
+    already scaled by -(dt/2) with Dirichlet out-rows zeroed. Returns the
+    final homogeneous state in family layout (no boundary lift).
     """
     n = pattern.n
     dtype = u0_fam.dtype
@@ -213,13 +225,14 @@ def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
     kacan = coeff_canvases(pattern, ka_coeffs) if ka_coeffs else ()
     m3 = to_canvases(pattern, mass_masked_fam)
     id3 = to_canvases(pattern, inv_diag_fam)
+    mk3 = to_canvases(pattern, jnp.asarray(interior_fam, dtype))
     u3 = to_canvases(pattern, u0_fam)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = partial(_solver_kernel, n=n, n_steps=n_steps, n_iters=n_iters,
                      has_ka=bool(ka_coeffs))
     scratch = [pltpu.VMEM((n, n), dtype) for _ in range(18)]
-    n_in = 24 + (15 if ka_coeffs else 0)
+    n_in = 27 + (15 if ka_coeffs else 0)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -229,5 +242,5 @@ def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*ccan, *kacan, *m3, *id3, *u3)
+    )(*ccan, *kacan, *m3, *id3, *mk3, *u3)
     return from_canvases(pattern, *outs)

@@ -66,8 +66,7 @@ def crbe_diffusion_sweep(
         t_col = jnp.full((md.midpoints.shape[0], 1), domain.T,
                          md.midpoints.dtype)
         xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
-        lift = jnp.where(md.boundary_mask, problem.boundary_fn(xyt), 0.0)
-        u_T = sols[0] + lift
+        u_T = sols[0]  # final-state output arrives boundary-lifted
         u_exact = jnp.asarray(problem.analytical_solution(xyt),
                               md.midpoints.dtype)
         err = jnp.abs(u_exact - u_T)

@@ -78,9 +78,7 @@ def main():
     check.solve(store_solutions=True)
     rel_l2, l2, mx = check.compute_errors(problem.analytical_solution)
     u_fused = np.asarray(solver.solutions[-1])
-    u_check = np.asarray(check.solutions[-1]) - np.asarray(
-        check.boundary_values(domain.T)
-    )
+    u_check = np.asarray(check.solutions[-1])
     fused_diff = float(np.abs(u_fused - u_check).max())
     log(f"fused vs scan max diff: {fused_diff:.3e}")
     log(f"rel_l2={rel_l2:.4f} l2={l2:.4f} max={mx:.4e} (sanity)")

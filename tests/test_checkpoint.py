@@ -87,3 +87,18 @@ def test_train_with_checkpoints_resume(tmp_path):
     assert read_meta(ckpt)["step"] == 80
     # Only the remaining 40 epochs were run in this process.
     assert len(m2.history["total_loss"]) == 40
+
+
+def test_checkpoint_rejects_wrong_shapes(tmp_path):
+    """Loading a checkpoint from a different model size fails loudly."""
+    import jax
+    from airpollution_tpu.models.pinn import init_mlp_params
+
+    small = init_mlp_params(jax.random.PRNGKey(0), [3, 8, 1], "tanh")
+    big = init_mlp_params(jax.random.PRNGKey(0), [3, 16, 1], "tanh")
+    path = str(tmp_path / "p.npz")
+    save_pytree(path, small)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shape"):
+        load_pytree(path, big)

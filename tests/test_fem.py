@@ -206,3 +206,14 @@ def test_invalid_scheme_order():
     md = MeshData(create_mesh(4, 20.0), domain, nt=4)
     with pytest.raises(ValueError):
         CRBESolver(domain, Problem(), md, time_scheme_order=3)
+
+
+def test_final_state_mode_matches_stored_last_row():
+    """store_solutions=False returns the boundary-lifted final state —
+    identical to solutions[-1] of a full store (lift-consistency)."""
+    domain, problem = Domain(), Problem(sigma=15.0)  # boundary values != 0
+    md = MeshData(create_mesh(10, 20.0), domain, nt=8, dtype=jnp.float64)
+    s = CRBESolver(domain, problem, md, solver_tol=1e-12)
+    full = np.asarray(s.solve(store_solutions=True))
+    final = np.asarray(s.solve(store_solutions=False))
+    np.testing.assert_allclose(final[0], full[-1], atol=1e-10)

@@ -62,3 +62,16 @@ def test_direction_maximize():
 def test_invalid_direction():
     with pytest.raises(ValueError):
         create_study(direction="sideways")
+
+
+def test_optimize_continues_numbering():
+    """Repeated optimize() calls continue trial numbering (fresh rng
+    streams, no duplicate proposals) — optuna semantics."""
+    study = create_study(seed=4)
+    obj = lambda t: t.suggest_float("x", 0, 1)
+    study.optimize(obj, n_trials=5)
+    study.optimize(obj, n_trials=5)
+    numbers = sorted(t.number for t in study.trials)
+    assert numbers == list(range(10))
+    xs = [t.params["x"] for t in study.trials]
+    assert len(set(xs)) == 10  # no reused rng streams

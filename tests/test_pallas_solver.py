@@ -39,3 +39,20 @@ def test_fused_scope_guards():
     s = CRBESolver(domain, SourcedProblem(), md, matvec_impl="fused")
     with pytest.raises(ValueError):
         s.solve(store_solutions=False)
+
+
+def test_fused_cn_with_nonzero_boundary_ic():
+    """CN's first-step RHS includes (K+A) u0 with u0's BOUNDARY columns;
+    a wide Gaussian (sigma=15) makes those values significant. The fused
+    path must match the general path."""
+    domain = Domain()
+    problem = Problem(sigma=15.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=8)
+    ref = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                     time_scheme_order=2, solver_tol=1e-12,
+                     solver_maxiter=6)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                       time_scheme_order=2, fused_iters=6)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=3e-5)

@@ -196,3 +196,17 @@ def test_trainer_cache_shared_across_instances():
         m = PINN([3, 8, 1], Problem(D=D), Domain(), activation="tanh")
         m.train(*args)
     assert len(pinn_mod._TRAIN_FN_CACHE) == 1  # one compile served both
+
+
+def test_warm_start_respects_changed_lr():
+    """An explicitly changed base lr wins over the carried (possibly
+    plateau-reduced) lr on warm start."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=5)
+    args = ({"pde": 32, "ic": 8, "bc": 8}, 5,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    model.train(args[0], args[1], 1e-3, args[2])
+    model.train(args[0], args[1], 5e-5, args[2], warm_start=True)
+    assert float(model._carry_state.lr) == np.float32(5e-5)
+    # Unchanged lr keeps the carried value (continuation semantics).
+    model.train(args[0], args[1], 5e-5, args[2], warm_start=True)
+    assert float(model._carry_state.lr) == np.float32(5e-5)
