@@ -1,5 +1,5 @@
 """Hyperparameter optimization (optuna-compatible in-repo engine)."""
 
-from airpollution_tpu.hpo.search import Study, Trial, create_study
+from airpollution_tpu.hpo.search import Study, TPESampler, Trial, create_study
 
-__all__ = ["Study", "Trial", "create_study"]
+__all__ = ["Study", "TPESampler", "Trial", "create_study"]

@@ -8,12 +8,12 @@ needs — ``create_study`` -> ``Study.optimize`` -> ``best_trial`` /
 ``set_user_attr``) and the same failure semantics (a trial returning inf on
 exception, optimal_hyperparams_search.py:82-84).
 
-Sampling: random search over the declared distributions (optuna itself runs
-random sampling for its first ``n_startup_trials=10`` trials — identical
-behavior at the reference's default n_trials=10), with an optional
-median-pruning-flavored refinement: after the startup phase, new candidates
-are drawn around the current best point in log space ("localized random
-search"), a cheap TPE-like exploitation step.
+Sampling: random search for the first ``n_startup_trials=10`` trials
+(identical to optuna's startup phase, and the whole run at the reference's
+default n_trials=10), then a Tree-structured Parzen Estimator per parameter
+(:class:`TPESampler`): candidates drawn from a KDE over the best-quantile
+trials, ranked by the good/bad density ratio — optuna's default sampling
+scheme for independent parameters.
 """
 
 from __future__ import annotations
@@ -27,13 +27,65 @@ from typing import Callable, Optional
 import numpy as np
 
 
+class TPESampler:
+    """Independent-parameter Tree-structured Parzen Estimator.
+
+    Completed trials are split into the best ``gamma`` fraction ("good")
+    and the rest ("bad"); per parameter, Gaussian kernel densities are fit
+    over each group (in log space for log-scaled parameters) and the
+    candidate maximizing l_good(x) / l_bad(x) among ``n_candidates`` draws
+    from the good KDE is proposed — the same scheme optuna's default
+    sampler uses per parameter.
+    """
+
+    def __init__(self, trials, direction: str, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        finished = [t for t in trials
+                    if t.state == "COMPLETE" and t.value is not None
+                    and np.isfinite(t.value)]
+        finished.sort(key=lambda t: t.value,
+                      reverse=(direction == "maximize"))
+        n_good = max(1, int(np.ceil(gamma * len(finished))))
+        self.good = finished[:n_good]
+        self.bad = finished[n_good:]
+        self.n_candidates = n_candidates
+
+    def suggest(self, rng, name, low, high, log):
+        def collect(group):
+            xs = [t.params[name] for t in group if name in t.params]
+            return np.log(xs) if (log and xs) else np.asarray(xs, float)
+
+        zs_good = collect(self.good)
+        zs_bad = collect(self.bad)
+        if zs_good.size == 0 or zs_bad.size == 0:
+            return None  # not enough history for this parameter
+        lo, hi = (np.log(low), np.log(high)) if log else (low, high)
+        span = hi - lo
+
+        def bandwidth(zs):
+            spread = np.std(zs) if zs.size > 1 else span / 4
+            return max(float(spread) * 0.9 * zs.size ** -0.2, span / 20)
+
+        bw_g, bw_b = bandwidth(zs_good), bandwidth(zs_bad)
+
+        def kde(zs, bw, x):
+            d = (x[:, None] - zs[None, :]) / bw
+            return np.mean(np.exp(-0.5 * d * d), axis=1) / bw
+
+        centers = zs_good[rng.integers(0, zs_good.size, self.n_candidates)]
+        cands = np.clip(centers + rng.normal(0, bw_g, self.n_candidates),
+                        lo, hi)
+        score = kde(zs_good, bw_g, cands) / (kde(zs_bad, bw_b, cands) + 1e-12)
+        z = float(cands[int(np.argmax(score))])
+        return float(np.exp(z)) if log else z
+
+
 class Trial:
     def __init__(self, number: int, rng: np.random.Generator,
-                 best_params: Optional[dict] = None, exploit: bool = False):
+                 sampler: Optional[TPESampler] = None):
         self.number = number
         self._rng = rng
-        self._best_params = best_params or {}
-        self._exploit = exploit
+        self._sampler = sampler
         self.params: dict = {}
         self.user_attrs: dict = {}
         self.value: Optional[float] = None
@@ -43,27 +95,16 @@ class Trial:
 
     def suggest_float(self, name: str, low: float, high: float,
                       log: bool = False) -> float:
-        if self._exploit and name in self._best_params:
-            # Localized sampling around the incumbent (log-space jitter).
-            center = self._best_params[name]
+        out = None
+        if self._sampler is not None:
+            out = self._sampler.suggest(self._rng, name, low, high, log)
+        if out is None:  # startup trials / no history: random search
             if log:
-                lo, hi = np.log(low), np.log(high)
-                val = np.clip(
-                    np.log(center) + self._rng.normal(0, (hi - lo) / 8),
-                    lo, hi,
-                )
-                out = float(np.exp(val))
-            else:
-                span = (high - low) / 8
-                out = float(np.clip(
-                    center + self._rng.normal(0, span), low, high
+                out = float(np.exp(
+                    self._rng.uniform(np.log(low), np.log(high))
                 ))
-        elif log:
-            out = float(np.exp(
-                self._rng.uniform(np.log(low), np.log(high))
-            ))
-        else:
-            out = float(self._rng.uniform(low, high))
+            else:
+                out = float(self._rng.uniform(low, high))
         self.params[name] = out
         return out
 
@@ -114,14 +155,15 @@ class Study:
         def run_one(number: int):
             rng = np.random.default_rng(self._seed + number)
             with self._lock:
-                exploit = number >= self._n_startup and any(
+                have_history = any(
                     t.state == "COMPLETE" and t.value is not None
                     and np.isfinite(t.value) for t in self.trials
                 )
-                best_params = (
-                    dict(self.best_trial.params) if exploit else None
+                sampler = (
+                    TPESampler(list(self.trials), self.direction)
+                    if number >= self._n_startup and have_history else None
                 )
-            trial = Trial(number, rng, best_params, exploit)
+            trial = Trial(number, rng, sampler)
             try:
                 value = objective(trial)
                 trial.value = float(value)
