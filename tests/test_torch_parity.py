@@ -86,3 +86,54 @@ def test_mse_components_match_torch():
         torch.tensor(pred), torch.tensor(target)
     ).item()
     np.testing.assert_allclose(float(ic_loss), expect, rtol=1e-5)
+
+
+def test_reference_laplacian_defect_d1_demonstrated():
+    """Defect D1 (SURVEY.md): the reference's second-derivative slicing
+    takes batch ROWS (``grad_c[d:d+1]``, pinn.py:467) instead of
+    coordinate columns. Reconstructed literally here in torch, its
+    "Laplacian" of the exact Gaussian solution yields a PDE residual that
+    is NOT zero, while our corrected operator satisfies the oracle
+    (tests/test_pinn.py::test_residual_of_exact_solution_is_zero)."""
+    import jax.numpy as jnp
+    from airpollution_tpu.ops import autodiff
+    from airpollution_tpu.problems import Problem
+
+    problem = Problem()
+    v, D = np.array([1.0, 0.5]), 0.1
+    rng = np.random.default_rng(3)
+    pts = np.hstack([rng.uniform(-5, 5, (16, 2)),
+                     rng.uniform(1, 9, (16, 1))])
+
+    # --- reference computation, literal (pinn.py:442-469) ---
+    xyt = torch.tensor(pts, dtype=torch.float64, requires_grad=True)
+    denom = 4 * D * xyt[:, 2] + 1.0
+    num = (xyt[:, 0] - v[0] * xyt[:, 2]) ** 2 + (
+        xyt[:, 1] - v[1] * xyt[:, 2]) ** 2
+    c = (torch.exp(-num / denom) / (np.pi * denom)).unsqueeze(-1)
+    grad_c = torch.autograd.grad(c, xyt, torch.ones_like(c),
+                                 create_graph=True, retain_graph=True)[0]
+    grad_xy, grad_t = grad_c[:, :2], grad_c[:, 2:3]
+
+    def second_derivative(component, dim):  # pinn.py:456-465
+        return torch.autograd.grad(
+            component, xyt, torch.ones_like(component),
+            create_graph=True, retain_graph=True, allow_unused=True,
+        )[0][:, dim]
+
+    # The defect: rows d:d+1 instead of columns [:, d:d+1].
+    lap_ref = sum(second_derivative(grad_c[d:d + 1], dim=d)
+                  for d in range(2))
+    res_ref = (grad_t.squeeze() + (torch.tensor(v) * grad_xy).sum(1)
+               - D * lap_ref).detach().numpy()
+
+    # --- our corrected operator on the same points ---
+    def u(p):
+        return problem.analytical_solution(p[None, :])[0]
+
+    res_ours = np.asarray(autodiff.pde_residual(
+        u, jnp.asarray(pts), problem.v, problem.D,
+        jnp.zeros(len(pts)))).ravel()
+
+    assert np.abs(res_ours).max() < 1e-10  # exact solution satisfies PDE
+    assert np.abs(res_ref).max() > 1e-4  # the defective operator does not
