@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

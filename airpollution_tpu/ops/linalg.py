@@ -22,7 +22,6 @@ or sharded operators with psum-reduced dot products — see
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

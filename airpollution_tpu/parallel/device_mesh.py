@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:

@@ -12,8 +12,6 @@ integrates a slice of the sweep — the direct analogue SURVEY.md section
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,6 @@ def log(*args):
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     import airpollution_tpu as apt

@@ -9,7 +9,6 @@ loss weights (pinn_experiments.py:60), the mesh->collocation-budget coupling
 
 from __future__ import annotations
 
-import argparse
 import os
 
 import jax

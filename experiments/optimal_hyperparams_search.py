@@ -18,7 +18,6 @@ import os
 import time
 
 import numpy as np
-import pandas as pd
 
 import airpollution_tpu as apt
 from airpollution_tpu.models.pinn import PINN

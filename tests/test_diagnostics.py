@@ -3,7 +3,6 @@ invariants (SURVEY.md section 4, oracle class 4)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from airpollution_tpu.diagnostics import (
     center_of_mass_over_time,

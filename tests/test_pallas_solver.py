@@ -1,7 +1,6 @@
 """Tests for the fully fused Pallas solve kernel (interpreter on CPU)."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from airpollution_tpu.mesh import MeshData, create_mesh

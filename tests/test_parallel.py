@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from airpollution_tpu.mesh import MeshData, create_mesh
-from airpollution_tpu.models.crbe import CRBESolver, assemble
+from airpollution_tpu.models.crbe import CRBESolver
 from airpollution_tpu.models.pinn import PINN, init_mlp_params, mlp_apply
 from airpollution_tpu.parallel import (
     build_parallel_trainer,

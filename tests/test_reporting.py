@@ -2,7 +2,6 @@
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from airpollution_tpu.reporting.table_generator import (
     convergence_rates,

@@ -67,7 +67,7 @@ def test_mse_components_match_torch():
     """IC/BC MSE terms equal torch's nn.MSELoss (pinn.py:99, :200-208)."""
     import jax
     from airpollution_tpu.models.pinn import composite_loss
-    from airpollution_tpu.problems import Domain, Problem
+    from airpollution_tpu.problems import Problem
 
     params = init_mlp_params(jax.random.PRNGKey(1), [3, 8, 1], "tanh")
     problem = Problem()

@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from airpollution_tpu.mesh import MeshData, create_mesh
 from airpollution_tpu.models.crbe import CRBESolver
