@@ -251,19 +251,23 @@ class PINN:
         )
 
     @staticmethod
-    def _build_train_fn(batch_sizes, lambda_weights, es_patience,
+    def _build_train_fn(batch_sizes, es_patience,
                         es_min_delta, mini_batch_size, epochs, activation,
                         xy_ranges, t_range, dtype):
         n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
-        loss_fn = partial(
-            composite_loss,
-            lambda_weights=dict(lambda_weights),
-            mini_batch_size=mini_batch_size,
-            activation=activation,
-        )
 
-        def epoch(state: TrainState, _, xyt_ic, ic_target, problem):
+        def epoch(state: TrainState, _, xyt_ic, ic_target, problem,
+                  lambda_weights):
+            # lambda_weights is a dict of TRACED scalars, so one compiled
+            # program serves every weighting (HPO sweeps sample fresh
+            # lambdas per trial).
+            loss_fn = partial(
+                composite_loss,
+                lambda_weights=lambda_weights,
+                mini_batch_size=mini_batch_size,
+                activation=activation,
+            )
             key, k_bc, k_pde = jax.random.split(state.key, 3)
             xyt_bc = sampling.sample_boundary_points(
                 k_bc, n_bc, xy_ranges, t_range, dtype
@@ -333,9 +337,10 @@ class PINN:
             losses = jnp.stack([total, lp_, li_, lb_])
             return new_state, (losses, frozen)
 
-        def train_impl(state: TrainState, xyt_ic, ic_target, problem):
+        def train_impl(state: TrainState, xyt_ic, ic_target, problem,
+                       lambda_weights):
             body = partial(epoch, xyt_ic=xyt_ic, ic_target=ic_target,
-                           problem=problem)
+                           problem=problem, lambda_weights=lambda_weights)
             final_state, (losses, frozen) = jax.lax.scan(
                 body, state, None, length=epochs
             )
@@ -368,14 +373,13 @@ class PINN:
         cache_key = (
             type(self.problem), self.activation,
             tuple(sorted(batch_sizes.items())),
-            tuple(sorted(lambda_weights.items())),
             int(early_stopping_patience), float(early_stopping_min_delta),
             mini_batch_size, int(epochs),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
         )
         if cache_key not in _TRAIN_FN_CACHE:
             _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
-                dict(batch_sizes), dict(lambda_weights),
+                dict(batch_sizes),
                 int(early_stopping_patience),
                 float(early_stopping_min_delta),
                 mini_batch_size, int(epochs), self.activation,
@@ -421,8 +425,12 @@ class PINN:
                 key=k_train,
             )
 
+        lambdas_traced = {
+            k: jnp.asarray(float(v), self.dtype)
+            for k, v in lambda_weights.items()
+        }
         final_state, losses, frozen = train_fn(state, xyt_ic, ic_target,
-                                               self.problem)
+                                               self.problem, lambdas_traced)
         losses = np.asarray(losses)
         frozen = np.asarray(frozen)
 

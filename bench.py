@@ -68,21 +68,32 @@ def main():
     log(f"timed: {elapsed:.3f}s for {nt - 1} steps "
         f"-> {steps_per_sec:.1f} steps/s")
 
-    # Correctness guard via the general (scan + stencil SpMV) path.
+    # Correctness guard via the general (scan + stencil SpMV) path —
+    # final-state-only output is boundary-lifted, matching the fused path.
     check = CRBESolver(
         domain, problem, md,
         solver_tol=1e-6, solver_maxiter=100,
         stiffness_convention="reference", matvec_impl="stencil",
     )
-    check.solve(store_solutions=True)
+    check.solve(store_solutions=False)
     rel_l2, l2, mx = check.compute_errors(problem.analytical_solution)
     u_fused = np.asarray(solver.solutions[-1])
     u_check = np.asarray(check.solutions[-1])
     fused_diff = float(np.abs(u_fused - u_check).max())
     log(f"fused vs scan max diff: {fused_diff:.3e}")
     log(f"rel_l2={rel_l2:.4f} l2={l2:.4f} max={mx:.4e} (sanity)")
-    if not np.isfinite(rel_l2) or rel_l2 > 10.0:
-        log("WARNING: benchmark solution failed sanity check")
+    sane = np.isfinite(rel_l2) and rel_l2 < 10.0 and fused_diff < 1e-3
+    if not sane:
+        # A fast-but-wrong solve must never publish a speedup: emit an
+        # unambiguous zero and a nonzero exit code.
+        log("ERROR: benchmark solution failed sanity check")
+        print(json.dumps({
+            "metric": "crbe_steps_per_sec_256sq",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
 
     print(json.dumps({
         "metric": "crbe_steps_per_sec_256sq",

@@ -43,6 +43,12 @@ def main(argv=None):
                         help="Write a jax.profiler trace of training here")
     args = parser.parse_args(argv)
 
+    unknown = set(args.mesh_sizes) - set(common.MESH_SIZES)
+    if unknown:
+        raise SystemExit(
+            f"--mesh_sizes {sorted(unknown)} not in the schedule "
+            f"{common.MESH_SIZES} (hyperparameters are per-size)"
+        )
     np.random.seed(common.SEED)
     common.print_device()
 

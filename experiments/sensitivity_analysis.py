@@ -37,7 +37,8 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=4)
     parser.add_argument("--activation", type=str, default="tanh")
     parser.add_argument("--epochs", type=int, default=0)
-    parser.add_argument("--early_stopping_patience", type=int, default=0)
+    parser.add_argument("--early_stopping_patience", type=int,
+                        default=500)
     parser.add_argument("--restore_best_weights", type=common.str2bool,
                         default=True)
     args = parser.parse_args(argv)
@@ -55,7 +56,10 @@ def main(argv=None):
     layers = [3] + [common.N_NEURONS[j]] * args.width + [1]
     lr = common.LR_LIST[j]
     epochs = (common.EPOCHS_LIST[j] if not args.epochs else args.epochs)
-    early_stopping_patience = 500  # sensitivity_analysis.py:65
+    # Default 500 mirrors the reference's hard-coded value
+    # (sensitivity_analysis.py:65); unlike the reference, an explicit
+    # flag value is honored.
+    early_stopping_patience = args.early_stopping_patience
 
     print(f"Training for mesh size {mesh_size} ...")
     mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)

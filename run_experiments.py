@@ -10,27 +10,35 @@ import subprocess
 import sys
 
 epochs = 1
+failures = []
 
-print("Running PINN experiments...")
-subprocess.run([sys.executable, "-m", "experiments.pinn_experiments",
-                "--width=4", f"--epochs={epochs}", "--activation=tanh"])
 
-print("Running CRBE experiments...")
-subprocess.run([sys.executable, "-m", "experiments.crbe_experiments"])
+def run(label, args):
+    print(label)
+    proc = subprocess.run([sys.executable, "-m", *args])
+    if proc.returncode != 0:
+        # The reference ignores stage failures (run_experiments.py:8-24);
+        # here they are collected and reported so a broken stage cannot
+        # masquerade as a green pipeline.
+        failures.append((args[0], proc.returncode))
 
-print("Running sensitivity analysis...")
-subprocess.run([sys.executable, "-m", "experiments.sensitivity_analysis",
-                "--width=4", f"--epochs={epochs}", "--activation=tanh"])
 
-print("Running fixed runtime experiments...")
-subprocess.run([sys.executable, "-m", "experiments.fixed_runtime_experiments",
-                "--run_for_testing=True"])
+run("Running PINN experiments...",
+    ["experiments.pinn_experiments", "--width=4", f"--epochs={epochs}",
+     "--activation=tanh"])
+run("Running CRBE experiments...", ["experiments.crbe_experiments"])
+run("Running sensitivity analysis...",
+    ["experiments.sensitivity_analysis", "--width=4", f"--epochs={epochs}",
+     "--activation=tanh"])
+run("Running fixed runtime experiments...",
+    ["experiments.fixed_runtime_experiments", "--run_for_testing=True"])
+run("Generating visualizations...",
+    ["airpollution_tpu.reporting.data_visualization"])
+run("Generating LaTeX tables...",
+    ["airpollution_tpu.reporting.table_generator"])
 
-print("Generating visualizations...")
-subprocess.run([sys.executable, "-m", "airpollution_tpu.reporting.data_visualization"])
-
-print("Generating LaTeX tables...")
-subprocess.run([sys.executable, "-m", "airpollution_tpu.reporting.table_generator"])
-
+if failures:
+    print("\nFAILED stages:", failures)
+    sys.exit(1)
 print("\nAll experiments completed!")
 print("Results saved in experimental_results/")

@@ -49,6 +49,12 @@ def main(argv=None):
                         default=common.MESH_SIZES)
     args = parser.parse_args(argv)
 
+    unknown = set(args.mesh_sizes) - set(common.MESH_SIZES)
+    if unknown:
+        raise SystemExit(
+            f"--mesh_sizes {sorted(unknown)} not in the schedule "
+            f"{common.MESH_SIZES} (hyperparameters are per-size)"
+        )
     np.random.seed(common.SEED)
     common.print_device()
     print("Starting comparative analysis for Problem 3...")

@@ -10,11 +10,13 @@ default) for file-for-file parity with the reference layout.
 Run: ``python -m scripts.problem3_comprehensive_analysis2``.
 """
 
+import sys
+
 from scripts.problem3_comprehensive_analysis import main as _main
 
 
 def main(argv=None):
-    argv = list(argv) if argv is not None else []
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
     if "--quadrature" not in argv:
         argv += ["--quadrature", "triangle"]
     return _main(argv)
