@@ -421,7 +421,7 @@ class CRBESolver:
             from airpollution_tpu.ops import pallas_solver
 
             use_ka = self.time_scheme_order == 2
-            if not _pallas_fused_fits(pattern, has_ka=use_ka):
+            if not _pallas_fused_fits(pattern):
                 raise ValueError(
                     "mesh too large for the VMEM-resident fused solver"
                 )
@@ -429,7 +429,6 @@ class CRBESolver:
             n_steps = md.nt - 1
             n_iters = self.fused_iters
             dt = self.dt
-            n, c = pattern.n, pattern.c
 
             def solve_impl(ops: GlobalOperators, u0):
                 coeffs = stencil_mod.extract_coefficients(
@@ -445,29 +444,13 @@ class CRBESolver:
                 # term); the kernel masks the warm start itself.
                 u0_fam = u0[perm]
                 interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
-                ka_coeffs = None
-                if use_ka:
-                    # CN RHS term: -(dt/2)(K+A) with Dirichlet out-ROWS
-                    # zeroed (out-columns kept) so b stays zero on
-                    # boundary rows while interior rows see boundary
-                    # neighbors.
-                    raw = stencil_mod.extract_coefficients(
-                        pattern, ops.ka.vals
-                    )
-                    nH, nV = n * c, c * n
-                    masks = (
-                        interior_fam[:nH].reshape(n, c),
-                        interior_fam[nH:nH + nV].reshape(c, n),
-                        interior_fam[nH + nV:].reshape(c, c),
-                    )
-                    ka_coeffs = tuple(
-                        (-0.5 * dt) * g * masks[min(i // 5, 2)]
-                        for i, g in enumerate(raw)
-                    )
+                # CN's row-masked -(dt/2)(K+A) RHS term is reconstructed
+                # in-kernel from the system canvases (pallas_solver
+                # docstring identity) — no extra coefficient set.
                 u_fam = pallas_solver.fused_solve(
                     pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
                     interior_fam,
-                    n_steps=n_steps, n_iters=n_iters, ka_coeffs=ka_coeffs,
+                    n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
                     interpret=interpret,
                 )
                 u_global = u_fam[inv]
@@ -601,12 +584,14 @@ class CRBESolver:
         plots.plot_error_evolution(self, errors, save_dir)
 
 
-def _pallas_fused_fits(pattern, has_ka: bool = False) -> bool:
+def _pallas_fused_fits(pattern) -> bool:
     """VMEM budget for the fused solver. All operands are live at once:
-    coefficient canvases (15, or 30 with the CN RHS set) + mass/inv-diag/
-    mask/u0 inputs (12) + 3 outputs + 18 Krylov scratch canvases."""
+    15 coefficient canvases + mass/inv-diag/mask/u0 inputs (12) + 3
+    outputs + 18 Krylov scratch canvases = 48, for BE and CN alike (the
+    CN RHS operator is reconstructed from the system canvases in-kernel,
+    see ops/pallas_solver.py)."""
     per_canvas = pattern.n * pattern.n * 4
-    n_canvases = (30 if has_ka else 15) + 12 + 3 + 18
+    n_canvases = 15 + 12 + 3 + 18
     return n_canvases * per_canvas < 14 * 1024 * 1024
 
 

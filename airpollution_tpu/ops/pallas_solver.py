@@ -23,9 +23,14 @@ iteration count:
   is boundary-masked (one elementwise multiply per step) every Krylov
   vector stays zero there; the RHS is formed from the UNMASKED state so
   the first step sees u0's boundary columns.
-- The RHS is ``b = M u_prev`` (crbe.py:383-384), plus the pre-scaled
-  row-masked -(dt/2)(K+A) u_prev term for Crank-Nicolson (crbe.py:385-386);
-  the source term is zero by scope.
+- The RHS is ``b = M u_prev`` (crbe.py:383-384), plus the row-masked
+  ``-(dt/2)(K+A) u_prev`` term for Crank-Nicolson (crbe.py:385-386); the
+  source term is zero by scope. Crank-Nicolson costs NO extra VMEM: with
+  ``P = diag(interior)``, ``B = I - P`` and the (diagonal) CR mass ``M``,
+  the masked system is ``S = P (M + (dt/2)(K+A)) + B``, hence
+  ``-P (dt/2)(K+A) = M_masked + B - S`` and the CN RHS is
+  ``b = 2 M_masked u + B u - S u`` — one extra *system* matvec instead of
+  15 extra coefficient canvases, so CN fits the same mesh sizes as BE.
 - BiCGStab runs a *static* number of iterations (default 5; the adaptive
   solver needs <= 4 at 256^2 with warm starts), right-preconditioned by
   the Jacobi inverse diagonal, with the same breakdown guards as
@@ -87,16 +92,12 @@ def _solver_kernel(
     *refs,
     n: int, n_steps: int, n_iters: int, has_ka: bool,
 ):
-    # Ref layout: 15 system coefficient canvases, [15 CN RHS coefficient
-    # canvases when has_ka], masked mass x3, inverse diagonal x3,
-    # interior mask x3, u0 x3, outputs u x3, then 18 Krylov scratch
-    # canvases.
+    # Ref layout: 15 system coefficient canvases, masked mass x3, inverse
+    # diagonal x3, interior mask x3, u0 x3, outputs u x3, then 18 Krylov
+    # scratch canvases. Crank-Nicolson (has_ka) reuses the system canvases
+    # via the identity in the module docstring — no extra refs.
     sys_coeffs = refs[0:15]
     base = 15
-    ka_coeffs = None
-    if has_ka:
-        ka_coeffs = refs[15:30]
-        base = 30
     mH, mV, mD, idH, idV, idD = refs[base:base + 6]
     mkH, mkV, mkD = refs[base + 6:base + 9]
     u0H, u0V, u0D = refs[base + 9:base + 12]
@@ -147,15 +148,20 @@ def _solver_kernel(
 
     def step(_, carry):
         # Backward Euler: b = M u_prev (crbe.py:383-384); Crank-Nicolson
-        # adds the pre-scaled, row-masked -(dt/2)(K+A) u term
-        # (crbe.py:385-386). b is formed from the UNMASKED u (the first
-        # step's u0 carries boundary values whose columns feed interior
-        # rows); the warm start x is then boundary-masked, after which
-        # every Krylov vector stays zero on Dirichlet rows.
-        if ka_coeffs is not None:
-            matvec(ka_coeffs, t3, uH[:], uV[:], uD[:])
-            for r_, m_, u_, t_ in zip(r3, m3, u3, t3):
-                r_[:] = m_[:] * u_[:] + t_[:]
+        # adds the row-masked -(dt/2)(K+A) u term (crbe.py:385-386) via
+        # the identity b = 2 M_masked u + (1-mask) u - S u (see module
+        # docstring). b is formed from the UNMASKED u (the first step's
+        # u0 carries boundary values whose columns feed interior rows);
+        # the warm start x is then boundary-masked, after which every
+        # Krylov vector stays zero on Dirichlet rows. The (1-mask) term
+        # is safe in the zero-padded canvas regions because u stays zero
+        # there (u0 arrives padded-zero; every update multiplies by a
+        # padded-zero canvas).
+        if has_ka:
+            matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
+            for r_, m_, u_, t_, mk_ in zip(r3, m3, u3, t3, mk3):
+                r_[:] = (2.0 * m_[:] * u_[:]
+                         + (1.0 - mk_[:]) * u_[:] - t_[:])
         else:
             for r_, m_, u_ in zip(r3, m3, u3):
                 r_[:] = m_[:] * u_[:]
@@ -207,7 +213,7 @@ def _solver_kernel(
 
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
                 inv_diag_fam, u0_fam, interior_fam, *, n_steps: int,
-                n_iters: int = 5, ka_coeffs: tuple | None = None,
+                n_iters: int = 5, use_ka: bool = False,
                 interpret: bool = False):
     """Run the full zero-source implicit time loop in one kernel.
 
@@ -215,14 +221,14 @@ def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
     ``mass_masked_fam`` must be zero on Dirichlet rows; ``u0_fam`` arrives
     FULL (boundary values included — its columns feed the first step's
     RHS); ``interior_fam`` is 1 on interior DOFs and 0 on Dirichlet rows.
-    For Crank-Nicolson pass ``ka_coeffs``: the K+A coefficient grids
-    already scaled by -(dt/2) with Dirichlet out-rows zeroed. Returns the
+    For Crank-Nicolson pass ``use_ka=True``: the -(dt/2)(K+A) RHS term is
+    reconstructed from the system canvases in-kernel (module docstring),
+    so CN has the same VMEM footprint as backward Euler. Returns the
     final homogeneous state in family layout (no boundary lift).
     """
     n = pattern.n
     dtype = u0_fam.dtype
     ccan = coeff_canvases(pattern, coeffs)
-    kacan = coeff_canvases(pattern, ka_coeffs) if ka_coeffs else ()
     m3 = to_canvases(pattern, mass_masked_fam)
     id3 = to_canvases(pattern, inv_diag_fam)
     mk3 = to_canvases(pattern, jnp.asarray(interior_fam, dtype))
@@ -230,17 +236,16 @@ def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = partial(_solver_kernel, n=n, n_steps=n_steps, n_iters=n_iters,
-                     has_ka=bool(ka_coeffs))
+                     has_ka=use_ka)
     scratch = [pltpu.VMEM((n, n), dtype) for _ in range(18)]
-    n_in = 27 + (15 if ka_coeffs else 0)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n, n), dtype) for _ in range(3)
         ),
-        in_specs=[vmem] * n_in,
+        in_specs=[vmem] * 27,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*ccan, *kacan, *m3, *id3, *mk3, *u3)
+    )(*ccan, *m3, *id3, *mk3, *u3)
     return from_canvases(pattern, *outs)

@@ -40,6 +40,23 @@ def test_fused_scope_guards():
         s.solve(store_solutions=False)
 
 
+def test_fused_cn_fits_same_meshes_as_be():
+    """The CN RHS operator is reconstructed from the system canvases
+    in-kernel (ops/pallas_solver.py identity), so CN's VMEM budget equals
+    BE's: 256^2 (formerly rejected for CN at 63 canvases) must now pass
+    the fits check, order-independently."""
+    from airpollution_tpu.models.crbe import _pallas_fused_fits
+    from airpollution_tpu.ops.stencil import build_stencil_pattern
+
+    domain = Domain()
+    md = MeshData(create_mesh(256, 20.0), domain, nt=4)
+    pattern = build_stencil_pattern(
+        md._host_t2s, md._host_ell_cols, md.structured_n
+    )
+    # 48 canvases x 256^2 x 4 B = 12 MB < 14 MB guard.
+    assert _pallas_fused_fits(pattern)
+
+
 def test_fused_cn_with_nonzero_boundary_ic():
     """CN's first-step RHS includes (K+A) u0 with u0's BOUNDARY columns;
     a wide Gaussian (sigma=15) makes those values significant. The fused
