@@ -8,11 +8,13 @@ XLA rather than translated from torch:
   weights and zero biases match the reference init (pinn.py:107-108), and
   the activation zoo (adaptive-tanh with per-neuron alpha, tanh, sine,
   swish — pinn.py:29-49, :110-119) is string-keyed the same way.
-- The *entire* training loop runs inside one ``lax.scan``: per-epoch LHS
-  resampling (on-device, keyed PRNG), loss, fused Adam update, LR-plateau
-  schedule, early stopping — no host round-trip per epoch. The reference
-  re-samples on the host with pyDOE and crosses the device boundary every
-  epoch (SURVEY.md section 3.2).
+- The entire training loop runs on-device as chunked ``lax.scan``s (default
+  500 epochs per compiled chunk, carry threaded through — bit-identical to
+  one monolithic scan): per-epoch LHS resampling (keyed PRNG), loss, fused
+  Adam update, LR-plateau schedule, early stopping — no host round-trip
+  per epoch, one host stop-check per chunk so early stopping saves real
+  wall-clock. The reference re-samples on the host with pyDOE and crosses
+  the device boundary every epoch (SURVEY.md section 3.2).
 - PDE residuals use forward-over-reverse AD with a *correct* Laplacian —
   the reference's diffusion term is mis-sliced (defect D1, pinn.py:467);
   see ``airpollution_tpu.ops.autodiff``.
@@ -62,23 +64,49 @@ _PLATEAU_THRESHOLD = 1e-4
 
 _MINI_BATCH_THRESHOLD = 4096  # pinn.py:182
 
+# Default epoch-scan chunk length: long enough that the per-chunk host
+# sync is negligible (~0.5 s of training at measured epochs/s), short
+# enough that early stopping saves real wall-clock and the reference's
+# epoch schedules [500..16000] all share one compiled program.
+_DEFAULT_SCAN_CHUNK = 500
+
 
 def init_mlp_params(key, layers, activation="adaptive_tanh",
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, fourier_features=0,
+                    fourier_scale=1.0, input_scales=None):
     """Xavier-normal weights, zero biases; adaptive-tanh alpha starts at 1
-    per neuron (pinn.py:46, :107-108)."""
+    per neuron (pinn.py:46, :107-108).
+
+    ``fourier_features=m`` (an accuracy lever beyond the reference) prepends
+    a random Fourier embedding gamma(x) = [sin(x B), cos(x B)] with a FIXED
+    (non-trained) B ~ N(0, fourier_scale^2) of shape (in_dim, m) — the
+    standard cure for MLP spectral bias (Tancik et al. 2020; Wang et al.
+    2021 for PINNs). ``input_scales`` (per-input half-widths) is folded
+    into B so x B is O(fourier_scale) over the domain. The first dense
+    layer then consumes 2m features; the ``layers`` list keeps its
+    reference meaning ([in, hidden..., out])."""
     if activation not in _ACTIVATIONS:
         raise ValueError(f"Activation function {activation} not implemented")
     params = []
-    keys = jax.random.split(key, len(layers) - 1)
+    widths = list(layers)
+    if fourier_features:
+        key, k_ff = jax.random.split(key)
+        B = fourier_scale * jax.random.normal(
+            k_ff, (layers[0], fourier_features), dtype=dtype
+        )
+        if input_scales is not None:
+            B = B / jnp.asarray(input_scales, dtype)[:, None]
+        params.append({"B": B})
+        widths[0] = 2 * fourier_features
+    keys = jax.random.split(key, len(widths) - 1)
     for i, k in enumerate(keys):
-        fan_in, fan_out = layers[i], layers[i + 1]
+        fan_in, fan_out = widths[i], widths[i + 1]
         std = float(np.sqrt(2.0 / (fan_in + fan_out)))
         layer = {
             "W": std * jax.random.normal(k, (fan_in, fan_out), dtype=dtype),
             "b": jnp.zeros((fan_out,), dtype=dtype),
         }
-        if activation == "adaptive_tanh" and i < len(layers) - 2:
+        if activation == "adaptive_tanh" and i < len(widths) - 2:
             layer["alpha"] = jnp.ones((fan_out,), dtype=dtype)
         params.append(layer)
     return params
@@ -87,6 +115,12 @@ def init_mlp_params(key, layers, activation="adaptive_tanh",
 def mlp_apply(params, x, activation="adaptive_tanh"):
     """Pure forward pass; x is (..., in_dim)."""
     h = x
+    if params and "B" in params[0]:
+        # Random Fourier embedding; B is frozen (stop_gradient zeroes its
+        # grads, so Adam never moves it).
+        z = h @ jax.lax.stop_gradient(params[0]["B"])
+        h = jnp.concatenate([jnp.sin(z), jnp.cos(z)], axis=-1)
+        params = params[1:]
     for layer in params[:-1]:
         z = h @ layer["W"] + layer["b"]
         if activation == "adaptive_tanh":
@@ -148,6 +182,22 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
     return total, (pde_loss, ic_loss, bc_loss)
 
 
+def rad_select(key, weights, n):
+    """Sample ``n`` indices without replacement with prob proportional to
+    ``weights`` via the Gumbel-top-k trick (static shapes, one top_k).
+
+    Used for residual-based adaptive collocation (RAD, Wu et al. 2023):
+    weights are |residual|/mean + c, so dense-residual regions receive
+    proportionally more collocation points while every region keeps mass
+    (no top-k collapse onto the single worst spot)."""
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, weights.shape, weights.dtype,
+                           minval=jnp.finfo(weights.dtype).tiny)
+    ))
+    _, idx = jax.lax.top_k(jnp.log(weights + 1e-12) + gumbel, n)
+    return idx
+
+
 # Module-level trainer cache: one compiled program per configuration,
 # shared across PINN instances and problem-parameter values (the problem
 # is a traced pytree argument). Without this, every PINN() in a sweep
@@ -194,13 +244,19 @@ class TrainState(NamedTuple):
     best_params: dict
     stopped: jax.Array
     key: jax.Array
+    # Self-adaptive loss weights (grad-norm annealing) + epoch counter;
+    # ride along untouched when the feature is off.
+    lam_ic: jax.Array = None
+    lam_bc: jax.Array = None
+    step: jax.Array = None
 
 
 class PINN:
     """PINN solver with the reference's class API (pinn.py:89-300)."""
 
     def __init__(self, layers, problem, domain, activation="adaptive_tanh",
-                 seed=1234, dtype=jnp.float32):
+                 seed=1234, dtype=jnp.float32, fourier_features=0,
+                 fourier_scale=1.0):
         if activation not in _ACTIVATIONS:
             raise ValueError(f"Activation function {activation} not implemented")
         self.layers = list(layers)
@@ -208,11 +264,20 @@ class PINN:
         self.domain = domain
         self.activation = activation
         self.dtype = dtype
+        self.fourier_features = int(fourier_features)
+        self.fourier_scale = float(fourier_scale)
         self.xy_ranges = (-domain.Lx, domain.Lx, -domain.Ly, domain.Ly)
         self.t_range = (0.0, domain.T)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
-        self.params = init_mlp_params(init_key, self.layers, activation, dtype)
+        self.params = init_mlp_params(
+            init_key, self.layers, activation, dtype,
+            fourier_features=self.fourier_features,
+            fourier_scale=self.fourier_scale,
+            # Half-widths per input so x @ B is O(fourier_scale) over the
+            # whole space-time box.
+            input_scales=(domain.Lx, domain.Ly, domain.T / 2.0),
+        )
         self.history = {"total_loss": [], "pde_loss": [], "ic_loss": [],
                         "bc_loss": []}
         self.training_time = 0.0
@@ -251,38 +316,107 @@ class PINN:
         )
 
     @staticmethod
-    def _build_train_fn(batch_sizes, es_patience,
-                        es_min_delta, mini_batch_size, epochs, activation,
-                        xy_ranges, t_range, dtype):
+    def _build_train_fn(batch_sizes, mini_batch_size, epochs, activation,
+                        xy_ranges, t_range, dtype, adaptive_oversample=0.0,
+                        adaptive_weights_every=0):
         n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
 
         def epoch(state: TrainState, _, xyt_ic, ic_target, problem,
-                  lambda_weights):
+                  lambda_weights, es_patience, es_min_delta):
             # lambda_weights is a dict of TRACED scalars, so one compiled
             # program serves every weighting (HPO sweeps sample fresh
             # lambdas per trial).
+            if adaptive_weights_every:
+                # Self-adaptive weights (grad-norm annealing, Wang et al.
+                # 2021): the loss uses the CARRIED lam_ic/lam_bc instead
+                # of the static lambdas (which seed their initial values).
+                weights_used = {"pde": jnp.ones((), dtype),
+                                "ic": state.lam_ic, "bc": state.lam_bc}
+            else:
+                weights_used = lambda_weights
             loss_fn = partial(
                 composite_loss,
-                lambda_weights=lambda_weights,
+                lambda_weights=weights_used,
                 mini_batch_size=mini_batch_size,
                 activation=activation,
             )
-            key, k_bc, k_pde = jax.random.split(state.key, 3)
+            key, k_bc, k_pde, k_sel = jax.random.split(state.key, 4)
             xyt_bc = sampling.sample_boundary_points(
                 k_bc, n_bc, xy_ranges, t_range, dtype
             )
             bc_target = jnp.asarray(
                 problem.boundary_fn(xyt_bc), dtype
             ).reshape(-1, 1)
-            xyt_pde = sampling.lhs_sampling(
-                k_pde, n_pde, xy_ranges, t_range, dtype
-            )
+            if adaptive_oversample > 1.0:
+                # Residual-based adaptive collocation (RAD): draw an
+                # oversampled LHS pool, evaluate |residual| under the
+                # CURRENT params (no grad), and keep n_pde points with
+                # prob ~ |r|/mean|r| + 1 (Wu et al. 2023 defaults).
+                n_cand = int(round(adaptive_oversample * n_pde))
+                cand = sampling.lhs_sampling(
+                    k_pde, n_cand, xy_ranges, t_range, dtype
+                )
+
+                def u_point(p):
+                    return mlp_apply(state.params, p, activation)[0]
+
+                res = autodiff.pde_residual(
+                    u_point, cand, problem.v, problem.D,
+                    problem.source_term(cand),
+                )
+                r = jax.lax.stop_gradient(jnp.abs(res.ravel()))
+                w = r / (jnp.mean(r) + 1e-12) + 1.0
+                xyt_pde = cand[rad_select(k_sel, w, n_pde)]
+            else:
+                xyt_pde = sampling.lhs_sampling(
+                    k_pde, n_pde, xy_ranges, t_range, dtype
+                )
 
             (total, (lp_, li_, lb_)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
               bc_target)
+
+            if adaptive_weights_every:
+                # Every k epochs: lam_i <- 0.9 lam_i + 0.1 max|grad L_pde|
+                # / mean|grad L_i| (computed on this epoch's batch with
+                # pre-update params). lax.cond executes the expensive
+                # branch only on update epochs.
+                def _term_grad(idx):
+                    def f(q):
+                        _, aux = loss_fn(q, problem, xyt_pde, xyt_ic,
+                                         ic_target, xyt_bc, bc_target)
+                        return aux[idx]
+
+                    return jax.grad(f)(state.params)
+
+                def _absmax(tree):
+                    return jnp.max(jnp.stack(
+                        [jnp.max(jnp.abs(x)) for x in jax.tree.leaves(tree)]
+                    ))
+
+                def _absmean(tree):
+                    leaves = jax.tree.leaves(tree)
+                    s = sum(jnp.sum(jnp.abs(x)) for x in leaves)
+                    n = sum(x.size for x in leaves)
+                    return s / n
+
+                def _update(_):
+                    gp, gi, gb = (_term_grad(0), _term_grad(1),
+                                  _term_grad(2))
+                    top = _absmax(gp)
+                    li_hat = top / (_absmean(gi) + 1e-12)
+                    lb_hat = top / (_absmean(gb) + 1e-12)
+                    return (0.9 * state.lam_ic + 0.1 * li_hat,
+                            0.9 * state.lam_bc + 0.1 * lb_hat)
+
+                lam_ic, lam_bc = jax.lax.cond(
+                    state.step % adaptive_weights_every == 0,
+                    _update, lambda _: (state.lam_ic, state.lam_bc), None,
+                )
+            else:
+                lam_ic, lam_bc = state.lam_ic, state.lam_bc
 
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = state.lr
@@ -333,14 +467,22 @@ class PINN:
                 best_params=keep(state.best_params, best_params),
                 stopped=jnp.logical_or(state.stopped, newly_stopped),
                 key=key,
+                lam_ic=jnp.where(frozen, state.lam_ic, lam_ic),
+                lam_bc=jnp.where(frozen, state.lam_bc, lam_bc),
+                step=jnp.where(frozen, state.step, state.step + 1),
             )
             losses = jnp.stack([total, lp_, li_, lb_])
             return new_state, (losses, frozen)
 
         def train_impl(state: TrainState, xyt_ic, ic_target, problem,
-                       lambda_weights):
+                       lambda_weights, es_patience, es_min_delta):
+            # es_patience / es_min_delta are TRACED scalars (like the
+            # lambda weights), so one compiled program serves every early
+            # stopping configuration of a given chunk length.
             body = partial(epoch, xyt_ic=xyt_ic, ic_target=ic_target,
-                           problem=problem, lambda_weights=lambda_weights)
+                           problem=problem, lambda_weights=lambda_weights,
+                           es_patience=es_patience,
+                           es_min_delta=es_min_delta)
             final_state, (losses, frozen) = jax.lax.scan(
                 body, state, None, length=epochs
             )
@@ -348,11 +490,49 @@ class PINN:
 
         return opt, jax.jit(train_impl)
 
+    def _train_fn(self, batch_sizes, mini_batch_size, length,
+                  adaptive_oversample, adaptive_weights_every=0):
+        """Jitted ``length``-epoch trainer, cached globally per
+        configuration (the problem, lambda weights and early stopping
+        parameters are traced arguments): rebuilding per call or per model
+        instance would re-jit (and re-compile) every train() invocation
+        and every sweep iteration."""
+        cache_key = (
+            type(self.problem), self.activation,
+            tuple(sorted(batch_sizes.items())), mini_batch_size, length,
+            float(adaptive_oversample), int(adaptive_weights_every),
+            self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
+        )
+        if cache_key not in _TRAIN_FN_CACHE:
+            _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
+                dict(batch_sizes), mini_batch_size, length, self.activation,
+                self.xy_ranges, self.t_range, self.dtype,
+                adaptive_oversample=float(adaptive_oversample),
+                adaptive_weights_every=int(adaptive_weights_every),
+            )
+        return _TRAIN_FN_CACHE[cache_key]
+
     def train(self, batch_sizes, epochs, lr, lambda_weights,
               early_stopping_patience=0, early_stopping_min_delta=1e-6,
               mini_batch_size=None, restore_best_weights=True,
-              warm_start=False):
+              warm_start=False, scan_chunk=None, adaptive_oversample=0.0,
+              adaptive_weights_every=0):
         """Train with LHS collocation (pinn.py:148-245 semantics).
+
+        ``adaptive_oversample=r`` (> 1, an accuracy lever beyond the
+        reference) switches the per-epoch PDE collocation to residual-based
+        adaptive sampling: an r-times oversampled LHS pool is drawn, and
+        n_pde points are kept with probability proportional to
+        |residual|/mean + 1 under the current parameters (RAD; see
+        ``rad_select``). Costs one extra residual evaluation over the pool
+        per epoch; concentrates points on the plume / sharp features.
+
+        ``adaptive_weights_every=k`` (> 0) replaces the static lambda
+        weights with self-adaptive ones via gradient-norm annealing (Wang,
+        Teng & Perdikaris 2021): every k epochs, lam_i moves toward
+        max|grad L_pde| / mean|grad L_i| under a 0.9/0.1 moving average,
+        balancing the per-term gradient scales. The passed
+        ``lambda_weights`` seed the initial ratios (lam_i0 = l_i / l_pde).
 
         ``warm_start=True`` continues from the previous ``train`` call's
         optimizer/scheduler state instead of re-creating them — the
@@ -360,32 +540,24 @@ class PINN:
         (fixed_runtime_experiments.py:89, defect D6); warm starting is the
         corrected behavior offered alongside the default parity behavior.
 
-        Early stopping preserves the reference numerics exactly, but the
-        fixed-length scan still executes the remaining epochs as masked
-        no-ops — it does not save wall-clock. For long runs where stopping
-        early matters for time, train in chunks (``warm_start=True`` or
-        ``io.checkpoint.train_with_checkpoints``) and stop between chunks.
+        The epoch loop runs as a sequence of ``scan_chunk``-epoch jitted
+        scans (default ``min(epochs, 500)``) threading one carry state, so
+        the epoch sequence — PRNG streams, optimizer steps, schedules — is
+        bit-identical to a single monolithic scan, while (a) early stopping
+        ends the run at the next chunk boundary instead of burning the
+        remaining epochs as masked no-ops, and (b) one compiled program
+        serves EVERY ``epochs`` value that shares a chunk size (the
+        reference-style epoch schedules [500..16000] all reuse the length-
+        500 program instead of compiling six scans). ``scan_chunk=0``
+        disables chunking (single scan of ``epochs``).
         """
-        # The jitted trainer is cached globally per configuration (the
-        # problem is a traced argument): rebuilding per call or per model
-        # instance would re-jit (and re-compile) every train() invocation
-        # and every sweep iteration.
-        cache_key = (
-            type(self.problem), self.activation,
-            tuple(sorted(batch_sizes.items())),
-            int(early_stopping_patience), float(early_stopping_min_delta),
-            mini_batch_size, int(epochs),
-            self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
-        )
-        if cache_key not in _TRAIN_FN_CACHE:
-            _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
-                dict(batch_sizes),
-                int(early_stopping_patience),
-                float(early_stopping_min_delta),
-                mini_batch_size, int(epochs), self.activation,
-                self.xy_ranges, self.t_range, self.dtype,
-            )
-        opt, train_fn = _TRAIN_FN_CACHE[cache_key]
+        epochs = int(epochs)
+        if scan_chunk is None:
+            chunk = min(epochs, _DEFAULT_SCAN_CHUNK) or epochs
+        elif int(scan_chunk) <= 0:
+            chunk = epochs
+        else:
+            chunk = min(int(scan_chunk), epochs)
 
         start = time.time()
         self.key, k_ic = jax.random.split(self.key)
@@ -412,6 +584,8 @@ class PINN:
                 )
         else:
             f32 = lambda x: jnp.asarray(x, self.dtype)
+            opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
+            lp0 = float(lambda_weights.get("pde", 1.0)) or 1.0
             state = TrainState(
                 params=self.params,
                 opt_state=opt.init(self.params),
@@ -423,16 +597,48 @@ class PINN:
                 best_params=self.params,
                 stopped=jnp.asarray(False),
                 key=k_train,
+                # Adaptive-weight carry, seeded from the static lambdas
+                # normalized to lam_pde = 1 (unused when the feature is
+                # off, but always materialized so the carry structure is
+                # config-independent).
+                lam_ic=f32(float(lambda_weights.get("ic", 1.0)) / lp0),
+                lam_bc=f32(float(lambda_weights.get("bc", 1.0)) / lp0),
+                step=jnp.asarray(0, jnp.int32),
             )
 
         lambdas_traced = {
             k: jnp.asarray(float(v), self.dtype)
             for k, v in lambda_weights.items()
         }
-        final_state, losses, frozen = train_fn(state, xyt_ic, ic_target,
-                                               self.problem, lambdas_traced)
-        losses = np.asarray(losses)
-        frozen = np.asarray(frozen)
+        es_patience_t = jnp.asarray(int(early_stopping_patience), jnp.int32)
+        es_delta_t = jnp.asarray(float(early_stopping_min_delta), self.dtype)
+
+        # Chunked epoch loop: identical numerics to one monolithic scan
+        # (the carry threads through), with a host-side stop check between
+        # chunks so early stopping saves real wall-clock.
+        loss_parts, frozen_parts = [], []
+        final_state = state
+        remaining = epochs
+        while remaining > 0:
+            length = min(chunk, remaining)
+            _, train_fn = self._train_fn(batch_sizes, mini_batch_size,
+                                         length, adaptive_oversample,
+                                         adaptive_weights_every)
+            final_state, losses_c, frozen_c = train_fn(
+                final_state, xyt_ic, ic_target, self.problem,
+                lambdas_traced, es_patience_t, es_delta_t,
+            )
+            loss_parts.append(np.asarray(losses_c))
+            frozen_parts.append(np.asarray(frozen_c))
+            remaining -= length
+            if remaining > 0 and bool(final_state.stopped):
+                break
+        if loss_parts:
+            losses = np.concatenate(loss_parts, axis=0)
+            frozen = np.concatenate(frozen_parts, axis=0)
+        else:  # epochs == 0: materialize carry structure only
+            losses = np.zeros((0, 4), np.float64)
+            frozen = np.zeros((0,), bool)
 
         # Truncate history at the stop epoch (the reference breaks out of
         # its loop after recording the triggering epoch, pinn.py:232-235).

@@ -1,0 +1,87 @@
+"""Accuracy-lever study: beyond-reference PINN training options on TPU.
+
+Trains the mesh-64 reference configuration (pinn_experiments.py:63-68
+schedule: 32 neurons x 4 hidden layers, lr 1e-4, lambda=(180,80,80),
+n_col = round(ndof/1.4)) under combinations of the three accuracy levers
+this framework adds over the reference:
+
+- fourier:  random Fourier feature embedding (fourier_features=64)
+- rad:      residual-based adaptive collocation (adaptive_oversample=3)
+- adaptive: grad-norm self-adaptive loss weights (every 100 epochs)
+
+Writes results_snapshot/pinn_accuracy_levers.csv with rel-L2/max errors at
+t=T on the mesh-64 midpoints and epochs/s. Run on TPU in the background
+(each variant is its own compile, ~1-7 min first touch):
+
+    python scripts/pinn_accuracy_levers.py [--epochs 4000]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.pinn import PINN
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=4000)
+    ap.add_argument("--out", default="results_snapshot/pinn_accuracy_levers.csv")
+    args = ap.parse_args()
+
+    domain, problem = apt.Domain(), apt.Problem()
+    md = apt.MeshData(apt.create_mesh(64, 20.0), domain, nt=128)
+    n_col = round(md.number_of_segments / 1.4)
+    n_ic = round(0.2 * n_col)
+    batch = {"pde": n_col, "ic": n_ic, "bc": n_ic}
+    lambdas = {"pde": 180.0, "ic": 80.0, "bc": 80.0}
+    layers = [3] + [32] * 4 + [1]
+    print(f"mesh-64 config: n_col={n_col}, layers={layers}, "
+          f"epochs={args.epochs}", file=sys.stderr, flush=True)
+
+    variants = {
+        "base": {},
+        "fourier": {"ff": 64},
+        "rad": {"rad": 3.0},
+        "adaptive": {"aw": 100},
+        "fourier+rad": {"ff": 64, "rad": 3.0},
+        "all": {"ff": 64, "rad": 3.0, "aw": 100},
+    }
+
+    rows = []
+    for name, cfg in variants.items():
+        model = PINN(layers, problem, domain, activation="tanh", seed=1234,
+                     fourier_features=cfg.get("ff", 0), fourier_scale=1.0)
+        t0 = time.time()
+        h = model.train(
+            batch, args.epochs, 1e-4, lambdas,
+            adaptive_oversample=cfg.get("rad", 0.0),
+            adaptive_weights_every=cfg.get("aw", 0),
+        )
+        wall = time.time() - t0
+        rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
+        row = {
+            "variant": name, "epochs": len(h["total_loss"]),
+            "train_time_s": round(wall, 2),
+            "epochs_per_sec": round(len(h["total_loss"]) / wall, 1),
+            "final_loss": h["total_loss"][-1],
+            "rel_l2": rel, "l2": l2, "max_error": mx,
+        }
+        rows.append(row)
+        print(row, file=sys.stderr, flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"saved {args.out}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -210,3 +210,121 @@ def test_warm_start_respects_changed_lr():
     # Unchanged lr keeps the carried value (continuation semantics).
     model.train(args[0], args[1], 5e-5, args[2], warm_start=True)
     assert float(model._carry_state.lr) == np.float32(5e-5)
+
+
+def test_chunked_scan_matches_monolithic():
+    """Chunked training (scan_chunk) threads one carry state through
+    consecutive scans, so the epoch sequence is bit-identical to a single
+    monolithic scan of the same total length."""
+    args = ({"pde": 64, "ic": 16, "bc": 16}, 60, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    mono = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=7)
+    h_mono = mono.train(*args, scan_chunk=0)
+    chunked = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=7)
+    h_chunk = chunked.train(*args, scan_chunk=25)  # 25 + 25 + ragged 10
+    np.testing.assert_array_equal(
+        np.asarray(h_mono["total_loss"]), np.asarray(h_chunk["total_loss"])
+    )
+    for pm, pc in zip(jax.tree.leaves(mono.params),
+                      jax.tree.leaves(chunked.params)):
+        np.testing.assert_array_equal(np.asarray(pm), np.asarray(pc))
+
+
+def test_chunked_early_stop_skips_remaining_chunks():
+    """With an impossible min_delta and patience inside the first chunk,
+    later chunks never execute: only the first chunk's epochs reach the
+    device (history is still truncated at the trigger epoch)."""
+    from airpollution_tpu.models import pinn as pinn_mod
+
+    pinn_mod._TRAIN_FN_CACHE.clear()
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=8)
+    history = model.train(
+        {"pde": 64, "ic": 16, "bc": 16},
+        epochs=300,
+        lr=1e-3,
+        lambda_weights={"pde": 1.0, "ic": 1.0, "bc": 1.0},
+        early_stopping_patience=5,
+        early_stopping_min_delta=1e10,
+        scan_chunk=20,
+    )
+    assert len(history["total_loss"]) == 6  # 1 improving + 5 patience
+    # Only the length-20 chunk program was ever built for this config.
+    lengths = {k[4] for k in pinn_mod._TRAIN_FN_CACHE
+               if k[2] == (("bc", 16), ("ic", 16), ("pde", 64))}
+    assert lengths == {20}
+
+
+def test_es_params_are_traced_not_compiled_in():
+    """Different early-stopping settings share one compiled program (the
+    patience/min_delta are traced scalars)."""
+    from airpollution_tpu.models import pinn as pinn_mod
+
+    pinn_mod._TRAIN_FN_CACHE.clear()
+    args = ({"pde": 32, "ic": 8, "bc": 8}, 10, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    m = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=9)
+    m.train(*args, early_stopping_patience=0)
+    m.train(*args, early_stopping_patience=3, early_stopping_min_delta=1e-3)
+    m.train(*args, early_stopping_patience=7)
+    assert len(pinn_mod._TRAIN_FN_CACHE) == 1
+
+
+def test_fourier_features_forward_and_frozen():
+    """The random Fourier embedding is part of params but frozen: Adam
+    never moves B, and first/second derivatives flow through it."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=11,
+                 fourier_features=16, fourier_scale=2.0)
+    assert "B" in model.params[0]
+    assert model.params[0]["B"].shape == (3, 16)
+    assert model.params[1]["W"].shape == (32, 8)
+    out = model.forward(jnp.zeros((5, 3)))
+    assert out.shape == (5, 1)
+    B0 = np.asarray(model.params[0]["B"]).copy()
+    model.train({"pde": 32, "ic": 8, "bc": 8}, 5, 1e-3,
+                {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    np.testing.assert_array_equal(B0, np.asarray(model.params[0]["B"]))
+    res = model.compute_pde_residual(jnp.ones((4, 3)))
+    assert np.isfinite(np.asarray(res)).all()
+
+
+def test_rad_select_concentrates_on_high_weight():
+    from airpollution_tpu.models.pinn import rad_select
+
+    w = jnp.ones(1000).at[:100].set(100.0)  # 10% of points, ~92% of mass
+    idx = np.asarray(rad_select(jax.random.PRNGKey(0), w, 200))
+    assert len(set(idx.tolist())) == 200  # without replacement
+    assert np.mean(idx < 100) > 0.35  # hot region heavily sampled
+    # Uniform weights stay uniform-ish (no collapse).
+    idx_u = np.asarray(rad_select(jax.random.PRNGKey(1), jnp.ones(1000), 200))
+    assert np.mean(idx_u < 100) < 0.25
+
+
+def test_adaptive_sampling_trains():
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=12)
+    h = model.train({"pde": 64, "ic": 16, "bc": 16}, 30, 1e-3,
+                    {"pde": 1.0, "ic": 1.0, "bc": 1.0},
+                    adaptive_oversample=3.0)
+    assert len(h["total_loss"]) == 30
+    assert np.isfinite(np.asarray(h["total_loss"])).all()
+
+
+def test_adaptive_weights_move_toward_grad_balance():
+    """With adaptive_weights_every, the carried lam_ic/lam_bc leave their
+    seeded values and the run stays finite; with it off they stay put."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=13)
+    h = model.train({"pde": 64, "ic": 16, "bc": 16}, 30, 1e-3,
+                    {"pde": 2.0, "ic": 10.0, "bc": 10.0},
+                    adaptive_weights_every=10)
+    assert np.isfinite(np.asarray(h["total_loss"])).all()
+    lam_ic = float(model._carry_state.lam_ic)
+    lam_bc = float(model._carry_state.lam_bc)
+    assert lam_ic != pytest.approx(5.0)  # moved off the 10/2 seed
+    assert lam_bc != pytest.approx(5.0)
+    assert lam_ic > 0 and lam_bc > 0
+    assert int(model._carry_state.step) == 30
+
+    off = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=13)
+    off.train({"pde": 64, "ic": 16, "bc": 16}, 30, 1e-3,
+              {"pde": 2.0, "ic": 10.0, "bc": 10.0})
+    assert float(off._carry_state.lam_ic) == pytest.approx(5.0)
+    assert float(off._carry_state.lam_bc) == pytest.approx(5.0)
