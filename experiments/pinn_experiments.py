@@ -41,6 +41,15 @@ def main(argv=None):
                         default=common.MESH_SIZES)
     parser.add_argument("--profile_dir", type=str, default="",
                         help="Write a jax.profiler trace of training here")
+    # Beyond-reference accuracy levers (see PINN.train / README; measured
+    # effects in results_snapshot/pinn_accuracy_levers.csv).
+    parser.add_argument("--fourier_features", type=int, default=0,
+                        help="Random Fourier embedding size (0 = off)")
+    parser.add_argument("--fourier_scale", type=float, default=1.0)
+    parser.add_argument("--adaptive_oversample", type=float, default=0.0,
+                        help="RAD collocation oversampling ratio (>1 = on)")
+    parser.add_argument("--adaptive_weights_every", type=int, default=0,
+                        help="Grad-norm adaptive loss weights period (0 = off)")
     args = parser.parse_args(argv)
 
     unknown = set(args.mesh_sizes) - set(common.MESH_SIZES)
@@ -78,7 +87,9 @@ def main(argv=None):
         batch_sizes = common.collocation_budget(mesh_data.number_of_segments)
 
         model = PINN(layers, problem, domain, activation=args.activation,
-                     seed=common.SEED)
+                     seed=common.SEED,
+                     fourier_features=args.fourier_features,
+                     fourier_scale=args.fourier_scale)
         print(f"Training for mesh size {mesh_size} ...")
 
         start_time = time.time()
@@ -87,6 +98,8 @@ def main(argv=None):
                 batch_sizes, epochs, lr, common.LAMBDA_WEIGHTS,
                 early_stopping_patience=patience,
                 restore_best_weights=args.restore_best_weights,
+                adaptive_oversample=args.adaptive_oversample,
+                adaptive_weights_every=args.adaptive_weights_every,
             )
         train_time = time.time() - start_time
         result_history[f"mesh_size_{mesh_size}"] = history
