@@ -200,7 +200,8 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
 
 def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
-                  collect_iters=False, matvec=None, ka_matvec=None):
+                  collect_iters=False, matvec=None, ka_matvec=None,
+                  differentiable=False):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -214,7 +215,17 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     parameter sweeps (airpollution_tpu.parallel.sweep — ``problem`` may
     carry traced ``D``/``v``), and the row-sharded multi-chip path
     (airpollution_tpu.parallel.fem_shard passes a collective ``matvec``).
+
+    ``differentiable=True`` wraps each step's solve in
+    ``lax.custom_linear_solve`` (ops/linalg.differentiable_solve) so
+    ``jax.grad`` flows through the entire time loop to the problem's
+    physical parameters — the basis of the inverse-problem API
+    (airpollution_tpu.diagnostics.inverse). Identical primal numerics;
+    incompatible with ``collect_iters``.
     """
+    if differentiable and collect_iters:
+        raise ValueError("differentiable=True cannot collect iteration "
+                         "counts (the solve is an implicit primitive)")
     md = mesh_data
     midpoints = md.midpoints
     bmask = md.boundary_mask
@@ -237,10 +248,20 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
 
     def step(u, t):
         b = rhs(u, t)
-        res = linalg.bicgstab(
-            matvec, b, x0=jnp.where(bmask, 0.0, u),
-            tol=tol, maxiter=maxiter, precond=precond,
-        )
+        x0 = jnp.where(bmask, 0.0, u)
+        if differentiable:
+            u_new = linalg.differentiable_solve(
+                matvec, b, x0=x0, tol=tol, maxiter=maxiter, precond=precond,
+            )
+            res = linalg.SolveResult(
+                x=u_new, iterations=jnp.int32(0),
+                residual_norm=jnp.zeros((), u_new.dtype),
+            )
+        else:
+            res = linalg.bicgstab(
+                matvec, b, x0=x0,
+                tol=tol, maxiter=maxiter, precond=precond,
+            )
         u_new = res.x
         t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)

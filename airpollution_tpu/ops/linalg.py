@@ -212,6 +212,46 @@ def gmres(
     )
 
 
+def differentiable_solve(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 1000,
+    precond: Optional[Callable] = None,
+) -> jax.Array:
+    """BiCGStab solve wrapped in ``lax.custom_linear_solve``.
+
+    The Krylov loops use ``lax.while_loop`` (not reverse-differentiable),
+    so plain ``jax.grad`` through a solve would fail. This wrapper makes
+    the solve differentiable by the implicit function theorem: the VJP of
+    ``x = A^{-1} b`` is one solve with ``A^T`` (JAX derives the transposed
+    matvec from the linear ``matvec`` automatically), and gradients flow
+    to everything ``matvec`` closes over — e.g. the assembled operator's
+    dependence on D and v. This is what enables ``jax.grad`` through the
+    whole CRBE time loop for inverse problems (see
+    airpollution_tpu/diagnostics/inverse.py), which the reference's
+    SuperLU path fundamentally cannot do.
+
+    The Jacobi preconditioner reuses ``precond`` for the transposed system
+    (diag(A^T) == diag(A)). Gradient accuracy is bounded by ``tol``.
+    """
+
+    def solve(mv, rhs):
+        return bicgstab(mv, rhs, x0=x0, tol=tol, maxiter=maxiter,
+                        precond=precond).x
+
+    def transpose_solve(vecmat, cotangent):
+        # vecmat(y) == A^T y; same Jacobi preconditioner applies.
+        return bicgstab(vecmat, cotangent, tol=tol, maxiter=maxiter,
+                        precond=precond).x
+
+    return jax.lax.custom_linear_solve(
+        matvec, b, solve, transpose_solve=transpose_solve
+    )
+
+
 def jacobi_preconditioner(diag: jax.Array) -> Callable:
     """Diagonal (Jacobi) preconditioner M^{-1} r = r / diag."""
     inv = 1.0 / diag

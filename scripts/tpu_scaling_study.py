@@ -1,0 +1,79 @@
+"""Large-mesh scaling study: CRBE scan+stencil path from 256^2 to 1024^2.
+
+The fused VMEM-resident solver tops out near 276^2 (48 canvases); beyond
+that the scan+stencil path streams coefficients from HBM and has no size
+ceiling until HBM itself. This script measures warm steps/s, DOF
+throughput and solution sanity per mesh size and appends to
+results_snapshot/crbe_scaling.csv.
+
+Run on TPU in the background (one remote compile per size, minutes each):
+
+    python scripts/tpu_scaling_study.py [--sizes 256 384 512 768 1024]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.crbe import CRBESolver
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*",
+                    default=[256, 384, 512, 768, 1024])
+    ap.add_argument("--nt", type=int, default=1001)
+    ap.add_argument("--out", default="results_snapshot/crbe_scaling.csv")
+    args = ap.parse_args()
+
+    domain, problem = apt.Domain(), apt.Problem()
+    rows = []
+    for ms in args.sizes:
+        t0 = time.time()
+        md = apt.MeshData(apt.create_mesh(ms, 20.0), domain, nt=args.nt)
+        setup = time.time() - t0
+        n = md.number_of_segments
+        print(f"ms={ms}: {n} DOFs, setup {setup:.1f}s",
+              file=sys.stderr, flush=True)
+
+        solver = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                            solver_tol=1e-7, solver_maxiter=50)
+        t0 = time.time()
+        solver.solve(store_solutions=False)
+        cold = time.time() - t0
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            solver.solve(store_solutions=False)
+            times.append(time.time() - t0)
+        warm = min(times)
+        steps = args.nt - 1
+        rel, l2, mx = solver.compute_errors(problem.analytical_solution)
+        row = {
+            "mesh_size": ms, "n_dofs": n, "nt": args.nt,
+            "setup_s": round(setup, 2), "cold_s": round(cold, 2),
+            "warm_s": round(warm, 4),
+            "steps_per_sec": round(steps / warm, 1),
+            "dof_steps_per_sec": round(n * steps / warm, 0),
+            "rel_l2": rel, "max_error": mx,
+        }
+        rows.append(row)
+        print(row, file=sys.stderr, flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"saved {args.out}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
