@@ -221,7 +221,11 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     ``jax.grad`` flows through the entire time loop to the problem's
     physical parameters — the basis of the inverse-problem API
     (airpollution_tpu.diagnostics.inverse). Identical primal numerics;
-    incompatible with ``collect_iters``.
+    incompatible with ``collect_iters``. The step is additionally
+    ``jax.checkpoint``-ed so the reverse pass stores only the per-step
+    carry (one field vector) instead of every solve's residuals — the
+    standard remat trade (re-solve each step once in the backward sweep)
+    that keeps 256^2-scale adjoints comfortably inside HBM.
     """
     if differentiable and collect_iters:
         raise ValueError("differentiable=True cannot collect iteration "
@@ -272,7 +276,8 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         return u_new, out
 
     ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
-    u_final, outs = jax.lax.scan(step, u0, ts)
+    step_fn = jax.checkpoint(step) if differentiable else step
+    u_final, outs = jax.lax.scan(step_fn, u0, ts)
     if collect_iters:
         snaps, iters = outs
     else:

@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--n_jobs", type=int, default=0,
                         help="0 = os.cpu_count() threads")
+    parser.add_argument("--search_levers", type=common.str2bool,
+                        default=False,
+                        help="Also search the beyond-reference accuracy "
+                             "levers (fourier_features, adaptive_oversample)")
     args = parser.parse_args(argv)
 
     np.random.seed(common.SEED)
@@ -61,8 +65,19 @@ def main(argv=None):
         layers = [3] + [args.width] * DEPTH + [1]
         lambda_weights = {"pde": lambda_pde, "ic": lambda_ic_bc,
                           "bc": lambda_ic_bc}
+        fourier, oversample = 0, 0.0
+        if args.search_levers:
+            # Categorical sizes keep the compile count bounded (each
+            # fourier size / oversample ratio is its own program).
+            fourier = trial.suggest_categorical(
+                "fourier_features", [0, 32, 64, 128]
+            )
+            oversample = trial.suggest_categorical(
+                "adaptive_oversample", [0.0, 2.0, 3.0]
+            )
         model = PINN(layers, problem, domain, activation=ACTIVATION,
-                     seed=common.SEED + trial.number)
+                     seed=common.SEED + trial.number,
+                     fourier_features=fourier)
         try:
             start_time = time.time()
             model.train(
@@ -70,6 +85,7 @@ def main(argv=None):
                 early_stopping_patience=1000,
                 early_stopping_min_delta=1e-7,
                 restore_best_weights=True,
+                adaptive_oversample=oversample,
             )
             _, l2_error, max_error = model.compute_errors(
                 mesh_data, problem.analytical_solution
