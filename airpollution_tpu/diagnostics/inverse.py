@@ -10,14 +10,24 @@ theorem — the VJP is one transposed BiCGStab solve per step,
 ops/linalg.differentiable_solve), and the time loop is a ``lax.scan``, so
 ``jax.grad`` of any observation functional with respect to the physical
 parameters is exact to solver tolerance and runs in one compiled program.
+On structured meshes the forward AND adjoint matvecs use the gather-free
+stencil formulation (``jax.linear_transpose`` of the roll-based SpMV).
 
-Typical use — estimate the diffusion coefficient from a final-time field:
+Identifiability note: a single final-time field under-determines the joint
+(D, v) problem (a translated plume can be partially explained by either),
+so ``fit_parameters`` defaults to trajectory observations — a handful of
+solution snapshots — which pin the advection velocity. Typical use:
 
-    u_obs = inverse.solve_final_state(Problem(D=0.3), mesh_data)
-    D_est, losses = inverse.fit_diffusion(u_obs, mesh_data, D0=0.05)
+    idx = list(range(16, 128, 16))
+    obs = inverse.solve_snapshots(Problem(v=(0.8, 0.6), D=0.25), md,
+                                  indices=idx)
+    params, losses = inverse.fit_parameters(
+        obs, md, make_problem, init, snapshot_indices=idx)
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,14 +37,14 @@ from airpollution_tpu.models.crbe import assemble, run_time_loop
 from airpollution_tpu.problems import Problem
 
 
-def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
-                      stiffness_convention: str = "correct",
-                      tol: float = 1e-9, maxiter: int = 200):
-    """Differentiable CRBE solve returning the boundary-lifted final state.
+def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
+           tol, maxiter, store_solutions):
+    """Differentiable solve; (nt, n) when storing, (1, n) otherwise.
 
-    Pure and traceable in ``problem`` (a pytree): assembly, time stepping
-    and boundary data all see the traced D/v/sigma leaves, so this
-    composes with ``jax.grad``, ``jax.jit`` and ``jax.vmap``.
+    Traceable in ``problem`` (a pytree). Structured meshes run the
+    whole loop in family-grid layout with the gather-free stencil matvec
+    (the ELL gather is ~20x slower on TPU, ops/stencil.py) — same
+    permute-in/permute-out scheme as CRBESolver._build_solve_fn.
     """
     md = mesh_data
     # Static python float (crbe.py:233 semantics) — md.time_discr would be
@@ -43,33 +53,104 @@ def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
     ops = assemble(md, problem, dt, time_scheme_order,
                    stiffness_convention)
     u0 = problem.initial_condition_fn(md.midpoints)
-    sols, _ = run_time_loop(
-        ops, u0, mesh_data=md, problem=problem, dt=dt,
-        order=time_scheme_order, tol=tol, maxiter=maxiter,
-        store_solutions=False, differentiable=True,
+    base = dict(problem=problem, dt=dt, order=time_scheme_order, tol=tol,
+                maxiter=maxiter, store_solutions=store_solutions,
+                differentiable=True)
+
+    if getattr(md, "structured_n", None) is None:
+        sols, _ = run_time_loop(ops, u0, mesh_data=md, **base)
+        return sols
+
+    from airpollution_tpu.ops import stencil as stencil_mod
+
+    pattern = getattr(md, "_inverse_stencil_pattern", None)
+    if pattern is None:
+        pattern = stencil_mod.build_stencil_pattern(
+            md._host_t2s, md._host_ell_cols, md.structured_n
+        )
+        md._inverse_stencil_pattern = pattern
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    coeffs = stencil_mod.extract_coefficients(pattern, ops.system.vals)
+    matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
+    if time_scheme_order == 2:
+        ka_coeffs = stencil_mod.extract_coefficients(pattern, ops.ka.vals)
+        ka_matvec = partial(stencil_mod.stencil_matvec, pattern, ka_coeffs)
+    else:
+        ka_matvec = None
+
+    class _FamView:
+        midpoints = md.midpoints[perm]
+        boundary_mask = md.boundary_mask[perm]
+        nt = md.nt
+
+    ops_fam = ops._replace(
+        mass_diag=ops.mass_diag[perm], system_diag=ops.system_diag[perm]
     )
-    return sols[0]
+    sols_fam, _ = run_time_loop(ops_fam, u0[perm], mesh_data=_FamView,
+                                matvec=matvec, ka_matvec=ka_matvec, **base)
+    return sols_fam[:, inv]
 
 
-def fit_parameters(observed_final, mesh_data, make_problem, init_params,
-                   *, steps: int = 100, lr: float = 0.1,
-                   time_scheme_order: int = 1, tol: float = 1e-9,
-                   maxiter: int = 200):
-    """Gradient-descent fit of physical parameters to an observed field.
+def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
+                      stiffness_convention: str = "correct",
+                      tol: float = 1e-9, maxiter: int = 200):
+    """Differentiable CRBE solve returning the boundary-lifted final state.
+
+    Pure and traceable in ``problem``: composes with ``jax.grad``,
+    ``jax.jit`` and ``jax.vmap``.
+    """
+    return _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
+                  stiffness_convention=stiffness_convention, tol=tol,
+                  maxiter=maxiter, store_solutions=False)[0]
+
+
+def solve_snapshots(problem, mesh_data, *, indices=None,
+                    time_scheme_order: int = 1,
+                    stiffness_convention: str = "correct",
+                    tol: float = 1e-9, maxiter: int = 200):
+    """Differentiable solve returning solution snapshots.
+
+    ``indices`` selects time rows (default: all nt). Trajectory
+    observations make the joint (D, v) estimation well-posed.
+    """
+    sols = _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
+                  stiffness_convention=stiffness_convention, tol=tol,
+                  maxiter=maxiter, store_solutions=True)
+    if indices is None:
+        return sols
+    return sols[jnp.asarray(indices)]
+
+
+def fit_parameters(observed, mesh_data, make_problem, init_params,
+                   *, snapshot_indices=None, steps: int = 100,
+                   lr: float = 0.1, time_scheme_order: int = 1,
+                   tol: float = 1e-9, maxiter: int = 200):
+    """Gradient-descent fit of physical parameters to observations.
 
     ``make_problem(params)`` maps the optimization pytree to a problem
     instance (apply positivity transforms there, e.g. ``D = exp(log_d)``).
-    Minimizes the mean squared misfit of the final-time state with Adam.
-    Returns ``(params, losses)``.
+    ``observed`` is the final-time field (n,) by default, or the
+    ``(len(snapshot_indices), n)`` trajectory when ``snapshot_indices`` is
+    given. Minimizes the mean squared misfit with Adam. Returns
+    ``(params, losses)``.
     """
-    observed = jnp.asarray(observed_final)
+    observed = jnp.asarray(observed)
 
-    def loss_fn(params):
-        u = solve_final_state(
-            make_problem(params), mesh_data,
+    def predict(params):
+        p = make_problem(params)
+        if snapshot_indices is None:
+            return solve_final_state(
+                p, mesh_data, time_scheme_order=time_scheme_order,
+                tol=tol, maxiter=maxiter,
+            )
+        return solve_snapshots(
+            p, mesh_data, indices=snapshot_indices,
             time_scheme_order=time_scheme_order, tol=tol, maxiter=maxiter,
         )
-        return jnp.mean((u - observed) ** 2)
+
+    def loss_fn(params):
+        return jnp.mean((predict(params) - observed) ** 2)
 
     opt = optax.adam(lr)
 

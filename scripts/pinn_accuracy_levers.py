@@ -28,14 +28,17 @@ import airpollution_tpu as apt
 from airpollution_tpu.models.pinn import PINN
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=4000)
+    ap.add_argument("--mesh_size", type=int, default=64)
+    ap.add_argument("--variants", type=str, nargs="*", default=None,
+                    help="Subset of variant names to run (default: all)")
     ap.add_argument("--out", default="results_snapshot/pinn_accuracy_levers.csv")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     domain, problem = apt.Domain(), apt.Problem()
-    md = apt.MeshData(apt.create_mesh(64, 20.0), domain, nt=128)
+    md = apt.MeshData(apt.create_mesh(args.mesh_size, 20.0), domain, nt=128)
     n_col = round(md.number_of_segments / 1.4)
     n_ic = round(0.2 * n_col)
     batch = {"pde": n_col, "ic": n_ic, "bc": n_ic}
@@ -52,6 +55,12 @@ def main():
         "fourier+rad": {"ff": 64, "rad": 3.0},
         "all": {"ff": 64, "rad": 3.0, "aw": 100},
     }
+
+    if args.variants:
+        unknown = set(args.variants) - set(variants)
+        if unknown:
+            raise SystemExit(f"unknown variants {sorted(unknown)}")
+        variants = {k: v for k, v in variants.items() if k in args.variants}
 
     rows = []
     for name, cfg in variants.items():
@@ -81,6 +90,7 @@ def main():
         w.writeheader()
         w.writerows(rows)
     print(f"saved {args.out}", file=sys.stderr, flush=True)
+    return rows
 
 
 if __name__ == "__main__":

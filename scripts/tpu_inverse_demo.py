@@ -1,9 +1,12 @@
-"""TPU inverse-problem demo: recover D and v from a final-time field.
+"""TPU inverse-problem demo: recover D and v from solution snapshots.
 
 Runs the differentiable CRBE solve (diagnostics/inverse.py) at the study's
-working resolution (64^2 mesh, nt=128): generates synthetic observations
-with hidden parameters, then recovers (D, v) jointly by Adam on the
-adjoint gradients. Appends results to results_snapshot/inverse_demo.csv.
+working resolution (64^2 mesh, nt=128): generates a synthetic observed
+trajectory (7 snapshots) with hidden parameters, then recovers (D, v)
+jointly by Adam on the adjoint gradients. Final-time-only observations
+under-determine the joint problem (measured: D drifted to 0.44, v
+diverged); trajectory snapshots pin the advection velocity. Writes
+results_snapshot/inverse_demo.csv.
 
     python scripts/tpu_inverse_demo.py
 """
@@ -28,8 +31,10 @@ def main():
           file=sys.stderr, flush=True)
 
     true = {"D": 0.25, "v": (0.8, 0.6)}
-    u_obs = inverse.solve_final_state(
-        Problem(v=true["v"], D=true["D"]), md, tol=1e-8, maxiter=60
+    idx = list(range(16, 128, 16)) + [127]
+    u_obs = inverse.solve_snapshots(
+        Problem(v=true["v"], D=true["D"]), md, indices=idx,
+        tol=1e-8, maxiter=60,
     )
 
     def make_problem(params):
@@ -39,8 +44,8 @@ def main():
             "v": jnp.asarray([1.5, -0.2])}
     t0 = time.time()
     params, losses = inverse.fit_parameters(
-        u_obs, md, make_problem, init, steps=150, lr=0.05,
-        tol=1e-8, maxiter=60,
+        u_obs, md, make_problem, init, snapshot_indices=idx,
+        steps=150, lr=0.05, tol=1e-8, maxiter=60,
     )
     wall = time.time() - t0
     D_est = float(jnp.exp(params["log_d"]))

@@ -61,3 +61,32 @@ def test_problem3_script_smoke(in_tmp_dir):
 
     l2, mx = problem3.main(["--epochs", "3", "--m_size", "8"])
     assert np.isfinite(l2) and np.isfinite(mx)
+
+
+def test_accuracy_levers_script_smoke(in_tmp_dir):
+    from scripts import pinn_accuracy_levers
+
+    rows = pinn_accuracy_levers.main([
+        "--epochs", "2", "--mesh_size", "6",
+        "--variants", "base", "all",
+        "--out", "out/levers.csv",
+    ])
+    assert {r["variant"] for r in rows} == {"base", "all"}
+    assert all(np.isfinite(r["rel_l2"]) for r in rows)
+    assert os.path.exists("out/levers.csv")
+
+
+def test_scaling_script_smoke(in_tmp_dir):
+    from scripts import tpu_scaling_study
+
+    # Tiny size/horizon so the scan path runs in seconds on CPU.
+    import sys
+    argv_backup = sys.argv
+    sys.argv = ["x", "--sizes", "6", "--nt", "4", "--out", "out/scal.csv"]
+    try:
+        tpu_scaling_study.main()
+    finally:
+        sys.argv = argv_backup
+    df = pd.read_csv("out/scal.csv")
+    assert df.loc[0, "mesh_size"] == 6
+    assert np.isfinite(df.loc[0, "rel_l2"])

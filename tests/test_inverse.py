@@ -73,3 +73,28 @@ def test_differentiable_primal_matches_plain_solver():
         inverse.solve_final_state(Problem(), md, tol=1e-12, maxiter=200)
     )
     np.testing.assert_allclose(u_diff, u_plain, atol=1e-10)
+
+
+def test_joint_dv_recovery_from_trajectory():
+    """Final-time-only observations under-determine (D, v); trajectory
+    snapshots make the joint fit well-posed. Recover both from a far-off
+    start on a small mesh."""
+    md = _mesh(ms=8, nt=16)
+    idx = [4, 8, 12, 15]
+    obs = inverse.solve_snapshots(Problem(v=(0.8, 0.6), D=0.25), md,
+                                  indices=idx)
+
+    def make_problem(params):
+        return Problem(v=params["v"], D=jnp.exp(params["log_d"]))
+
+    init = {"log_d": jnp.log(jnp.asarray(0.05)),
+            "v": jnp.asarray([1.5, -0.2])}
+    params, losses = inverse.fit_parameters(
+        obs, md, make_problem, init, snapshot_indices=idx,
+        steps=250, lr=0.05,
+    )
+    assert losses[-1] < losses[0] * 1e-4
+    np.testing.assert_allclose(float(jnp.exp(params["log_d"])), 0.25,
+                               rtol=0.1)
+    np.testing.assert_allclose(np.asarray(params["v"]), [0.8, 0.6],
+                               atol=0.1)
