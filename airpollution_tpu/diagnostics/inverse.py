@@ -27,8 +27,6 @@ solution snapshots — which pin the advection velocity. Typical use:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -63,31 +61,14 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     from airpollution_tpu.ops import stencil as stencil_mod
 
-    pattern = getattr(md, "_inverse_stencil_pattern", None)
-    if pattern is None:
-        pattern = stencil_mod.build_stencil_pattern(
-            md._host_t2s, md._host_ell_cols, md.structured_n
-        )
-        md._inverse_stencil_pattern = pattern
+    pattern = stencil_mod.get_pattern(md)
+    fam_view = stencil_mod.family_view(md, pattern)
+    ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
+        pattern, ops, time_scheme_order
+    )
     perm = jnp.asarray(pattern.perm)
     inv = jnp.asarray(pattern.inv_perm)
-    coeffs = stencil_mod.extract_coefficients(pattern, ops.system.vals)
-    matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
-    if time_scheme_order == 2:
-        ka_coeffs = stencil_mod.extract_coefficients(pattern, ops.ka.vals)
-        ka_matvec = partial(stencil_mod.stencil_matvec, pattern, ka_coeffs)
-    else:
-        ka_matvec = None
-
-    class _FamView:
-        midpoints = md.midpoints[perm]
-        boundary_mask = md.boundary_mask[perm]
-        nt = md.nt
-
-    ops_fam = ops._replace(
-        mass_diag=ops.mass_diag[perm], system_diag=ops.system_diag[perm]
-    )
-    sols_fam, _ = run_time_loop(ops_fam, u0[perm], mesh_data=_FamView,
+    sols_fam, _ = run_time_loop(ops_fam, u0[perm], mesh_data=fam_view,
                                 matvec=matvec, ka_matvec=ka_matvec, **base)
     return sols_fam[:, inv]
 
@@ -122,10 +103,17 @@ def solve_snapshots(problem, mesh_data, *, indices=None,
     return sols[jnp.asarray(indices)]
 
 
+# Jitted fit-step cache: the forward+adjoint program takes minutes to
+# compile through the remote TPU tunnel, so repeated fits (multi-start,
+# sweeps, warm-up-then-time) must reuse it. Keyed by the caller-supplied
+# ``cache_key`` plus everything that changes the traced program.
+_FIT_STEP_CACHE: dict = {}
+
+
 def fit_parameters(observed, mesh_data, make_problem, init_params,
                    *, snapshot_indices=None, steps: int = 100,
                    lr: float = 0.1, time_scheme_order: int = 1,
-                   tol: float = 1e-9, maxiter: int = 200):
+                   tol: float = 1e-9, maxiter: int = 200, cache_key=None):
     """Gradient-descent fit of physical parameters to observations.
 
     ``make_problem(params)`` maps the optimization pytree to a problem
@@ -134,37 +122,56 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
     ``(len(snapshot_indices), n)`` trajectory when ``snapshot_indices`` is
     given. Minimizes the mean squared misfit with Adam. Returns
     ``(params, losses)``.
+
+    Pass a hashable ``cache_key`` identifying ``make_problem`` (e.g. a
+    string) to reuse the compiled forward+adjoint step across calls with
+    the same mesh, options and parameter structure — compiles are minutes
+    on the remote-compile TPU tunnel. The observed field is a traced
+    argument, so different observations share one program.
     """
     observed = jnp.asarray(observed)
+    idx = tuple(int(i) for i in snapshot_indices) \
+        if snapshot_indices is not None else None
 
     def predict(params):
         p = make_problem(params)
-        if snapshot_indices is None:
+        if idx is None:
             return solve_final_state(
                 p, mesh_data, time_scheme_order=time_scheme_order,
                 tol=tol, maxiter=maxiter,
             )
         return solve_snapshots(
-            p, mesh_data, indices=snapshot_indices,
+            p, mesh_data, indices=list(idx),
             time_scheme_order=time_scheme_order, tol=tol, maxiter=maxiter,
         )
 
-    def loss_fn(params):
-        return jnp.mean((predict(params) - observed) ** 2)
-
     opt = optax.adam(lr)
 
-    @jax.jit
-    def train_step(params, opt_state):
+    def train_step(params, opt_state, obs):
+        def loss_fn(q):
+            return jnp.mean((predict(q) - obs) ** 2)
+
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    if cache_key is not None:
+        full_key = (
+            cache_key, id(mesh_data), idx, int(time_scheme_order),
+            float(tol), int(maxiter), float(lr),
+            jax.tree_util.tree_structure(init_params),
+        )
+        if full_key not in _FIT_STEP_CACHE:
+            _FIT_STEP_CACHE[full_key] = jax.jit(train_step)
+        step_fn = _FIT_STEP_CACHE[full_key]
+    else:
+        step_fn = jax.jit(train_step)
 
     params = init_params
     opt_state = opt.init(params)
     losses = []
     for _ in range(steps):
-        params, opt_state, loss = train_step(params, opt_state)
+        params, opt_state, loss = step_fn(params, opt_state, observed)
         losses.append(float(loss))
     return params, losses
 
@@ -179,8 +186,10 @@ def fit_diffusion(observed_final, mesh_data, *, D0: float = 1.0,
         return Problem(v=v, D=jnp.exp(params["log_d"]), sigma=sigma)
 
     init = {"log_d": jnp.asarray(jnp.log(D0))}
+    key = ("fit_diffusion", tuple(float(x) for x in v), float(sigma))
     params, losses = fit_parameters(
         observed_final, mesh_data, make_problem, init,
-        steps=steps, lr=lr, **kwargs,
+        steps=steps, lr=lr, cache_key=kwargs.pop("cache_key", key),
+        **kwargs,
     )
     return float(jnp.exp(params["log_d"])), losses

@@ -82,6 +82,36 @@ def save_pinn(ckpt_dir: str, model, step: int | None = None) -> str:
     return path
 
 
+def _load_carry_with_migration(carry_path: str, like):
+    """Load a training carry, migrating legacy checkpoints.
+
+    TrainState gained three trailing scalar fields (lam_ic, lam_bc, step —
+    the adaptive-weight carry). A carry saved before that has exactly
+    three fewer leaves, all missing at the END of the flatten order
+    (NamedTuple field order), so the prefix loads verbatim and the new
+    fields keep the freshly-initialized values from ``like``.
+    """
+    try:
+        return load_pytree(carry_path, like)
+    except ValueError:
+        data = np.load(carry_path)
+        flat_like, treedef = jax.tree_util.tree_flatten(like)
+        n_saved = len([k for k in data.files if k.startswith("leaf_")])
+        if n_saved != len(flat_like) - 3:
+            raise
+        leaves = [data[f"leaf_{i}"] for i in range(n_saved)]
+        for i, (saved, target) in enumerate(zip(leaves, flat_like)):
+            if tuple(saved.shape) != tuple(np.shape(target)):
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {tuple(saved.shape)} "
+                    f"but the target expects {tuple(np.shape(target))}"
+                )
+        leaves = leaves + list(flat_like[-3:])
+        print(f"Migrated legacy carry checkpoint {carry_path} "
+              "(pre-adaptive-weights format)")
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_pinn(ckpt_dir: str, model, step: int | None = None):
     """Restore params (and the training carry if present) into ``model``."""
     tag = f"step_{step}" if step is not None else "latest"
@@ -89,7 +119,9 @@ def load_pinn(ckpt_dir: str, model, step: int | None = None):
     model.params = load_pytree(path, model.params)
     carry_path = os.path.join(ckpt_dir, f"carry_{tag}.npz")
     if model._carry_state is not None and os.path.exists(carry_path):
-        model._carry_state = load_pytree(carry_path, model._carry_state)
+        model._carry_state = _load_carry_with_migration(
+            carry_path, model._carry_state
+        )
     return model
 
 

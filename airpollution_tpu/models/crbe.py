@@ -402,10 +402,9 @@ class CRBESolver:
         if self._pattern is None:
             from airpollution_tpu.ops import stencil as stencil_mod
 
-            md = self.mesh_data
-            self._pattern = stencil_mod.build_stencil_pattern(
-                md._host_t2s, md._host_ell_cols, md.structured_n
-            )
+            # Cached on the MeshData instance, shared with the inverse
+            # module (diagnostics/inverse.py).
+            self._pattern = stencil_mod.get_pattern(self.mesh_data)
         return self._pattern
 
     def _build_solve_fn(self, store_solutions: bool, collect_iters: bool):
@@ -491,11 +490,7 @@ class CRBESolver:
 
             return jax.jit(solve_impl)
 
-        class _FamView:
-            midpoints = md.midpoints[perm]
-            boundary_mask = md.boundary_mask[perm]
-            nt = md.nt
-
+        fam_view = stencil_mod.family_view(md, pattern)
         if self.matvec_impl == "pallas":
             from airpollution_tpu.ops import pallas_stencil
 
@@ -507,26 +502,14 @@ class CRBESolver:
             apply_fn = partial(pallas_stencil.stencil_matvec_pallas,
                                interpret=jax.default_backend() != "tpu")
         else:
-            apply_fn = stencil_mod.stencil_matvec
+            apply_fn = None  # family_operators defaults to stencil_matvec
 
         def solve_impl(ops: GlobalOperators, u0):
-            coeffs = stencil_mod.extract_coefficients(
-                pattern, ops.system.vals
-            )
-            matvec = partial(apply_fn, pattern, coeffs)
-            if self.time_scheme_order == 2:
-                ka_coeffs = stencil_mod.extract_coefficients(
-                    pattern, ops.ka.vals
-                )
-                ka_matvec = partial(apply_fn, pattern, ka_coeffs)
-            else:
-                ka_matvec = None
-            ops_fam = ops._replace(
-                mass_diag=ops.mass_diag[perm],
-                system_diag=ops.system_diag[perm],
+            ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
+                pattern, ops, self.time_scheme_order, apply_fn
             )
             sols_fam, iters = run_time_loop(
-                ops_fam, u0[perm], mesh_data=_FamView, matvec=matvec,
+                ops_fam, u0[perm], mesh_data=fam_view, matvec=matvec,
                 ka_matvec=ka_matvec, **base,
             )
             return sols_fam[:, inv], iters

@@ -143,6 +143,18 @@ def count_parameters(layers):
     return sum(l1 * l2 + l2 for l1, l2 in zip(layers[:-1], layers[1:]))
 
 
+def count_trainable_parameters(params):
+    """Actual trainable parameter count from a params pytree. Excludes the
+    frozen Fourier embedding ``B`` (never updated); includes adaptive-tanh
+    alphas. Use this instead of :func:`count_parameters` whenever the model
+    was built with ``fourier_features`` (which widens the first dense layer
+    to 2m inputs, invalidating the layers-list formula)."""
+    return sum(
+        int(np.prod(v.shape))
+        for layer in params for k, v in layer.items() if k != "B"
+    )
+
+
 def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
                    bc_target, lambda_weights, mini_batch_size, activation):
     """The weighted composite PINN loss (pinn.py:182-216 semantics).
@@ -673,6 +685,14 @@ class PINN:
         divisible by the 'tp' axis size. Optimizer state carries across
         calls (fused Adam moments live in ``self._parallel_state``)."""
         from airpollution_tpu.parallel import pinn_parallel
+
+        if self.fourier_features:
+            raise NotImplementedError(
+                "train_parallel does not support fourier_features yet: the "
+                "tensor-parallel sharding specs assume dense-only layers "
+                "(parallel/pinn_parallel.py). Train serially or set "
+                "fourier_features=0."
+            )
 
         # Cache the jitted shard_map trainer like the serial path does —
         # rebuilding per call would recompile the full epoch scan on every

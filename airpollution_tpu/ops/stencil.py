@@ -182,3 +182,52 @@ def stencil_matvec(pattern: StencilPattern, coeffs: tuple, x_fam):
           + cDHu * xH[1:, :]
           + cDVl * xV[:, :c])
     return jnp.concatenate([yH.ravel(), yV.ravel(), yD.ravel()])
+
+
+def get_pattern(mesh_data) -> StencilPattern:
+    """Build (and cache on the MeshData instance) the stencil pattern."""
+    pattern = getattr(mesh_data, "_stencil_pattern", None)
+    if pattern is None:
+        pattern = build_stencil_pattern(
+            mesh_data._host_t2s, mesh_data._host_ell_cols,
+            mesh_data.structured_n,
+        )
+        mesh_data._stencil_pattern = pattern
+    return pattern
+
+
+def family_view(mesh_data, pattern: StencilPattern):
+    """Static mesh-data stand-in with fields permuted to family layout,
+    for running run_time_loop entirely in family order."""
+    perm = jnp.asarray(pattern.perm)
+
+    class _FamView:
+        midpoints = mesh_data.midpoints[perm]
+        boundary_mask = mesh_data.boundary_mask[perm]
+        nt = mesh_data.nt
+
+    return _FamView
+
+
+def family_operators(pattern: StencilPattern, ops, order: int,
+                     matvec_fn=None):
+    """Traced pieces for a family-layout time loop: permuted diagonal
+    operators plus stencil matvec closures (system, and K+A for
+    Crank-Nicolson). ``ops`` is a crbe.GlobalOperators; ``matvec_fn``
+    defaults to :func:`stencil_matvec` (pass the Pallas variant to use
+    the kernel)."""
+    import functools
+
+    mv = matvec_fn or stencil_matvec
+    perm = jnp.asarray(pattern.perm)
+    coeffs = extract_coefficients(pattern, ops.system.vals)
+    matvec = functools.partial(mv, pattern, coeffs)
+    if order == 2:
+        ka_coeffs = extract_coefficients(pattern, ops.ka.vals)
+        ka_matvec = functools.partial(mv, pattern, ka_coeffs)
+    else:
+        ka_matvec = None
+    ops_fam = ops._replace(
+        mass_diag=ops.mass_diag[perm], system_diag=ops.system_diag[perm]
+    )
+    return ops_fam, matvec, ka_matvec

@@ -19,7 +19,11 @@ import numpy as np
 import pandas as pd
 
 import airpollution_tpu as apt
-from airpollution_tpu.models.pinn import PINN, count_parameters
+from airpollution_tpu.models.pinn import (
+    PINN,
+    count_parameters,
+    count_trainable_parameters,
+)
 from airpollution_tpu.utils import memory_delta, profiler_trace
 
 from experiments import common
@@ -124,7 +128,13 @@ def main(argv=None):
             "train_time": train_time,
             "final_loss": history["total_loss"][-1],
             "number_of_collocation_points": mesh_data.number_of_segments,
-            "n_parameters": count_parameters(layers),
+            # Reference formula (pinn_experiments.py:142) for parity; the
+            # Fourier embedding widens the first dense layer, so count the
+            # real trainable pytree in that case.
+            "n_parameters": (
+                count_trainable_parameters(model.params)
+                if args.fourier_features else count_parameters(layers)
+            ),
             "gpu_memory_usage_MB": mem["gpu_memory_usage_MB"],
             "cpu_memory_usage_MB": mem["cpu_memory_usage_MB"],
             # TPU-native extras.

@@ -47,6 +47,7 @@ def main(argv=None):
     print(f"mesh-64 config: n_col={n_col}, layers={layers}, "
           f"epochs={args.epochs}", file=sys.stderr, flush=True)
 
+    flat = {"pde": 1.0, "ic": 1.0, "bc": 1.0}
     variants = {
         "base": {},
         "fourier": {"ff": 64},
@@ -54,6 +55,9 @@ def main(argv=None):
         "adaptive": {"aw": 100},
         "fourier+rad": {"ff": 64, "rad": 3.0},
         "all": {"ff": 64, "rad": 3.0, "aw": 100},
+        # Untuned-weights pair: the annealing scheme's intended use case.
+        "base-flat-lambdas": {"lambdas": flat},
+        "adaptive-flat-lambdas": {"aw": 100, "lambdas": flat},
     }
 
     if args.variants:
@@ -64,20 +68,35 @@ def main(argv=None):
 
     rows = []
     for name, cfg in variants.items():
-        model = PINN(layers, problem, domain, activation="tanh", seed=1234,
-                     fourier_features=cfg.get("ff", 0), fourier_scale=1.0)
+        lams = cfg.get("lambdas", lambdas)
+
+        def build():
+            return PINN(layers, problem, domain, activation="tanh",
+                        seed=1234, fourier_features=cfg.get("ff", 0),
+                        fourier_scale=1.0)
+
+        def run(model, epochs):
+            return model.train(
+                batch, epochs, 1e-4, lams,
+                adaptive_oversample=cfg.get("rad", 0.0),
+                adaptive_weights_every=cfg.get("aw", 0),
+            )
+
+        # Warm-up on a throwaway model: compiles the chunk-length trainer
+        # (CLAUDE.md rule — timing must never include a fresh compile; the
+        # chunked trainer means one scan-chunk program covers any total).
+        from airpollution_tpu.models.pinn import _DEFAULT_SCAN_CHUNK
+        run(build(), min(args.epochs, _DEFAULT_SCAN_CHUNK))
+
+        model = build()
         t0 = time.time()
-        h = model.train(
-            batch, args.epochs, 1e-4, lambdas,
-            adaptive_oversample=cfg.get("rad", 0.0),
-            adaptive_weights_every=cfg.get("aw", 0),
-        )
+        h = run(model, args.epochs)
         wall = time.time() - t0
         rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
         row = {
             "variant": name, "epochs": len(h["total_loss"]),
-            "train_time_s": round(wall, 2),
-            "epochs_per_sec": round(len(h["total_loss"]) / wall, 1),
+            "warm_train_time_s": round(wall, 2),
+            "warm_epochs_per_sec": round(len(h["total_loss"]) / wall, 1),
             "final_loss": h["total_loss"][-1],
             "rel_l2": rel, "l2": l2, "max_error": mx,
         }

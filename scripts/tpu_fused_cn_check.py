@@ -5,10 +5,13 @@ solve, and cross-checks the final state against the scan-based stencil CN
 path on the same mesh. Usage: python scripts/tpu_fused_cn_check.py
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from airpollution_tpu.mesh import MeshData, create_mesh
 from airpollution_tpu.models.crbe import CRBESolver

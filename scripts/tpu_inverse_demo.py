@@ -42,10 +42,16 @@ def main():
 
     init = {"log_d": jnp.log(jnp.asarray(0.05)),
             "v": jnp.asarray([1.5, -0.2])}
+    # Warm-up: compile the forward+adjoint step (CLAUDE.md rule — never
+    # time a fresh compile); cache_key makes the timed run reuse it.
+    key = ("inverse-demo", 64)
+    inverse.fit_parameters(u_obs, md, make_problem, init,
+                           snapshot_indices=idx, steps=1, lr=0.05,
+                           tol=1e-8, maxiter=60, cache_key=key)
     t0 = time.time()
     params, losses = inverse.fit_parameters(
         u_obs, md, make_problem, init, snapshot_indices=idx,
-        steps=150, lr=0.05, tol=1e-8, maxiter=60,
+        steps=150, lr=0.05, tol=1e-8, maxiter=60, cache_key=key,
     )
     wall = time.time() - t0
     D_est = float(jnp.exp(params["log_d"]))

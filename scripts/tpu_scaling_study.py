@@ -3,8 +3,9 @@
 The fused VMEM-resident solver tops out near 276^2 (48 canvases); beyond
 that the scan+stencil path streams coefficients from HBM and has no size
 ceiling until HBM itself. This script measures warm steps/s, DOF
-throughput and solution sanity per mesh size and appends to
-results_snapshot/crbe_scaling.csv.
+throughput and solution sanity per mesh size and MERGES the rows into
+results_snapshot/crbe_scaling.csv (existing rows for other mesh sizes are
+kept; rerunning a size replaces its row).
 
 Run on TPU in the background (one remote compile per size, minutes each):
 
@@ -25,13 +26,13 @@ import airpollution_tpu as apt
 from airpollution_tpu.models.crbe import CRBESolver
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*",
                     default=[256, 384, 512, 768, 1024])
     ap.add_argument("--nt", type=int, default=1001)
     ap.add_argument("--out", default="results_snapshot/crbe_scaling.csv")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     domain, problem = apt.Domain(), apt.Problem()
     rows = []
@@ -67,12 +68,23 @@ def main():
         rows.append(row)
         print(row, file=sys.stderr, flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # Merge with any existing table so partial reruns never clobber rows
+    # for sizes they did not measure.
+    by_size = {}
+    if os.path.exists(args.out):
+        with open(args.out, newline="") as f:
+            for old in csv.DictReader(f):
+                by_size[int(old["mesh_size"])] = old
+    for row in rows:
+        by_size[int(row["mesh_size"])] = row
+    merged = [by_size[k] for k in sorted(by_size)]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader()
-        w.writerows(rows)
+        w.writerows(merged)
     print(f"saved {args.out}", file=sys.stderr, flush=True)
+    return merged
 
 
 if __name__ == "__main__":

@@ -102,3 +102,43 @@ def test_checkpoint_rejects_wrong_shapes(tmp_path):
 
     with _pytest.raises(ValueError, match="shape"):
         load_pytree(path, big)
+
+
+def test_legacy_carry_checkpoint_migration(tmp_path):
+    """A carry saved before TrainState grew (lam_ic, lam_bc, step) — three
+    trailing scalar leaves — must still load, keeping fresh defaults for
+    the new fields."""
+    import numpy as np
+    import jax
+
+    from airpollution_tpu.io import checkpoint as ckpt
+    from airpollution_tpu.models.pinn import PINN
+    from airpollution_tpu.problems import Domain, Problem
+
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=3)
+    args = ({"pde": 32, "ic": 8, "bc": 8}, 3, 1e-3,
+            {"pde": 1.0, "ic": 1.0, "bc": 1.0})
+    model.train(*args)
+    ckpt.save_pinn(str(tmp_path), model)
+
+    # Rewrite the carry as the legacy format: drop the 3 trailing leaves
+    # and invalidate the structure descriptor.
+    carry = str(tmp_path / "carry_latest.npz")
+    data = dict(np.load(carry))
+    n = len(data)
+    for i in (n - 1, n - 2, n - 3):
+        del data[f"leaf_{i}"]
+    np.savez(carry, **data)
+    with open(carry + ".tree", "w") as f:
+        f.write("legacy-structure")
+
+    model2 = PINN([3, 8, 1], Problem(), Domain(), activation="tanh", seed=4)
+    model2.train(*args)  # materialize carry structure
+    lam_before = float(model2._carry_state.lam_ic)
+    ckpt.load_pinn(str(tmp_path), model2)
+    # Prefix restored from disk, new fields kept from the live state.
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(model2._carry_state.params)[0]),
+        np.asarray(jax.tree.leaves(model.params)[0]),
+    )
+    assert float(model2._carry_state.lam_ic) == lam_before

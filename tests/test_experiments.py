@@ -80,13 +80,13 @@ def test_scaling_script_smoke(in_tmp_dir):
     from scripts import tpu_scaling_study
 
     # Tiny size/horizon so the scan path runs in seconds on CPU.
-    import sys
-    argv_backup = sys.argv
-    sys.argv = ["x", "--sizes", "6", "--nt", "4", "--out", "out/scal.csv"]
-    try:
-        tpu_scaling_study.main()
-    finally:
-        sys.argv = argv_backup
+    tpu_scaling_study.main(["--sizes", "6", "--nt", "4",
+                            "--out", "out/scal.csv"])
     df = pd.read_csv("out/scal.csv")
     assert df.loc[0, "mesh_size"] == 6
     assert np.isfinite(df.loc[0, "rel_l2"])
+    # Reruns MERGE rows by mesh size instead of clobbering the table.
+    tpu_scaling_study.main(["--sizes", "8", "--nt", "4",
+                            "--out", "out/scal.csv"])
+    df2 = pd.read_csv("out/scal.csv")
+    assert list(df2["mesh_size"]) == [6, 8]
