@@ -686,14 +686,6 @@ class PINN:
         calls (fused Adam moments live in ``self._parallel_state``)."""
         from airpollution_tpu.parallel import pinn_parallel
 
-        if self.fourier_features:
-            raise NotImplementedError(
-                "train_parallel does not support fourier_features yet: the "
-                "tensor-parallel sharding specs assume dense-only layers "
-                "(parallel/pinn_parallel.py). Train serially or set "
-                "fourier_features=0."
-            )
-
         # Cache the jitted shard_map trainer like the serial path does —
         # rebuilding per call would recompile the full epoch scan on every
         # continuation chunk.
@@ -708,7 +700,7 @@ class PINN:
             tuple(sorted(batch_sizes.items())),
             tuple(sorted(lambda_weights.items())), float(lr), int(epochs),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
-            type(self.problem), problem_leaves,
+            type(self.problem), problem_leaves, self.fourier_features,
         )
         if cache_key not in _PARALLEL_TRAIN_FN_CACHE:
             _PARALLEL_TRAIN_FN_CACHE[cache_key] = (
@@ -717,6 +709,7 @@ class PINN:
                     dict(batch_sizes), dict(lambda_weights), lr,
                     activation=self.activation, epochs=int(epochs),
                     dtype=self.dtype,
+                    fourier_features=self.fourier_features,
                 )
             )
         trainer, info = _PARALLEL_TRAIN_FN_CACHE[cache_key]

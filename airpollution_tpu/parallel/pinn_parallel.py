@@ -42,14 +42,19 @@ def _num_hidden(layers) -> int:
     return len(layers) - 2
 
 
-def tp_param_specs(layers, activation="adaptive_tanh"):
+def tp_param_specs(layers, activation="adaptive_tanh",
+                   fourier_features=0):
     """PartitionSpec pytree matching ``init_mlp_params`` structure.
 
     Hidden layer h: column-parallel when h is even (shard out-features),
     row-parallel when odd (shard in-features). The output layer is
     row-parallel iff the last hidden layer left activations sharded.
+    The frozen Fourier embedding ``B`` (when present) is replicated —
+    it is tiny ((in_dim, m)) and every device needs the full features.
     """
     specs = []
+    if fourier_features:
+        specs.append({"B": P(None, None)})
     n_hidden = _num_hidden(layers)
     for h in range(n_hidden):
         if h % 2 == 0:  # column parallel
@@ -84,6 +89,11 @@ def forward_tp(params, x, activation="adaptive_tanh"):
     full (local_batch, 1) output on every device.
     """
     h = x
+    if params and "B" in params[0]:
+        # Replicated Fourier embedding (models/pinn.mlp_apply semantics).
+        z = h @ jax.lax.stop_gradient(params[0]["B"])
+        h = jnp.concatenate([jnp.sin(z), jnp.cos(z)], axis=-1)
+        params = params[1:]
     sharded = False  # whether h currently holds a 'tp' shard of features
     n_hidden = len(params) - 1
     for i in range(n_hidden):
@@ -148,8 +158,13 @@ class ParallelTrainState(NamedTuple):
 
 
 def init_parallel_state(key, layers, activation="adaptive_tanh",
-                        dtype=jnp.float32) -> ParallelTrainState:
-    params = init_mlp_params(key, layers, activation, dtype)
+                        dtype=jnp.float32, fourier_features=0,
+                        fourier_scale=1.0,
+                        input_scales=None) -> ParallelTrainState:
+    params = init_mlp_params(key, layers, activation, dtype,
+                             fourier_features=fourier_features,
+                             fourier_scale=fourier_scale,
+                             input_scales=input_scales)
     zeros = jax.tree.map(jnp.zeros_like, params)
     return ParallelTrainState(
         params=params,
@@ -188,6 +203,7 @@ def build_parallel_trainer(
     activation: str = "adaptive_tanh",
     epochs: int = 1,
     dtype=jnp.float32,
+    fourier_features: int = 0,
 ):
     """Build a jitted multi-epoch training function over a ('dp','tp') mesh.
 
@@ -214,7 +230,7 @@ def build_parallel_trainer(
     n_bc = n_bc_local * dp
     totals = (float(n_pde), float(n_ic), float(n_bc))
 
-    param_specs = tp_param_specs(layers, activation)
+    param_specs = tp_param_specs(layers, activation, fourier_features)
     state_specs = ParallelTrainState(
         params=param_specs,
         mu=param_specs,
@@ -272,7 +288,8 @@ def build_parallel_trainer(
 
 
 def parallel_loss_reference(mesh, layers, params_state, batches, problem,
-                            lambda_weights, activation="adaptive_tanh"):
+                            lambda_weights, activation="adaptive_tanh",
+                            fourier_features=0):
     """Compute the global loss on a mesh from given (replicated-input)
     batches — exposed for equivalence tests against the serial loss."""
     xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target = batches
@@ -282,7 +299,7 @@ def parallel_loss_reference(mesh, layers, params_state, batches, problem,
         _loss_local, problem=problem, lambda_weights=dict(lambda_weights),
         activation=activation, totals=totals,
     )
-    param_specs = tp_param_specs(layers, activation)
+    param_specs = tp_param_specs(layers, activation, fourier_features)
 
     def device_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target):
         total, aux = loss_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc,

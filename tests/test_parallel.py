@@ -182,3 +182,49 @@ def test_pinn_train_parallel_method():
     assert np.isfinite(
         model.compute_errors(md, problem.analytical_solution)[0]
     )
+
+
+def test_tp_forward_matches_serial_with_fourier():
+    """The replicated Fourier embedding composes with tensor parallelism:
+    forward_tp equals the serial mlp_apply on an embedded model."""
+    from jax.sharding import PartitionSpec as P
+    from airpollution_tpu.parallel.pinn_parallel import (
+        forward_tp, tp_param_specs,
+    )
+
+    layers = [3, 8, 8, 1]
+    params = init_mlp_params(jax.random.PRNGKey(1), layers, "tanh",
+                             fourier_features=6, fourier_scale=2.0,
+                             input_scales=(20.0, 20.0, 5.0))
+    assert "B" in params[0]
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (10, 3)), jnp.float32
+    )
+    mesh = make_mesh({"dp": 1, "tp": 2})
+    fn = jax.shard_map(
+        lambda p, xx: forward_tp(p, xx, "tanh"), mesh=mesh,
+        in_specs=(tp_param_specs(layers, "tanh", fourier_features=6), P()),
+        out_specs=P(), check_vma=False,
+    )
+    out_tp = np.asarray(jax.jit(fn)(params, x))
+    out_serial = np.asarray(mlp_apply(params, x, "tanh"))
+    np.testing.assert_allclose(out_tp, out_serial, atol=1e-6)
+
+
+def test_train_parallel_with_fourier_features():
+    """End-to-end dp x tp training of a Fourier-embedded PINN (the former
+    crash case) trains and keeps B frozen."""
+    from airpollution_tpu.models.pinn import PINN
+
+    mesh = make_mesh({"dp": 2, "tp": 2})
+    model = PINN([3, 8, 8, 1], Problem(), Domain(), activation="tanh",
+                 seed=9, fourier_features=6)
+    B0 = np.asarray(model.params[0]["B"]).copy()
+    h = model.train_parallel(
+        mesh, {"pde": 64, "ic": 16, "bc": 16}, epochs=20, lr=2e-3,
+        lambda_weights={"pde": 2.0, "ic": 10.0, "bc": 10.0},
+    )
+    tl = np.asarray(h["total_loss"])
+    assert len(tl) == 20 and np.isfinite(tl).all()
+    assert tl[-1] < tl[0]
+    np.testing.assert_array_equal(B0, np.asarray(model.params[0]["B"]))
