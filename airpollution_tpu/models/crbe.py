@@ -201,7 +201,7 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
 def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
                   collect_iters=False, matvec=None, ka_matvec=None,
-                  differentiable=False):
+                  differentiable=False, extrapolate_warm_start=False):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -250,9 +250,15 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
         return jnp.where(bmask, 0.0, b)  # crbe.py:402
 
-    def step(u, t):
+    def step(carry, t):
+        u, u_prev = carry
         b = rhs(u, t)
-        x0 = jnp.where(bmask, 0.0, u)
+        # Warm start: the previous solution, or its linear extrapolation
+        # in time (2u - u_prev) — the field advances O(dt) per step, so
+        # second-order prediction roughly halves Krylov iterations at
+        # fine meshes where the solve dominates.
+        guess = (2.0 * u - u_prev) if extrapolate_warm_start else u
+        x0 = jnp.where(bmask, 0.0, guess)
         if differentiable:
             u_new = linalg.differentiable_solve(
                 matvec, b, x0=x0, tol=tol, maxiter=maxiter, precond=precond,
@@ -273,11 +279,11 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         out = (u_new + lift) if store_solutions else None
         if collect_iters:
             out = (out, res.iterations)
-        return u_new, out
+        return (u_new, u), out
 
     ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
     step_fn = jax.checkpoint(step) if differentiable else step
-    u_final, outs = jax.lax.scan(step_fn, u0, ts)
+    (u_final, _), outs = jax.lax.scan(step_fn, (u0, u0), ts)
     if collect_iters:
         snaps, iters = outs
     else:
@@ -318,6 +324,7 @@ class CRBESolver:
         stiffness_convention: str = "correct",
         matvec_impl: str = "auto",
         fused_iters: int = 5,
+        extrapolate_warm_start: bool = False,
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -336,6 +343,7 @@ class CRBESolver:
         self.stiffness_convention = stiffness_convention
         self.matvec_impl = matvec_impl
         self.fused_iters = fused_iters
+        self.extrapolate_warm_start = extrapolate_warm_start
         self.solutions = None
         self.solve_time = None
         self._ops = None
@@ -416,6 +424,7 @@ class CRBESolver:
             maxiter=self.solver_maxiter,
             store_solutions=store_solutions,
             collect_iters=collect_iters,
+            extrapolate_warm_start=self.extrapolate_warm_start,
         )
         if not self._use_stencil():
             solve_impl = partial(run_time_loop, mesh_data=self.mesh_data,
@@ -446,7 +455,7 @@ class CRBESolver:
             from airpollution_tpu.ops import pallas_solver
 
             use_ka = self.time_scheme_order == 2
-            if not _pallas_fused_fits(pattern):
+            if not _pallas_fused_fits(pattern, self.extrapolate_warm_start):
                 raise ValueError(
                     "mesh too large for the VMEM-resident fused solver"
                 )
@@ -476,6 +485,7 @@ class CRBESolver:
                     pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
                     interior_fam,
                     n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
+                    extrapolate=self.extrapolate_warm_start,
                     interpret=interpret,
                 )
                 u_global = u_fam[inv]
@@ -593,14 +603,15 @@ class CRBESolver:
         plots.plot_error_evolution(self, errors, save_dir)
 
 
-def _pallas_fused_fits(pattern) -> bool:
+def _pallas_fused_fits(pattern, extrapolate: bool = False) -> bool:
     """VMEM budget for the fused solver. All operands are live at once:
     15 coefficient canvases + mass/inv-diag/mask/u0 inputs (12) + 3
     outputs + 18 Krylov scratch canvases = 48, for BE and CN alike (the
     CN RHS operator is reconstructed from the system canvases in-kernel,
-    see ops/pallas_solver.py)."""
+    see ops/pallas_solver.py); the extrapolated warm start carries 3
+    previous-state canvases on top."""
     per_canvas = pattern.n * pattern.n * 4
-    n_canvases = 15 + 12 + 3 + 18
+    n_canvases = 15 + 12 + 3 + 18 + (3 if extrapolate else 0)
     return n_canvases * per_canvas < 14 * 1024 * 1024
 
 

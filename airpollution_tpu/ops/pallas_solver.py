@@ -90,12 +90,13 @@ def coeff_canvases(pattern: StencilPattern, coeffs: tuple):
 
 def _solver_kernel(
     *refs,
-    n: int, n_steps: int, n_iters: int, has_ka: bool,
+    n: int, n_steps: int, n_iters: int, has_ka: bool, extrapolate: bool,
 ):
     # Ref layout: 15 system coefficient canvases, masked mass x3, inverse
     # diagonal x3, interior mask x3, u0 x3, outputs u x3, then 18 Krylov
-    # scratch canvases. Crank-Nicolson (has_ka) reuses the system canvases
-    # via the identity in the module docstring — no extra refs.
+    # scratch canvases (+3 previous-state canvases when extrapolate).
+    # Crank-Nicolson (has_ka) reuses the system canvases via the identity
+    # in the module docstring — no extra refs.
     sys_coeffs = refs[0:15]
     base = 15
     mH, mV, mD, idH, idV, idD = refs[base:base + 6]
@@ -104,6 +105,7 @@ def _solver_kernel(
     uH, uV, uD = refs[base + 12:base + 15]
     (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
      vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[base + 15:base + 33]
+    up3 = refs[base + 33:base + 36] if extrapolate else None
 
     def roll(x, shift, axis):
         # pltpu.roll requires non-negative shifts; -1 == n-1 circularly.
@@ -145,6 +147,9 @@ def _solver_kernel(
     uH[:] = u0H[:]
     uV[:] = u0V[:]
     uD[:] = u0D[:]
+    if extrapolate:
+        for up_, u0_ in zip(up3, (u0H, u0V, u0D)):
+            up_[:] = u0_[:]
 
     def step(_, carry):
         # Backward Euler: b = M u_prev (crbe.py:383-384); Crank-Nicolson
@@ -165,8 +170,16 @@ def _solver_kernel(
         else:
             for r_, m_, u_ in zip(r3, m3, u3):
                 r_[:] = m_[:] * u_[:]
-        for u_, mk_ in zip(u3, mk3):
-            u_[:] = u_[:] * mk_[:]
+        if extrapolate:
+            # Second-order warm start: x0 = mask * (2u - u_prev). The RHS
+            # above already consumed the unmasked current state.
+            for u_, up_, mk_ in zip(u3, up3, mk3):
+                guess = 2.0 * u_[:] - up_[:]
+                up_[:] = u_[:]
+                u_[:] = guess * mk_[:]
+        else:
+            for u_, mk_ in zip(u3, mk3):
+                u_[:] = u_[:] * mk_[:]
         matvec(sys_coeffs, t3, uH[:], uV[:], uD[:])
         for r_, t_ in zip(r3, t3):
             r_[:] = r_[:] - t_[:]
@@ -214,7 +227,7 @@ def _solver_kernel(
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
                 inv_diag_fam, u0_fam, interior_fam, *, n_steps: int,
                 n_iters: int = 5, use_ka: bool = False,
-                interpret: bool = False):
+                extrapolate: bool = False, interpret: bool = False):
     """Run the full zero-source implicit time loop in one kernel.
 
     All vectors arrive in family layout (see ops/stencil.py).
@@ -236,8 +249,9 @@ def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = partial(_solver_kernel, n=n, n_steps=n_steps, n_iters=n_iters,
-                     has_ka=use_ka)
-    scratch = [pltpu.VMEM((n, n), dtype) for _ in range(18)]
+                     has_ka=use_ka, extrapolate=extrapolate)
+    n_scratch = 21 if extrapolate else 18
+    scratch = [pltpu.VMEM((n, n), dtype) for _ in range(n_scratch)]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(

@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--sizes", type=int, nargs="*",
                     default=[256, 384, 512, 768, 1024])
     ap.add_argument("--nt", type=int, default=1001)
+    ap.add_argument("--extrapolate", action="store_true",
+                    help="Second-order (extrapolated) warm starts")
     ap.add_argument("--out", default="results_snapshot/crbe_scaling.csv")
     args = ap.parse_args(argv)
 
@@ -45,7 +47,8 @@ def main(argv=None):
               file=sys.stderr, flush=True)
 
         solver = CRBESolver(domain, problem, md, matvec_impl="stencil",
-                            solver_tol=1e-7, solver_maxiter=50)
+                            solver_tol=1e-7, solver_maxiter=50,
+                            extrapolate_warm_start=args.extrapolate)
         t0 = time.time()
         solver.solve(store_solutions=False)
         cold = time.time() - t0

@@ -72,3 +72,32 @@ def test_fused_cn_with_nonzero_boundary_ic():
                        time_scheme_order=2, fused_iters=6)
     u_fused = np.asarray(fused.solve(store_solutions=False))
     np.testing.assert_allclose(u_fused, u_ref, atol=3e-5)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_fused_extrapolated_warm_start_matches_scan(order):
+    """The extrapolated warm start changes only the Krylov initial guess;
+    with enough iterations the fused result still matches the converged
+    scan path."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(10, 20.0), domain, nt=12)
+    ref = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                     time_scheme_order=order,
+                     solver_tol=1e-12, solver_maxiter=8)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                       time_scheme_order=order, fused_iters=5,
+                       extrapolate_warm_start=True)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
+
+
+def test_scan_extrapolated_warm_start_matches_plain():
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=16)
+    a = CRBESolver(domain, problem, md, solver_tol=1e-10, solver_maxiter=50)
+    b = CRBESolver(domain, problem, md, solver_tol=1e-10, solver_maxiter=50,
+                   extrapolate_warm_start=True)
+    ua = np.asarray(a.solve(store_solutions=False))
+    ub = np.asarray(b.solve(store_solutions=False))
+    np.testing.assert_allclose(ua, ub, atol=1e-6)
