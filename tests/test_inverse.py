@@ -98,3 +98,20 @@ def test_joint_dv_recovery_from_trajectory():
                                rtol=0.1)
     np.testing.assert_allclose(np.asarray(params["v"]), [0.8, 0.6],
                                atol=0.1)
+
+
+def test_solve_final_state_vmaps_over_parameters():
+    """The differentiable solve composes with vmap: one compiled program
+    evaluates a batch of diffusion coefficients (multi-start fits and
+    identifiability sweeps ride this)."""
+    md = _mesh(ms=6, nt=6)
+    Ds = jnp.asarray([0.05, 0.1, 0.4], jnp.float64)
+    batch = jax.vmap(
+        lambda d: inverse.solve_final_state(Problem(D=d), md,
+                                            tol=1e-10, maxiter=100)
+    )(Ds)
+    assert batch.shape == (3, md.number_of_segments)
+    single = inverse.solve_final_state(Problem(D=0.1), md,
+                                       tol=1e-10, maxiter=100)
+    np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single),
+                               atol=1e-8)
