@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--nt", type=int, default=1001)
     ap.add_argument("--extrapolate", action="store_true",
                     help="Second-order (extrapolated) warm starts")
+    ap.add_argument("--collect_iters", action="store_true",
+                    help="Also record mean/max BiCGStab iterations per "
+                         "step (separate compiled variant; timing columns "
+                         "then reflect the collecting program)")
     ap.add_argument("--out", default="results_snapshot/crbe_scaling.csv")
     args = ap.parse_args(argv)
 
@@ -49,13 +53,14 @@ def main(argv=None):
         solver = CRBESolver(domain, problem, md, matvec_impl="stencil",
                             solver_tol=1e-7, solver_maxiter=50,
                             extrapolate_warm_start=args.extrapolate)
+        kw = dict(store_solutions=False, collect_iters=args.collect_iters)
         t0 = time.time()
-        solver.solve(store_solutions=False)
+        solver.solve(**kw)
         cold = time.time() - t0
         times = []
         for _ in range(2):
             t0 = time.time()
-            solver.solve(store_solutions=False)
+            solver.solve(**kw)
             times.append(time.time() - t0)
         warm = min(times)
         steps = args.nt - 1
@@ -68,6 +73,10 @@ def main(argv=None):
             "dof_steps_per_sec": round(n * steps / warm, 0),
             "rel_l2": rel, "max_error": mx,
         }
+        if args.collect_iters:
+            it = np.asarray(solver.solver_iterations)
+            row["mean_iters"] = round(float(it.mean()), 2)
+            row["max_iters"] = int(it.max())
         rows.append(row)
         print(row, file=sys.stderr, flush=True)
 
@@ -81,9 +90,12 @@ def main(argv=None):
     for row in rows:
         by_size[int(row["mesh_size"])] = row
     merged = [by_size[k] for k in sorted(by_size)]
+    fieldnames = list(dict.fromkeys(
+        k for row in merged for k in row
+    ))  # union, first-seen order (rows may differ in --collect_iters cols)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w = csv.DictWriter(f, fieldnames=fieldnames, restval="")
         w.writeheader()
         w.writerows(merged)
     print(f"saved {args.out}", file=sys.stderr, flush=True)
