@@ -94,7 +94,8 @@ def main(argv=None):
         wall = time.time() - t0
         rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
         row = {
-            "variant": name, "epochs": len(h["total_loss"]),
+            "variant": name, "mesh_size": args.mesh_size,
+            "epochs": len(h["total_loss"]),
             "warm_train_time_s": round(wall, 2),
             "warm_epochs_per_sec": round(len(h["total_loss"]) / wall, 1),
             "final_loss": h["total_loss"][-1],
@@ -103,11 +104,23 @@ def main(argv=None):
         rows.append(row)
         print(row, file=sys.stderr, flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # Merge with any existing table (key: variant + mesh size) so partial
+    # reruns never clobber rows they did not measure.
+    by_key = {}
+    if os.path.exists(args.out):
+        with open(args.out, newline="") as f:
+            for old in csv.DictReader(f):
+                # Pre-mesh_size-column rows were all measured at mesh 64.
+                by_key[(old["variant"], old.get("mesh_size") or "64")] = old
+    for row in rows:
+        by_key[(row["variant"], str(row["mesh_size"]))] = row
+    merged = list(by_key.values())
+    fieldnames = list(dict.fromkeys(k for r in merged for k in r))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w = csv.DictWriter(f, fieldnames=fieldnames, restval="")
         w.writeheader()
-        w.writerows(rows)
+        w.writerows(merged)
     print(f"saved {args.out}", file=sys.stderr, flush=True)
     return rows
 
