@@ -762,6 +762,25 @@ class PINN:
         rel_l2 = l2_error / jnp.sqrt(jnp.sum(u_exact**2))
         return float(rel_l2), float(l2_error), float(max_error)
 
+    def compute_fem_errors(self, mesh_data, analytical_sol_fn):
+        """Area-weighted FEM norms at t=T — the reference's commented-out
+        variant (pinn.py:270-292) promoted to a working implementation,
+        mirroring CRBESolver.compute_fem_errors: per-triangle midpoint
+        quadrature ``integral f ~ area * sum_midpoints f / 3``."""
+        md = mesh_data
+        mid = jnp.asarray(md.midpoints, self.dtype)
+        t_col = jnp.full((mid.shape[0], 1), self.domain.T, self.dtype)
+        xyt = jnp.concatenate([mid, t_col], axis=1)
+        u_exact = jnp.ravel(analytical_sol_fn(xyt))
+        u_num = jnp.ravel(self.forward(xyt))
+        err2 = (u_num - u_exact) ** 2
+        tri_err = jnp.sum(err2[md.triangle_to_segments], axis=1) / 3.0
+        tri_ex = jnp.sum(u_exact[md.triangle_to_segments] ** 2, axis=1) / 3.0
+        l2 = jnp.sqrt(jnp.sum(md.triangle_areas * tri_err))
+        norm_ex = jnp.sqrt(jnp.sum(md.triangle_areas * tri_ex))
+        max_error = jnp.max(jnp.abs(u_num - u_exact))
+        return float(l2 / (norm_ex + 1e-12)), float(l2), float(max_error)
+
     # --- plotting ---
 
     def plot_history(self, save_dir="results", name=""):

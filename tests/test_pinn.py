@@ -328,3 +328,20 @@ def test_adaptive_weights_move_toward_grad_balance():
               {"pde": 2.0, "ic": 10.0, "bc": 10.0})
     assert float(off._carry_state.lam_ic) == pytest.approx(5.0)
     assert float(off._carry_state.lam_bc) == pytest.approx(5.0)
+
+
+def test_pinn_area_weighted_errors():
+    """compute_fem_errors mirrors the CRBE area-weighted variant: finite,
+    positive, and consistent with the unweighted norms' max error."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    model = PINN([3, 8, 1], problem, domain, activation="tanh", seed=21)
+    rel_w, l2_w, max_w = model.compute_fem_errors(
+        md, problem.analytical_solution
+    )
+    rel_u, l2_u, max_u = model.compute_errors(
+        md, problem.analytical_solution
+    )
+    assert np.isfinite([rel_w, l2_w, max_w]).all()
+    assert rel_w > 0 and l2_w > 0
+    np.testing.assert_allclose(max_w, max_u, rtol=1e-6)
