@@ -201,7 +201,8 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
 def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
                   collect_iters=False, matvec=None, ka_matvec=None,
-                  differentiable=False, extrapolate_warm_start=False):
+                  differentiable=False, extrapolate_warm_start=False,
+                  precond=None):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -238,7 +239,8 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         matvec = partial(sparse.ell_matvec, ops.system)
     if ka_matvec is None:
         ka_matvec = partial(sparse.ell_matvec, ops.ka)
-    precond = linalg.jacobi_preconditioner(ops.system_diag)
+    if precond is None:
+        precond = linalg.jacobi_preconditioner(ops.system_diag)
 
     def rhs(u, t):
         if order == 1:  # crbe.py:383-384
@@ -325,6 +327,7 @@ class CRBESolver:
         matvec_impl: str = "auto",
         fused_iters: int = 5,
         extrapolate_warm_start: bool = False,
+        preconditioner: str = "jacobi",
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -340,10 +343,13 @@ class CRBESolver:
         self.solver_maxiter = solver_maxiter
         if matvec_impl not in ("auto", "ell", "stencil", "pallas", "fused"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
+        if preconditioner not in ("jacobi", "spectral"):
+            raise ValueError(f"unknown preconditioner {preconditioner}")
         self.stiffness_convention = stiffness_convention
         self.matvec_impl = matvec_impl
         self.fused_iters = fused_iters
         self.extrapolate_warm_start = extrapolate_warm_start
+        self.preconditioner = preconditioner
         self.solutions = None
         self.solve_time = None
         self._ops = None
@@ -427,6 +433,11 @@ class CRBESolver:
             extrapolate_warm_start=self.extrapolate_warm_start,
         )
         if not self._use_stencil():
+            if self.preconditioner == "spectral":
+                raise ValueError(
+                    "the spectral preconditioner requires the structured "
+                    "stencil path (matvec_impl='stencil')"
+                )
             solve_impl = partial(run_time_loop, mesh_data=self.mesh_data,
                                  **base)
             return jax.jit(solve_impl)
@@ -443,6 +454,12 @@ class CRBESolver:
         if self.matvec_impl == "fused":
             # Entire time loop in one VMEM-resident Pallas kernel
             # (ops/pallas_solver.py). Scope guards:
+            if self.preconditioner == "spectral":
+                raise ValueError(
+                    "the fused kernel preconditions with Jacobi in-VMEM; "
+                    "use matvec_impl='stencil' for the spectral "
+                    "preconditioner"
+                )
             if not getattr(self.problem, "zero_source", False):
                 raise ValueError(
                     "fused solver requires a zero-source problem"
@@ -518,9 +535,19 @@ class CRBESolver:
             ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
                 pattern, ops, self.time_scheme_order, apply_fn
             )
+            precond = None
+            if self.preconditioner == "spectral":
+                from airpollution_tpu.ops import spectral
+
+                precond = spectral.spectral_preconditioner(
+                    pattern,
+                    stencil_mod.extract_coefficients(
+                        pattern, ops.system.vals
+                    ),
+                )
             sols_fam, iters = run_time_loop(
                 ops_fam, u0[perm], mesh_data=fam_view, matvec=matvec,
-                ka_matvec=ka_matvec, **base,
+                ka_matvec=ka_matvec, precond=precond, **base,
             )
             return sols_fam[:, inv], iters
 
