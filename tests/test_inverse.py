@@ -115,3 +115,24 @@ def test_solve_final_state_vmaps_over_parameters():
                                        tol=1e-10, maxiter=100)
     np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single),
                                atol=1e-8)
+
+
+def test_inverse_on_unstructured_mesh():
+    """Unstructured (jittered-Delaunay) meshes take the ELL branch of the
+    differentiable solve; gradients must still match finite differences."""
+    from airpollution_tpu.mesh import create_unstructured_mesh
+
+    md = MeshData(create_unstructured_mesh(7, 20.0, seed=3), Domain(),
+                  nt=6, dtype=jnp.float64)
+    assert md.structured_n is None
+    target = inverse.solve_final_state(Problem(D=0.2), md, maxiter=300)
+
+    def loss(D):
+        u = inverse.solve_final_state(Problem(D=D), md, maxiter=300)
+        return jnp.mean((u - target) ** 2)
+
+    D = 0.08
+    g = float(jax.grad(loss)(jnp.asarray(D, jnp.float64)))
+    h = 1e-5
+    fd = (float(loss(D + h)) - float(loss(D - h))) / (2 * h)
+    np.testing.assert_allclose(g, fd, rtol=1e-4)
