@@ -43,8 +43,11 @@ def gradient_and_laplacian_xy(
     e1 = jnp.zeros(3, pts.dtype).at[1].set(1.0)
 
     def per_point(p):
-        g, h0 = jax.jvp(grad_fn, (p,), (e0,))  # g = grad, h0 = H @ e_x
-        _, h1 = jax.jvp(grad_fn, (p,), (e1,))  # h1 = H @ e_y
+        # One linearization of grad_fn serves both Hessian columns (two
+        # separate jvp calls would redo the primal reverse pass).
+        g, lin = jax.linearize(grad_fn, p)
+        h0 = lin(e0)  # H @ e_x
+        h1 = lin(e1)  # H @ e_y
         return g[:2], g[2:3], (h0[0] + h1[1])[None]
 
     grad_xy, grad_t, lap = jax.vmap(per_point)(pts)
