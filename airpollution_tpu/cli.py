@@ -1,0 +1,197 @@
+"""Unified command-line interface: ``python -m airpollution_tpu <cmd>``.
+
+The reference drives everything through per-experiment scripts; this CLI
+adds direct framework entry points for production-style use:
+
+- ``solve``  — CRBE solve on a structured mesh; prints the error triple
+  as JSON and optionally saves the field(s) to ``.npz``.
+- ``pinn``   — train a PINN (all accuracy levers exposed); prints errors
+  and final loss; optional checkpoint directory (crash-resumable).
+- ``invert`` — recover the diffusion coefficient from an observed
+  final-time field produced by ``solve --save``.
+
+Examples:
+    python -m airpollution_tpu solve --mesh_size 64 --nt 128 --order 2
+    python -m airpollution_tpu solve --mesh_size 64 --save obs.npz
+    python -m airpollution_tpu invert --mesh_size 64 --observed obs.npz
+    python -m airpollution_tpu pinn --epochs 2000 --fourier_features 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _domain_problem(args):
+    import airpollution_tpu as apt
+
+    domain = apt.Domain()
+    problem = apt.Problem(v=tuple(args.v), D=args.D, sigma=args.sigma)
+    return domain, problem
+
+
+def _mesh_data(args, domain):
+    import airpollution_tpu as apt
+
+    return apt.MeshData(apt.create_mesh(args.mesh_size, domain.Lx),
+                        domain, nt=args.nt)
+
+
+def cmd_solve(args):
+    from airpollution_tpu.io.checkpoint import save_field
+    from airpollution_tpu.models.crbe import CRBESolver
+
+    domain, problem = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    solver = CRBESolver(
+        domain, problem, md, time_scheme_order=args.order,
+        matvec_impl=args.matvec_impl,
+        stiffness_convention=args.stiffness_convention,
+        extrapolate_warm_start=args.extrapolate,
+    )
+    store = bool(args.save_all)
+    solver.solve(store_solutions=store)
+    rel, l2, mx = solver.compute_errors(problem.analytical_solution)
+    if args.save:
+        import numpy as np
+
+        sols = np.asarray(solver.solutions)
+        save_field(args.save, sols if store else sols[-1],
+                   times=np.asarray(md.time_discr) if store else None)
+        print(f"saved field to {args.save}", file=sys.stderr)
+    print(json.dumps({
+        "method": "crbe", "mesh_size": args.mesh_size, "nt": args.nt,
+        "order": args.order, "n_dofs": int(md.number_of_segments),
+        "solve_time_s": round(solver.solve_time, 4),
+        "rel_l2": rel, "l2": l2, "max_error": mx,
+    }))
+
+
+def cmd_pinn(args):
+    from airpollution_tpu.models.pinn import PINN
+
+    domain, problem = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    n_col = round(md.number_of_segments / 1.4)  # pinn.py:577-580 coupling
+    n_ic = round(0.2 * n_col)
+    batch = {"pde": n_col, "ic": n_ic, "bc": n_ic}
+    lambdas = {"pde": args.lambda_pde, "ic": args.lambda_ic_bc,
+               "bc": args.lambda_ic_bc}
+    layers = [3] + [args.neurons] * args.hidden_layers + [1]
+    model = PINN(layers, problem, domain, activation=args.activation,
+                 fourier_features=args.fourier_features)
+    train_kwargs = dict(
+        early_stopping_patience=args.patience,
+        adaptive_oversample=args.adaptive_oversample,
+        adaptive_weights_every=args.adaptive_weights_every,
+    )
+    if args.checkpoint_dir:
+        from airpollution_tpu.io.checkpoint import train_with_checkpoints
+
+        history = train_with_checkpoints(
+            model, batch, args.epochs, args.lr, lambdas,
+            args.checkpoint_dir, **train_kwargs,
+        )
+    else:
+        history = model.train(batch, args.epochs, args.lr, lambdas,
+                              **train_kwargs)
+    rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
+    print(json.dumps({
+        "method": "pinn", "mesh_size": args.mesh_size,
+        "epochs_run": len(history["total_loss"]),
+        "final_loss": history["total_loss"][-1],
+        "train_time_s": round(model.training_time, 2),
+        "rel_l2": rel, "l2": l2, "max_error": mx,
+    }))
+
+
+def cmd_invert(args):
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import load_field
+
+    domain, problem = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    observed, _ = load_field(args.observed)
+    if observed.ndim > 1:
+        observed = observed[-1]
+    D_est, losses = inverse.fit_diffusion(
+        observed, md, D0=args.D0, v=tuple(args.v), sigma=args.sigma,
+        steps=args.steps, lr=args.lr,
+    )
+    print(json.dumps({
+        "method": "invert", "D_est": D_est,
+        "misfit_first": losses[0], "misfit_last": losses[-1],
+        "steps": args.steps,
+    }))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="airpollution_tpu",
+                                description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--mesh_size", type=int, default=64)
+        sp.add_argument("--nt", type=int, default=128)
+        sp.add_argument("--v", type=float, nargs=2, default=[1.0, 0.5])
+        sp.add_argument("--D", type=float, default=0.1)
+        sp.add_argument("--sigma", type=float, default=1.0)
+
+    sp = sub.add_parser("solve", help="CRBE FEM solve")
+    common(sp)
+    sp.add_argument("--order", type=int, default=1, choices=(1, 2))
+    sp.add_argument("--matvec_impl", default="auto",
+                    choices=("auto", "ell", "stencil", "pallas", "fused"))
+    sp.add_argument("--stiffness_convention", default="correct",
+                    choices=("correct", "reference"))
+    sp.add_argument("--extrapolate", action="store_true")
+    sp.add_argument("--save", default="", help="Save final field to .npz")
+    sp.add_argument("--save_all", action="store_true",
+                    help="Save every snapshot (with --save)")
+    sp.set_defaults(fn=cmd_solve)
+
+    sp = sub.add_parser("pinn", help="Train a PINN")
+    common(sp)
+    sp.add_argument("--neurons", type=int, default=32)
+    sp.add_argument("--hidden_layers", type=int, default=4)
+    sp.add_argument("--activation", default="tanh")
+    sp.add_argument("--epochs", type=int, default=4000)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--lambda_pde", type=float, default=180.0)
+    sp.add_argument("--lambda_ic_bc", type=float, default=80.0)
+    sp.add_argument("--patience", type=int, default=0)
+    sp.add_argument("--fourier_features", type=int, default=0)
+    sp.add_argument("--adaptive_oversample", type=float, default=0.0)
+    sp.add_argument("--adaptive_weights_every", type=int, default=0)
+    sp.add_argument("--checkpoint_dir", default="",
+                    help="Checkpointed training with crash resume")
+    sp.set_defaults(fn=cmd_pinn)
+
+    sp = sub.add_parser("invert", help="Recover D from an observed field")
+    common(sp)
+    sp.add_argument("--observed", required=True, help=".npz from solve --save")
+    sp.add_argument("--D0", type=float, default=1.0)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.set_defaults(fn=cmd_invert)
+    return p
+
+
+def main(argv=None):
+    import os
+
+    if os.environ.get("APT_PLATFORM") == "cpu":
+        # The env var JAX_PLATFORMS can be overridden by site
+        # customization; the config update before first backend use is
+        # authoritative (same convention as the experiment drivers).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Smoke tests for the unified CLI (python -m airpollution_tpu)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from airpollution_tpu import cli
+
+
+@pytest.fixture()
+def in_tmp_dir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _last_json(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_cli_solve_and_invert_roundtrip(in_tmp_dir, capsys):
+    cli.main(["solve", "--mesh_size", "8", "--nt", "8", "--D", "0.3",
+              "--save", "obs.npz"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe" and np.isfinite(res["rel_l2"])
+    assert os.path.exists("obs.npz")
+
+    cli.main(["invert", "--mesh_size", "8", "--nt", "8",
+              "--observed", "obs.npz", "--D0", "0.08",
+              "--steps", "60", "--lr", "0.15"])
+    inv = _last_json(capsys)
+    # f32 CLI solve + small mesh: recovery to ~10% is the right bar here
+    # (the f64 tests in test_inverse.py pin the tight tolerance).
+    assert abs(inv["D_est"] - 0.3) / 0.3 < 0.15
+    assert inv["misfit_last"] < inv["misfit_first"]
+
+
+def test_cli_solve_cn_saves_all_snapshots(in_tmp_dir, capsys):
+    cli.main(["solve", "--mesh_size", "6", "--nt", "5", "--order", "2",
+              "--extrapolate", "--save", "f.npz", "--save_all"])
+    res = _last_json(capsys)
+    assert res["order"] == 2
+    data = np.load("f.npz")
+    assert data["solutions"].shape[0] == 5
+    assert "times" in data
+
+
+def test_cli_pinn_with_levers_and_checkpoint(in_tmp_dir, capsys):
+    cli.main(["pinn", "--mesh_size", "6", "--nt", "6", "--epochs", "8",
+              "--neurons", "8", "--hidden_layers", "1",
+              "--fourier_features", "8", "--adaptive_oversample", "2",
+              "--checkpoint_dir", "ck"])
+    res = _last_json(capsys)
+    assert res["epochs_run"] == 8 and np.isfinite(res["final_loss"])
+    assert os.path.exists("ck/pinn_latest.npz")
