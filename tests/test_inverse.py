@@ -136,3 +136,34 @@ def test_inverse_on_unstructured_mesh():
     h = 1e-5
     fd = (float(loss(D + h)) - float(loss(D - h))) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=1e-4)
+
+
+def test_multi_start_fit_via_vmap():
+    """The whole Adam fit step vmaps over a batch of initializations: one
+    compiled program runs N independent fits in lockstep (multi-start
+    robustness against non-convex misfits)."""
+    import optax
+
+    md = _mesh(ms=8, nt=8)
+    obs = inverse.solve_final_state(Problem(D=0.3), md)
+
+    def loss_fn(log_d):
+        u = inverse.solve_final_state(Problem(D=jnp.exp(log_d)), md)
+        return jnp.mean((u - obs) ** 2)
+
+    opt = optax.adam(0.1)
+
+    @jax.jit
+    @jax.vmap
+    def step(log_d, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(log_d)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(log_d, upd), opt_state, loss
+
+    log_d = jnp.log(jnp.asarray([0.05, 0.1, 1.0, 3.0], jnp.float64))
+    opt_state = jax.vmap(opt.init)(log_d)
+    for _ in range(80):
+        log_d, opt_state, losses = step(log_d, opt_state)
+    D_est = np.exp(np.asarray(log_d))
+    # Every start converges to the true coefficient.
+    np.testing.assert_allclose(D_est, 0.3, rtol=0.05)
