@@ -39,15 +39,16 @@ def gradient_and_laplacian_xy(
       (pinn.py:442-469), with the Laplacian computed correctly.
     """
     grad_fn = jax.grad(u_fn)
-    e0 = jnp.zeros(3, pts.dtype).at[0].set(1.0)
-    e1 = jnp.zeros(3, pts.dtype).at[1].set(1.0)
 
     def per_point(p):
         # One linearization of grad_fn serves both Hessian columns (two
-        # separate jvp calls would redo the primal reverse pass).
+        # separate jvp calls would redo the primal reverse pass). The
+        # tangents derive from p (zeros_like) so their type matches the
+        # primal under shard_map's varying-axis tracking.
         g, lin = jax.linearize(grad_fn, p)
-        h0 = lin(e0)  # H @ e_x
-        h1 = lin(e1)  # H @ e_y
+        z = jnp.zeros_like(p)
+        h0 = lin(z.at[0].set(1.0))  # H @ e_x
+        h1 = lin(z.at[1].set(1.0))  # H @ e_y
         return g[:2], g[2:3], (h0[0] + h1[1])[None]
 
     grad_xy, grad_t, lap = jax.vmap(per_point)(pts)
