@@ -341,7 +341,8 @@ class CRBESolver:
         self.time_scheme_order = time_scheme_order
         self.solver_tol = solver_tol
         self.solver_maxiter = solver_maxiter
-        if matvec_impl not in ("auto", "ell", "stencil", "pallas", "fused"):
+        if matvec_impl not in ("auto", "ell", "stencil", "uniform", "pallas",
+                               "fused"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         if preconditioner not in ("jacobi", "spectral"):
             raise ValueError(f"unknown preconditioner {preconditioner}")
@@ -403,7 +404,7 @@ class CRBESolver:
     def _use_stencil(self) -> bool:
         if self.matvec_impl == "ell":
             return False
-        if self.matvec_impl in ("stencil", "pallas", "fused"):
+        if self.matvec_impl in ("stencil", "uniform", "pallas", "fused"):
             if self.mesh_data.structured_n is None:
                 raise ValueError(
                     "stencil matvec requires a structured mesh "
@@ -531,10 +532,26 @@ class CRBESolver:
         else:
             apply_fn = None  # family_operators defaults to stencil_matvec
 
+        if self.matvec_impl == "uniform":
+            # Translation-invariant operator: 15 scalar coefficients, no
+            # stored canvases (ops/uniform.py). Exact for structured
+            # meshes with constant problem coefficients.
+            from airpollution_tpu.ops import uniform as uniform_mod
+
+            spec = uniform_mod.build_uniform_spec(pattern)
+
+            def family_ops(ops):
+                return uniform_mod.uniform_family_operators(
+                    spec, pattern, ops, self.time_scheme_order
+                )
+        else:
+            def family_ops(ops):
+                return stencil_mod.family_operators(
+                    pattern, ops, self.time_scheme_order, apply_fn
+                )
+
         def solve_impl(ops: GlobalOperators, u0):
-            ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
-                pattern, ops, self.time_scheme_order, apply_fn
-            )
+            ops_fam, matvec, ka_matvec = family_ops(ops)
             precond = None
             if self.preconditioner == "spectral":
                 from airpollution_tpu.ops import spectral

@@ -1,0 +1,209 @@
+"""Translation-invariant (uniform) stencil operator for structured meshes.
+
+On the structured triangulation (airpollution_tpu.mesh.structured) every
+cell is congruent — the two triangle shapes A/B repeat by pure translation.
+With constant problem coefficients ``v`` and ``D`` (true of both built-in
+problems, and of the reference's ``Problem`` ABC, common.py:15-30, which
+stores them as plain scalars/vectors) the assembled CRBE operator
+(crbe.py:326-362 semantics) is therefore *translation-invariant*: each of
+the 15 stencil terms (ops/stencil.py neighbor table) carries a single
+scalar coefficient over its whole validity region, Dirichlet rows are
+exactly identity rows (the one-time row masking), and within each edge
+family the 15 validity regions collapse to ONE rectangle — the family's
+interior (non-Dirichlet) band.
+
+Consequence: the operator needs NO stored coefficient arrays. A matvec is
+15 scalar-times-shifted-array multiply-adds plus one boundary fixup — the
+15 coefficient-canvas reads of the canvas stencil path (ops/stencil.py)
+and the 15 VMEM-resident canvases of the fused Pallas solver
+(ops/pallas_solver.py) disappear entirely. That cuts the HBM traffic of
+one matvec from ~19 arrays to ~2 (read x, write y) and frees enough VMEM
+to fit much larger meshes in the fused kernel.
+
+The scalar constants are extracted from the assembled ELL values at one
+static interior location per term (a traced gather of 15 elements), so
+traced ``D``/``v`` (the vmapped sensitivity sweeps) work unchanged. The
+assembled canvases differ from the single constant only by floating-point
+rounding of the mesh coordinates (~1e-7 relative in float32 when the grid
+spacing is not binary-exact; zero when it is) — the uniform operator is
+the exact-arithmetic discretization of the uniform grid.
+
+Scope guard: uniformity is a property of ``create_mesh`` grids plus
+constant coefficients. Unstructured meshes take the ELL path; a problem
+with spatially varying coefficients would need the canvas path (none of
+the reference's problems do — Problem common.py:32-76 and the square-pulse
+problem3.py:30-46 both have constant v, D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from airpollution_tpu.ops.stencil import StencilPattern
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformSpec:
+    """Static (host-side) description of the uniform operator.
+
+    center_slots: (15,) flat indices into the ELL value array — one
+      interior sample point per stencil term (the scalar coefficients).
+    center_dofs: (3,) global DOF ids of one interior H, V, D DOF (for
+      sampling diagonal/mass constants from global vectors).
+    """
+
+    n: int
+    c: int
+    center_slots: np.ndarray
+    center_dofs: np.ndarray
+
+    @property
+    def interior_rects(self):
+        """Per-family interior rectangle in (n, n)-canvas coordinates:
+        rows/cols [lo, hi) outside which family DOFs are Dirichlet rows or
+        canvas padding. H: rows 1..c-1 (rows 0 and c are the bottom/top
+        boundary edges), cols 0..c-1. V: rows 0..c-1, cols 1..c-1 (cols 0
+        and c are the left/right boundary edges). D: all of 0..c-1 (no
+        diagonal edge lies on the domain boundary)."""
+        n, c = self.n, self.c
+        return {
+            "H": (1, c, 0, c),
+            "V": (0, c, 1, c),
+            "D": (0, c, 0, c),
+        }
+
+
+def build_uniform_spec(pattern: StencilPattern) -> UniformSpec:
+    """Derive the static uniform-operator spec from a stencil pattern.
+
+    Requires n >= 3 (at n == 2 every DOF is a Dirichlet row and no
+    interior sample exists)."""
+    n, c = pattern.n, pattern.c
+    if n < 3:
+        raise ValueError("uniform operator requires n_points_per_axis >= 3")
+
+    # One interior sample per term: the center of the term's family grid.
+    # Family interiors exclude H rows {0, c} and V cols {0, c}; each
+    # term's validity region contains the full interior band, so the grid
+    # center (n//2 or c//2 per axis) is valid for every term at n >= 3.
+    slots = []
+    for t, (slot_grid, valid) in enumerate(
+        zip(pattern.term_slots, pattern.term_valid)
+    ):
+        r, col = valid.shape[0] // 2, valid.shape[1] // 2
+        if not valid[r, col]:
+            raise AssertionError(
+                f"stencil term {t}: grid center not in validity region"
+            )
+        slots.append(slot_grid[r, col])
+
+    # Global DOF ids of one interior DOF per family, via the family-layout
+    # permutation (H block first, then V, then D — ops/stencil.py perm).
+    h_idx = (n // 2) * c + c // 2
+    v_idx = n * c + (c // 2) * n + n // 2
+    d_idx = n * c + c * n + (c // 2) * c + c // 2
+    center_dofs = pattern.perm[np.array([h_idx, v_idx, d_idx])]
+
+    return UniformSpec(
+        n=n, c=c,
+        center_slots=np.asarray(slots, dtype=np.int64),
+        center_dofs=np.asarray(center_dofs, dtype=np.int64),
+    )
+
+
+def extract_constants(spec: UniformSpec, ell_vals) -> jnp.ndarray:
+    """The 15 scalar stencil coefficients (traced; 15-element gather)."""
+    return ell_vals.reshape(-1)[jnp.asarray(spec.center_slots)]
+
+
+def family_constants(spec: UniformSpec, vec) -> jnp.ndarray:
+    """Per-family (H, V, D) interior constants of a global DOF vector
+    (mass diagonal, system diagonal, ...)."""
+    return vec[jnp.asarray(spec.center_dofs)]
+
+
+def uniform_matvec(spec: UniformSpec, consts, x_fam, *,
+                   boundary: str = "identity"):
+    """y = A @ x in family layout from 15 scalar coefficients.
+
+    Same term structure as ops/stencil.stencil_matvec with the coefficient
+    canvases replaced by scalars; the pad-based slicing encodes neighbor
+    validity, and Dirichlet rows are fixed up afterwards:
+
+    - ``boundary="identity"``: y = x on boundary rows — exact drop-in for
+      the row-masked system operator.
+    - ``boundary="drop"``: y = 0 on boundary rows — for operators whose
+      boundary rows are NOT translation-invariant (the unmasked K+A used
+      in the Crank-Nicolson RHS: its boundary rows aggregate only one
+      triangle). run_time_loop discards those rows anyway (crbe.py:402
+      semantics), so dropping them keeps the uniform path exact where it
+      is consumed.
+    """
+    if boundary not in ("identity", "drop"):
+        raise ValueError(f"unknown boundary mode {boundary!r}")
+    n, c = spec.n, spec.c
+    nH, nV = n * c, c * n
+    xH = x_fam[:nH].reshape(n, c)
+    xV = x_fam[nH:nH + nV].reshape(c, n)
+    xD = x_fam[nH + nV:].reshape(c, c)
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = consts
+
+    pad = jnp.pad
+    yH = (cHH * xH
+          + cHVu * pad(xV[:, 1:], ((0, 1), (0, 0)))
+          + cHDu * pad(xD, ((0, 1), (0, 0)))
+          + cHVd * pad(xV[:, :c], ((1, 0), (0, 0)))
+          + cHDd * pad(xD, ((1, 0), (0, 0))))
+    yV = (cVV * xV
+          + cVDl * pad(xD, ((0, 0), (1, 0)))
+          + cVHl * pad(xH[:c, :], ((0, 0), (1, 0)))
+          + cVHr * pad(xH[1:, :], ((0, 0), (0, 1)))
+          + cVDr * pad(xD, ((0, 0), (0, 1))))
+    yD = (cDD * xD
+          + cDVr * xV[:, 1:]
+          + cDHd * xH[:c, :]
+          + cDHu * xH[1:, :]
+          + cDVl * xV[:, :c])
+
+    # Dirichlet fixup. Boundary DOFs are exactly H rows {0, n-1} (bottom/
+    # top edges) and V cols {0, n-1} (left/right edges); no D edge is on
+    # the boundary. XLA fuses the iota comparisons into the same loop.
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    h_bnd = (rows == 0) | (rows == n - 1)
+    v_bnd = (cols == 0) | (cols == n - 1)
+    if boundary == "identity":
+        yH = jnp.where(h_bnd, xH, yH)
+        yV = jnp.where(v_bnd, xV, yV)
+    else:
+        yH = jnp.where(h_bnd, 0.0, yH)
+        yV = jnp.where(v_bnd, 0.0, yV)
+    return jnp.concatenate([yH.ravel(), yV.ravel(), yD.ravel()])
+
+
+def uniform_family_operators(spec: UniformSpec, pattern: StencilPattern,
+                             ops, order: int):
+    """Uniform-operator analogue of ops/stencil.family_operators: permuted
+    diagonal operators plus matvec closures built from scalar constants
+    (traced extraction — works under vmap over problem parameters)."""
+    import functools
+
+    perm = jnp.asarray(pattern.perm)
+    consts = extract_constants(spec, ops.system.vals)
+    matvec = functools.partial(uniform_matvec, spec, consts)
+    if order == 2:
+        ka_consts = extract_constants(spec, ops.ka.vals)
+        ka_matvec = functools.partial(
+            uniform_matvec, spec, ka_consts, boundary="drop"
+        )
+    else:
+        ka_matvec = None
+    ops_fam = ops._replace(
+        mass_diag=ops.mass_diag[perm], system_diag=ops.system_diag[perm]
+    )
+    return ops_fam, matvec, ka_matvec
