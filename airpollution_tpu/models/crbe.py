@@ -326,6 +326,7 @@ class CRBESolver:
         stiffness_convention: str = "correct",
         matvec_impl: str = "auto",
         fused_iters: int = 5,
+        fused_operator: str = "auto",
         extrapolate_warm_start: bool = False,
         preconditioner: str = "jacobi",
     ):
@@ -347,8 +348,11 @@ class CRBESolver:
         if preconditioner not in ("jacobi", "spectral"):
             raise ValueError(f"unknown preconditioner {preconditioner}")
         self.stiffness_convention = stiffness_convention
+        if fused_operator not in ("auto", "uniform", "canvas"):
+            raise ValueError(f"unknown fused_operator {fused_operator}")
         self.matvec_impl = matvec_impl
         self.fused_iters = fused_iters
+        self.fused_operator = fused_operator
         self.extrapolate_warm_start = extrapolate_warm_start
         self.preconditioner = preconditioner
         self.solutions = None
@@ -473,7 +477,16 @@ class CRBESolver:
             from airpollution_tpu.ops import pallas_solver
 
             use_ka = self.time_scheme_order == 2
-            if not _pallas_fused_fits(pattern, self.extrapolate_warm_start):
+            uniform = self.fused_operator != "canvas"
+            if uniform and pattern.n < 3:
+                if self.fused_operator == "uniform":
+                    raise ValueError(
+                        "uniform fused operator requires "
+                        "n_points_per_axis >= 3"
+                    )
+                uniform = False  # auto: degenerate mesh, fall back
+            if not _pallas_fused_fits(pattern, self.extrapolate_warm_start,
+                                      uniform=uniform):
                 raise ValueError(
                     "mesh too large for the VMEM-resident fused solver"
                 )
@@ -481,31 +494,55 @@ class CRBESolver:
             n_steps = md.nt - 1
             n_iters = self.fused_iters
             dt = self.dt
+            if uniform:
+                from airpollution_tpu.ops import uniform as uniform_mod
+
+                spec = uniform_mod.build_uniform_spec(pattern)
 
             def solve_impl(ops: GlobalOperators, u0):
-                coeffs = stencil_mod.extract_coefficients(
-                    pattern, ops.system.vals
-                )
-                bmask_fam = md.boundary_mask[perm]
-                mass_fam = jnp.where(
-                    bmask_fam, 0.0, ops.mass_diag[perm]
-                )
-                inv_diag_fam = 1.0 / ops.system_diag[perm]
                 # u0 goes in FULL (boundary values included): the first
                 # step's RHS may read boundary columns (CN's (K+A) u0
                 # term); the kernel masks the warm start itself.
                 u0_fam = u0[perm]
-                interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
-                # CN's row-masked -(dt/2)(K+A) RHS term is reconstructed
-                # in-kernel from the system canvases (pallas_solver
-                # docstring identity) — no extra coefficient set.
-                u_fam = pallas_solver.fused_solve(
-                    pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
-                    interior_fam,
-                    n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
-                    extrapolate=self.extrapolate_warm_start,
-                    interpret=interpret,
-                )
+                if uniform:
+                    # Translation-invariant operator: 21 scalars, no
+                    # canvases (ops/uniform.py) — VMEM budget 21-24
+                    # canvases instead of 48.
+                    u_fam = pallas_solver.fused_solve_uniform(
+                        spec,
+                        uniform_mod.extract_constants(
+                            spec, ops.system.vals
+                        ),
+                        uniform_mod.family_constants(spec, ops.mass_diag),
+                        1.0 / uniform_mod.family_constants(
+                            spec, ops.system_diag
+                        ),
+                        u0_fam,
+                        n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
+                        extrapolate=self.extrapolate_warm_start,
+                        interpret=interpret,
+                    )
+                else:
+                    coeffs = stencil_mod.extract_coefficients(
+                        pattern, ops.system.vals
+                    )
+                    bmask_fam = md.boundary_mask[perm]
+                    mass_fam = jnp.where(
+                        bmask_fam, 0.0, ops.mass_diag[perm]
+                    )
+                    inv_diag_fam = 1.0 / ops.system_diag[perm]
+                    interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
+                    # CN's row-masked -(dt/2)(K+A) RHS term is
+                    # reconstructed in-kernel from the system canvases
+                    # (pallas_solver docstring identity) — no extra
+                    # coefficient set.
+                    u_fam = pallas_solver.fused_solve(
+                        pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
+                        interior_fam,
+                        n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
+                        extrapolate=self.extrapolate_warm_start,
+                        interpret=interpret,
+                    )
                 u_global = u_fam[inv]
                 # Boundary lift at the final time (matches run_time_loop's
                 # final-state-only output).
@@ -647,15 +684,18 @@ class CRBESolver:
         plots.plot_error_evolution(self, errors, save_dir)
 
 
-def _pallas_fused_fits(pattern, extrapolate: bool = False) -> bool:
-    """VMEM budget for the fused solver. All operands are live at once:
-    15 coefficient canvases + mass/inv-diag/mask/u0 inputs (12) + 3
-    outputs + 18 Krylov scratch canvases = 48, for BE and CN alike (the
-    CN RHS operator is reconstructed from the system canvases in-kernel,
-    see ops/pallas_solver.py); the extrapolated warm start carries 3
-    previous-state canvases on top."""
+def _pallas_fused_fits(pattern, extrapolate: bool = False,
+                       uniform: bool = True) -> bool:
+    """VMEM budget for the fused solver. Canvas operator: all operands
+    live at once — 15 coefficient canvases + mass/inv-diag/mask/u0 inputs
+    (12) + 3 outputs + 18 Krylov scratch canvases = 48, for BE and CN
+    alike (the CN RHS operator is reconstructed from the system canvases
+    in-kernel, see ops/pallas_solver.py). Uniform operator: the state
+    (u0, aliased into the output) + 18 scratch = 21 canvases. The
+    extrapolated warm start carries 3 previous-state canvases on top."""
     per_canvas = pattern.n * pattern.n * 4
-    n_canvases = 15 + 12 + 3 + 18 + (3 if extrapolate else 0)
+    n_canvases = (3 + 18) if uniform else (15 + 12 + 3 + 18)
+    n_canvases += 3 if extrapolate else 0
     return n_canvases * per_canvas < 14 * 1024 * 1024
 
 

@@ -224,6 +224,203 @@ def _solver_kernel(
     jax.lax.fori_loop(0, n_steps, step, 0)
 
 
+def _uniform_solver_kernel(
+    consts, *refs,
+    n: int, c: int, n_steps: int, n_iters: int, has_ka: bool,
+    extrapolate: bool,
+):
+    """Uniform-operator variant (ops/uniform.py): NO coefficient, mass,
+    inverse-diagonal or mask canvases — 21 scalars in SMEM plus
+    iota-derived rectangle masks. The matvec rect-masks its output (zero
+    on Dirichlet rows instead of identity), which is equivalent inside
+    the solve because every Krylov vector is zero there; the CN RHS
+    identity term ``(1-mask) u`` is dropped for the same reason (its only
+    nonzero rows are Dirichlet rows the masked RHS zeroes anyway).
+
+    Ref layout: u0 x3 (aliased to the outputs), outputs u x3, then 18
+    Krylov scratch canvases (+3 previous-state canvases when extrapolate).
+    """
+    u0H, u0V, u0D = refs[0:3]
+    uH, uV, uD = refs[3:6]
+    (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
+     vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[6:24]
+    up3 = refs[24:27] if extrapolate else None
+
+    dtype = uH.dtype
+    # Per-family interior rectangles (UniformSpec.interior_rects):
+    # H rows [1, c) x cols [0, c); V rows [0, c) x cols [1, c);
+    # D rows [0, c) x cols [0, c). Built once from 1D iotas; the mask
+    # multiply is two broadcasts per family per matvec.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rowH = ((ri >= 1) & (ri < c)).astype(dtype)
+    colH = (ci < c).astype(dtype)
+    rowV = (ri < c).astype(dtype)
+    colV = ((ci >= 1) & (ci < c)).astype(dtype)
+    rowD = (ri < c).astype(dtype)
+    colD = (ci < c).astype(dtype)
+
+    def maskH(x):
+        return rowH * (colH * x)
+
+    def maskV(x):
+        return rowV * (colV * x)
+
+    def maskD(x):
+        return rowD * (colD * x)
+
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = (consts[i] for i in range(15))
+    mcH, mcV, mcD = consts[15], consts[16], consts[17]
+    idH_c, idV_c, idD_c = consts[18], consts[19], consts[20]
+
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % n, axis)
+
+    def matvec(outs, xH, xV, xD):
+        """Rect-masked uniform stencil: mask kills both Dirichlet rows and
+        roll wrap-around (wrapped values only ever land outside the
+        family's interior rectangle)."""
+        oH, oV, oD = outs
+        oH[:] = maskH(cHH * xH
+                      + cHVu * roll(xV, -1, 1)
+                      + cHDu * xD
+                      + cHVd * roll(xV, 1, 0)
+                      + cHDd * roll(xD, 1, 0))
+        oV[:] = maskV(cVV * xV
+                      + cVDl * roll(xD, 1, 1)
+                      + cVHl * roll(xH, 1, 1)
+                      + cVHr * roll(xH, -1, 0)
+                      + cVDr * xD)
+        oD[:] = maskD(cDD * xD
+                      + cDVr * roll(xV, -1, 1)
+                      + cDHd * xH
+                      + cDHu * roll(xH, -1, 0)
+                      + cDVl * xV)
+
+    def dot3(a3, b3):
+        (a1, a2, a3_), (b1, b2, b3_) = a3, b3
+        return (jnp.sum(a1[:] * b1[:]) + jnp.sum(a2[:] * b2[:])
+                + jnp.sum(a3_[:] * b3_[:]))
+
+    r3, rh3, p3 = (rH, rV, rD), (rhH, rhV, rhD), (pH, pV, pD)
+    v3, t3, w3 = (vH, vV, vD), (tH, tV, tD), (wH, wV, wD)
+    u3 = (uH, uV, uD)
+    masks = (maskH, maskV, maskD)
+    mconsts = (mcH, mcV, mcD)
+    idconsts = (idH_c, idV_c, idD_c)
+
+    uH[:] = u0H[:]
+    uV[:] = u0V[:]
+    uD[:] = u0D[:]
+    if extrapolate:
+        for up_, u_ in zip(up3, u3):
+            up_[:] = u_[:]
+
+    def step(_, carry):
+        if has_ka:
+            matvec(t3, uH[:], uV[:], uD[:])
+            for r_, m_, u_, t_, msk in zip(r3, mconsts, u3, t3, masks):
+                r_[:] = 2.0 * m_ * msk(u_[:]) - t_[:]
+        else:
+            for r_, m_, u_, msk in zip(r3, mconsts, u3, masks):
+                r_[:] = m_ * msk(u_[:])
+        if extrapolate:
+            for u_, up_, msk in zip(u3, up3, masks):
+                guess = 2.0 * u_[:] - up_[:]
+                up_[:] = u_[:]
+                u_[:] = msk(guess)
+        else:
+            for u_, msk in zip(u3, masks):
+                u_[:] = msk(u_[:])
+        matvec(t3, uH[:], uV[:], uD[:])
+        for r_, t_ in zip(r3, t3):
+            r_[:] = r_[:] - t_[:]
+        for rh_, r_ in zip(rh3, r3):
+            rh_[:] = r_[:]
+        for p_, v_ in zip(p3, v3):
+            p_[:] = jnp.zeros_like(p_)
+            v_[:] = jnp.zeros_like(v_)
+
+        def iterate(_, state):
+            rho_old, alpha, omega = state
+            rho = dot3(rh3, r3)
+            beta = (rho / jnp.where(rho_old == 0, _EPS, rho_old)) * (
+                alpha / jnp.where(omega == 0, _EPS, omega)
+            )
+            for p_, r_, v_ in zip(p3, r3, v3):
+                p_[:] = r_[:] + beta * (p_[:] - omega * v_[:])
+            for w_, id_, p_ in zip(w3, idconsts, p3):
+                w_[:] = id_ * p_[:]
+            matvec(v3, wH[:], wV[:], wD[:])
+            denom = dot3(rh3, v3)
+            alpha = rho / jnp.where(denom == 0, _EPS, denom)
+            for u_, w_ in zip(u3, w3):
+                u_[:] = u_[:] + alpha * w_[:]
+            for r_, v_ in zip(r3, v3):
+                r_[:] = r_[:] - alpha * v_[:]  # r now holds s
+            for w_, id_, r_ in zip(w3, idconsts, r3):
+                w_[:] = id_ * r_[:]  # shat
+            matvec(t3, wH[:], wV[:], wD[:])
+            tt = dot3(t3, t3)
+            omega = dot3(t3, r3) / jnp.where(tt == 0, _EPS, tt)
+            for u_, w_ in zip(u3, w3):
+                u_[:] = u_[:] + omega * w_[:]
+            for r_, t_ in zip(r3, t3):
+                r_[:] = r_[:] - omega * t_[:]
+            return rho, alpha, omega
+
+        one = jnp.ones((), dtype)
+        jax.lax.fori_loop(0, n_iters, iterate, (one, one, one))
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+
+
+def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
+                        *, n_steps: int, n_iters: int = 5,
+                        use_ka: bool = False, extrapolate: bool = False,
+                        interpret: bool = False):
+    """Whole-loop fused solve with the translation-invariant operator.
+
+    ``spec`` is an ops/uniform.UniformSpec; ``consts`` the 15 stencil
+    scalars (uniform.extract_constants of the MASKED system);
+    ``mass_consts``/``inv_diag_consts`` the per-family interior mass and
+    1/system-diagonal scalars (uniform.family_constants). Everything else
+    matches :func:`fused_solve` — but the only array input is ``u0_fam``
+    (aliased into the output), so the VMEM footprint drops from 48 to
+    21 canvases (24 with extrapolation): meshes to ~380^2 fit.
+    """
+    n, cdim = spec.n, spec.c
+    dtype = u0_fam.dtype
+    u3 = to_canvases(spec, u0_fam)
+    packed = jnp.concatenate([
+        jnp.asarray(consts, dtype),
+        jnp.asarray(mass_consts, dtype),
+        jnp.asarray(inv_diag_consts, dtype),
+    ])
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = partial(_uniform_solver_kernel, n=n, c=cdim, n_steps=n_steps,
+                     n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate)
+    n_scratch = 21 if extrapolate else 18
+    scratch = [pltpu.VMEM((n, n), dtype) for _ in range(n_scratch)]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n, n), dtype) for _ in range(3)
+        ),
+        in_specs=[smem, vmem, vmem, vmem],
+        out_specs=(vmem, vmem, vmem),
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )(packed, *u3)
+    return from_canvases(spec, *outs)
+
+
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
                 inv_diag_fam, u0_fam, interior_fam, *, n_steps: int,
                 n_iters: int = 5, use_ka: bool = False,

@@ -37,6 +37,9 @@ def main(argv=None):
                     help="Also record mean/max BiCGStab iterations per "
                          "step (separate compiled variant; timing columns "
                          "then reflect the collecting program)")
+    ap.add_argument("--impl", default="stencil",
+                    choices=["stencil", "uniform", "ell"],
+                    help="matvec implementation for the scan path")
     ap.add_argument("--out", default="results_snapshot/crbe_scaling.csv")
     args = ap.parse_args(argv)
 
@@ -50,7 +53,7 @@ def main(argv=None):
         print(f"ms={ms}: {n} DOFs, setup {setup:.1f}s",
               file=sys.stderr, flush=True)
 
-        solver = CRBESolver(domain, problem, md, matvec_impl="stencil",
+        solver = CRBESolver(domain, problem, md, matvec_impl=args.impl,
                             solver_tol=1e-7, solver_maxiter=50,
                             extrapolate_warm_start=args.extrapolate)
         kw = dict(store_solutions=False, collect_iters=args.collect_iters)

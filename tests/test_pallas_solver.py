@@ -8,9 +8,11 @@ from airpollution_tpu.models.crbe import CRBESolver
 from airpollution_tpu.problems import Domain, Problem, SquarePulseProblem
 
 
+@pytest.mark.parametrize("fused_operator", ["canvas", "uniform"])
 @pytest.mark.parametrize("problem_cls", [Problem, SquarePulseProblem])
 @pytest.mark.parametrize("order", [1, 2])
-def test_fused_matches_stencil_final_state(problem_cls, order):
+def test_fused_matches_stencil_final_state(problem_cls, order,
+                                           fused_operator):
     domain = Domain()
     problem = problem_cls()
     md = MeshData(create_mesh(10, 20.0), domain, nt=12)
@@ -19,7 +21,8 @@ def test_fused_matches_stencil_final_state(problem_cls, order):
                      solver_tol=1e-12, solver_maxiter=5)
     u_ref = np.asarray(ref.solve(store_solutions=False))
     fused = CRBESolver(domain, problem, md, matvec_impl="fused",
-                       time_scheme_order=order, fused_iters=5)
+                       time_scheme_order=order, fused_iters=5,
+                       fused_operator=fused_operator)
     u_fused = np.asarray(fused.solve(store_solutions=False))
     # Same algorithm, same iteration count -> tight agreement in f32.
     np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
@@ -54,7 +57,23 @@ def test_fused_cn_fits_same_meshes_as_be():
         md._host_t2s, md._host_ell_cols, md.structured_n
     )
     # 48 canvases x 256^2 x 4 B = 12 MB < 14 MB guard.
-    assert _pallas_fused_fits(pattern)
+    assert _pallas_fused_fits(pattern, uniform=False)
+
+
+def test_uniform_fused_fits_larger_meshes():
+    """The uniform operator needs 21 canvases (24 extrapolated) instead of
+    48: 380^2 fits, 276^2 in canvas mode does not reach 380^2."""
+    from airpollution_tpu.models.crbe import _pallas_fused_fits
+    from airpollution_tpu.ops.stencil import build_stencil_pattern
+
+    domain = Domain()
+    md = MeshData(create_mesh(380, 20.0), domain, nt=4)
+    pattern = build_stencil_pattern(
+        md._host_t2s, md._host_ell_cols, md.structured_n
+    )
+    assert _pallas_fused_fits(pattern, uniform=True)
+    assert _pallas_fused_fits(pattern, extrapolate=True, uniform=True)
+    assert not _pallas_fused_fits(pattern, uniform=False)
 
 
 def test_fused_cn_with_nonzero_boundary_ic():
@@ -68,10 +87,12 @@ def test_fused_cn_with_nonzero_boundary_ic():
                      time_scheme_order=2, solver_tol=1e-12,
                      solver_maxiter=6)
     u_ref = np.asarray(ref.solve(store_solutions=False))
-    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
-                       time_scheme_order=2, fused_iters=6)
-    u_fused = np.asarray(fused.solve(store_solutions=False))
-    np.testing.assert_allclose(u_fused, u_ref, atol=3e-5)
+    for op in ("canvas", "uniform"):
+        fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                           time_scheme_order=2, fused_iters=6,
+                           fused_operator=op)
+        u_fused = np.asarray(fused.solve(store_solutions=False))
+        np.testing.assert_allclose(u_fused, u_ref, atol=3e-5)
 
 
 @pytest.mark.parametrize("order", [1, 2])
@@ -85,11 +106,13 @@ def test_fused_extrapolated_warm_start_matches_scan(order):
                      time_scheme_order=order,
                      solver_tol=1e-12, solver_maxiter=8)
     u_ref = np.asarray(ref.solve(store_solutions=False))
-    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
-                       time_scheme_order=order, fused_iters=5,
-                       extrapolate_warm_start=True)
-    u_fused = np.asarray(fused.solve(store_solutions=False))
-    np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
+    for op in ("canvas", "uniform"):
+        fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                           time_scheme_order=order, fused_iters=5,
+                           fused_operator=op,
+                           extrapolate_warm_start=True)
+        u_fused = np.asarray(fused.solve(store_solutions=False))
+        np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
 
 
 def test_scan_extrapolated_warm_start_matches_plain():
