@@ -202,7 +202,7 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
                   collect_iters=False, matvec=None, ka_matvec=None,
                   differentiable=False, extrapolate_warm_start=False,
-                  precond=None):
+                  precond=None, solver="bicgstab", chebyshev_iters=8):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -241,6 +241,20 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         ka_matvec = partial(sparse.ell_matvec, ops.ka)
     if precond is None:
         precond = linalg.jacobi_preconditioner(ops.system_diag)
+    if solver not in ("bicgstab", "chebyshev"):
+        raise ValueError(f"unknown solver {solver!r}")
+    if solver == "chebyshev":
+        if differentiable:
+            raise ValueError(
+                "differentiable=True requires solver='bicgstab' (the "
+                "implicit-function VJP wraps the Krylov solve)"
+            )
+        # Spectral interval of the Jacobi-preconditioned operator,
+        # estimated once per compiled solve (hoisted out of the scan).
+        bounds = linalg.power_bounds(
+            matvec, jnp.zeros_like(u0),
+            scale=1.0 / jnp.sqrt(ops.system_diag),
+        )
 
     def rhs(u, t):
         if order == 1:  # crbe.py:383-384
@@ -268,6 +282,11 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
             res = linalg.SolveResult(
                 x=u_new, iterations=jnp.int32(0),
                 residual_norm=jnp.zeros((), u_new.dtype),
+            )
+        elif solver == "chebyshev":
+            res = linalg.chebyshev(
+                matvec, b, x0=x0,
+                bounds=bounds, iters=chebyshev_iters, precond=precond,
             )
         else:
             res = linalg.bicgstab(
@@ -329,6 +348,8 @@ class CRBESolver:
         fused_operator: str = "auto",
         extrapolate_warm_start: bool = False,
         preconditioner: str = "jacobi",
+        solver_method: str = "bicgstab",
+        chebyshev_iters: int = 8,
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -350,6 +371,10 @@ class CRBESolver:
         self.stiffness_convention = stiffness_convention
         if fused_operator not in ("auto", "uniform", "canvas"):
             raise ValueError(f"unknown fused_operator {fused_operator}")
+        if solver_method not in ("bicgstab", "chebyshev"):
+            raise ValueError(f"unknown solver_method {solver_method}")
+        self.solver_method = solver_method
+        self.chebyshev_iters = chebyshev_iters
         self.matvec_impl = matvec_impl
         self.fused_iters = fused_iters
         self.fused_operator = fused_operator
@@ -436,6 +461,8 @@ class CRBESolver:
             store_solutions=store_solutions,
             collect_iters=collect_iters,
             extrapolate_warm_start=self.extrapolate_warm_start,
+            solver=self.solver_method,
+            chebyshev_iters=self.chebyshev_iters,
         )
         if not self._use_stencil():
             if self.preconditioner == "spectral":
@@ -486,7 +513,8 @@ class CRBESolver:
                     )
                 uniform = False  # auto: degenerate mesh, fall back
             if not _pallas_fused_fits(pattern, self.extrapolate_warm_start,
-                                      uniform=uniform):
+                                      uniform=uniform,
+                                      method=self.solver_method):
                 raise ValueError(
                     "mesh too large for the VMEM-resident fused solver"
                 )
@@ -498,6 +526,11 @@ class CRBESolver:
                 from airpollution_tpu.ops import uniform as uniform_mod
 
                 spec = uniform_mod.build_uniform_spec(pattern)
+            if self.solver_method == "chebyshev" and not uniform:
+                raise ValueError(
+                    "fused chebyshev requires the uniform operator "
+                    "(fused_operator='uniform' or 'auto')"
+                )
 
             def solve_impl(ops: GlobalOperators, u0):
                 # u0 goes in FULL (boundary values included): the first
@@ -507,19 +540,33 @@ class CRBESolver:
                 if uniform:
                     # Translation-invariant operator: 21 scalars, no
                     # canvases (ops/uniform.py) — VMEM budget 21-24
-                    # canvases instead of 48.
+                    # canvases instead of 48 (12-15 with chebyshev).
+                    sys_consts = uniform_mod.extract_constants(
+                        spec, ops.system.vals
+                    )
+                    bounds = None
+                    kiters = n_iters
+                    if self.solver_method == "chebyshev":
+                        kiters = self.chebyshev_iters
+                        matvec = partial(
+                            uniform_mod.uniform_matvec, spec, sys_consts
+                        )
+                        bounds = linalg.power_bounds(
+                            matvec, jnp.zeros_like(u0_fam),
+                            scale=1.0 / jnp.sqrt(
+                                ops.system_diag[perm]
+                            ),
+                        )
                     u_fam = pallas_solver.fused_solve_uniform(
-                        spec,
-                        uniform_mod.extract_constants(
-                            spec, ops.system.vals
-                        ),
+                        spec, sys_consts,
                         uniform_mod.family_constants(spec, ops.mass_diag),
                         1.0 / uniform_mod.family_constants(
                             spec, ops.system_diag
                         ),
                         u0_fam,
-                        n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
+                        n_steps=n_steps, n_iters=kiters, use_ka=use_ka,
                         extrapolate=self.extrapolate_warm_start,
+                        method=self.solver_method, bounds=bounds,
                         interpret=interpret,
                     )
                 else:
@@ -685,16 +732,23 @@ class CRBESolver:
 
 
 def _pallas_fused_fits(pattern, extrapolate: bool = False,
-                       uniform: bool = True) -> bool:
+                       uniform: bool = True,
+                       method: str = "bicgstab") -> bool:
     """VMEM budget for the fused solver. Canvas operator: all operands
     live at once — 15 coefficient canvases + mass/inv-diag/mask/u0 inputs
     (12) + 3 outputs + 18 Krylov scratch canvases = 48, for BE and CN
     alike (the CN RHS operator is reconstructed from the system canvases
     in-kernel, see ops/pallas_solver.py). Uniform operator: the state
-    (u0, aliased into the output) + 18 scratch = 21 canvases. The
-    extrapolated warm start carries 3 previous-state canvases on top."""
+    (u0, aliased into the output) + 18 BiCGStab scratch = 21 canvases, or
+    + 9 Chebyshev scratch (r, d, t) = 12. The extrapolated warm start
+    carries 3 previous-state canvases on top."""
     per_canvas = pattern.n * pattern.n * 4
-    n_canvases = (3 + 18) if uniform else (15 + 12 + 3 + 18)
+    if not uniform:
+        n_canvases = 15 + 12 + 3 + 18
+    elif method == "chebyshev":
+        n_canvases = 3 + 9
+    else:
+        n_canvases = 3 + 18
     n_canvases += 3 if extrapolate else 0
     return n_canvases * per_canvas < 14 * 1024 * 1024
 

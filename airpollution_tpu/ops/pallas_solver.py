@@ -227,7 +227,7 @@ def _solver_kernel(
 def _uniform_solver_kernel(
     consts, *refs,
     n: int, c: int, n_steps: int, n_iters: int, has_ka: bool,
-    extrapolate: bool,
+    extrapolate: bool, method: str = "bicgstab",
 ):
     """Uniform-operator variant (ops/uniform.py): NO coefficient, mass,
     inverse-diagonal or mask canvases — 21 scalars in SMEM plus
@@ -242,9 +242,14 @@ def _uniform_solver_kernel(
     """
     u0H, u0V, u0D = refs[0:3]
     uH, uV, uD = refs[3:6]
-    (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
-     vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[6:24]
-    up3 = refs[24:27] if extrapolate else None
+    if method == "chebyshev":
+        # Three live vectors: r, d, t (matvec scratch).
+        rH, rV, rD, dH, dV, dD, tH, tV, tD = refs[6:15]
+        up3 = refs[15:18] if extrapolate else None
+    else:
+        (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
+         vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[6:24]
+        up3 = refs[24:27] if extrapolate else None
 
     dtype = uH.dtype
     # Per-family interior rectangles (UniformSpec.interior_rects):
@@ -304,9 +309,18 @@ def _uniform_solver_kernel(
         return (jnp.sum(a1[:] * b1[:]) + jnp.sum(a2[:] * b2[:])
                 + jnp.sum(a3_[:] * b3_[:]))
 
-    r3, rh3, p3 = (rH, rV, rD), (rhH, rhV, rhD), (pH, pV, pD)
-    v3, t3, w3 = (vH, vV, vD), (tH, tV, tD), (wH, wV, wD)
-    u3 = (uH, uV, uD)
+    r3, t3, u3 = (rH, rV, rD), (tH, tV, tD), (uH, uV, uD)
+    if method == "chebyshev":
+        d3 = (dH, dV, dD)
+        # Chebyshev interval scalars (power_bounds of the Jacobi-scaled
+        # operator), packed after the 21 operator constants.
+        lo, hi = consts[21], consts[22]
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+    else:
+        rh3, p3 = (rhH, rhV, rhD), (pH, pV, pD)
+        v3, w3 = (vH, vV, vD), (wH, wV, wD)
     masks = (maskH, maskV, maskD)
     mconsts = (mcH, mcV, mcD)
     idconsts = (idH_c, idV_c, idD_c)
@@ -337,6 +351,29 @@ def _uniform_solver_kernel(
         matvec(t3, uH[:], uV[:], uD[:])
         for r_, t_ in zip(r3, t3):
             r_[:] = r_[:] - t_[:]
+
+        if method == "chebyshev":
+            # Saad Alg. 12.1: x += d; r -= A d; d = rho' rho d +
+            # (2 rho'/delta) M^{-1} r — one matvec, zero reductions.
+            for d_, id_, r_ in zip(d3, idconsts, r3):
+                d_[:] = (id_ / theta) * r_[:]
+
+            def iterate(_, rho):
+                for u_, d_ in zip(u3, d3):
+                    u_[:] = u_[:] + d_[:]
+                matvec(t3, dH[:], dV[:], dD[:])
+                for r_, t_ in zip(r3, t3):
+                    r_[:] = r_[:] - t_[:]
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                for d_, id_, r_ in zip(d3, idconsts, r3):
+                    d_[:] = (rho_new * rho) * d_[:] + (
+                        2.0 * rho_new / delta
+                    ) * (id_ * r_[:])
+                return rho_new
+
+            jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
+            return carry
+
         for rh_, r_ in zip(rh3, r3):
             rh_[:] = r_[:]
         for p_, v_ in zip(p3, v3):
@@ -381,6 +418,7 @@ def _uniform_solver_kernel(
 def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
                         *, n_steps: int, n_iters: int = 5,
                         use_ka: bool = False, extrapolate: bool = False,
+                        method: str = "bicgstab", bounds=None,
                         interpret: bool = False):
     """Whole-loop fused solve with the translation-invariant operator.
 
@@ -395,17 +433,26 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
     n, cdim = spec.n, spec.c
     dtype = u0_fam.dtype
     u3 = to_canvases(spec, u0_fam)
-    packed = jnp.concatenate([
+    if method not in ("bicgstab", "chebyshev"):
+        raise ValueError(f"unknown method {method!r}")
+    if (method == "chebyshev") != (bounds is not None):
+        raise ValueError("bounds must be given exactly for chebyshev")
+    parts = [
         jnp.asarray(consts, dtype),
         jnp.asarray(mass_consts, dtype),
         jnp.asarray(inv_diag_consts, dtype),
-    ])
+    ]
+    if bounds is not None:
+        parts.append(jnp.stack([jnp.asarray(b, dtype) for b in bounds]))
+    packed = jnp.concatenate(parts)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = partial(_uniform_solver_kernel, n=n, c=cdim, n_steps=n_steps,
-                     n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate)
-    n_scratch = 21 if extrapolate else 18
+                     n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate,
+                     method=method)
+    n_scratch = 9 if method == "chebyshev" else 18
+    n_scratch += 3 if extrapolate else 0
     scratch = [pltpu.VMEM((n, n), dtype) for _ in range(n_scratch)]
     outs = pl.pallas_call(
         kernel,
@@ -416,6 +463,13 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=scratch,
         input_output_aliases={1: 0, 2: 1, 3: 2},
+        # The Mosaic default scoped-VMEM limit is 16 MB — far below the
+        # physical VMEM of a v5e core. Raising it is what lets the
+        # uniform kernel run meshes past ~300^2 (measured: 321^2 needs
+        # 16.8 MB scoped with BiCGStab scratch).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(packed, *u3)
     return from_canvases(spec, *outs)

@@ -1,0 +1,142 @@
+"""Tests for the Chebyshev solver path (scan and fused kernels).
+
+Chebyshev iteration (ops/linalg.chebyshev) trades BiCGStab's five
+reductions per iteration for a precomputed spectral interval
+(ops/linalg.power_bounds) — the natural fit for the CRBE step, which
+solves one fixed operator thousands of times.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver, assemble, run_time_loop
+from airpollution_tpu.ops import linalg
+from airpollution_tpu.ops import stencil as st
+from airpollution_tpu.ops import uniform as un
+from airpollution_tpu.problems import Domain, Problem
+
+
+def _system(ms=16, nt=65):
+    domain = Domain()
+    md = MeshData(create_mesh(ms, 20.0), domain, nt=nt)
+    dt = domain.T / (nt - 1)
+    ops = assemble(md, Problem(), dt, 1)
+    pattern = st.get_pattern(md)
+    spec = un.build_uniform_spec(pattern)
+    consts = un.extract_constants(spec, ops.system.vals)
+    matvec = partial(un.uniform_matvec, spec, consts)
+    perm = jnp.asarray(pattern.perm)
+    diag = ops.system_diag[perm]
+    return md, ops, pattern, matvec, diag, perm
+
+
+def test_power_bounds_bracket_the_spectrum():
+    """The Jacobi-scaled CRBE system has spectrum near 1 (mass-dominated);
+    the estimated interval must contain 1 with lo > 0, and actually
+    bracket Rayleigh quotients of random vectors."""
+    md, ops, pattern, matvec, diag, perm = _system()
+    scale = 1.0 / jnp.sqrt(diag)
+    lo, hi = linalg.power_bounds(matvec, jnp.zeros_like(diag), scale=scale)
+    lo, hi = float(lo), float(hi)
+    assert 0.0 < lo < 1.0 < hi < 3.0
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        v = jnp.asarray(rng.standard_normal(diag.shape[0]),
+                        dtype=jnp.float32)
+        sym = 0.5 * (
+            jnp.vdot(v, scale * matvec(scale * v))
+            + jnp.vdot(scale * v, matvec(scale * v))
+        )  # == v^T (S~ + S~^T)/2 v via symmetry of the quadratic form
+        q = float(sym / jnp.vdot(v, v))
+        assert lo <= q <= hi
+
+
+def test_chebyshev_matches_converged_bicgstab():
+    md, ops, pattern, matvec, diag, perm = _system()
+    precond = linalg.jacobi_preconditioner(diag)
+    bounds = linalg.power_bounds(
+        matvec, jnp.zeros_like(diag), scale=1.0 / jnp.sqrt(diag)
+    )
+    u0 = Problem().initial_condition_fn(md.midpoints)[perm]
+    bmask = md.boundary_mask[perm]
+    b = jnp.where(bmask, 0.0, ops.mass_diag[perm] * u0)
+    x0 = jnp.where(bmask, 0.0, u0)
+    ref = linalg.bicgstab(matvec, b, x0=x0, tol=1e-12, maxiter=300,
+                          precond=precond)
+    ch = linalg.chebyshev(matvec, b, x0=x0, bounds=bounds, iters=10,
+                          precond=precond)
+    np.testing.assert_allclose(np.asarray(ch.x), np.asarray(ref.x),
+                               atol=2e-6)
+    # residual must actually contract vs the warm start
+    r0 = float(jnp.linalg.norm(b - matvec(x0)))
+    assert float(ch.residual_norm) < 1e-3 * r0
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_scan_chebyshev_matches_bicgstab_path(order):
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(16, 20.0), domain, nt=33)
+    ref = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                     time_scheme_order=order, solver_tol=1e-10,
+                     solver_maxiter=100)
+    u_ref = np.asarray(ref.solve())
+    ch = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                    time_scheme_order=order, solver_method="chebyshev",
+                    chebyshev_iters=10)
+    u_ch = np.asarray(ch.solve())
+    np.testing.assert_allclose(u_ch, u_ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("extrapolate", [False, True])
+def test_fused_chebyshev_matches_scan(order, extrapolate):
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(10, 20.0), domain, nt=12)
+    ref = CRBESolver(domain, problem, md, matvec_impl="stencil",
+                     time_scheme_order=order,
+                     solver_tol=1e-12, solver_maxiter=30)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    # dt = 10/11 at this coarse test mesh leaves the mass-dominated regime
+    # (wide spectral interval), so convergence needs more iterations than
+    # production nt=1001 runs (validated: 16 iters -> 6e-7 here).
+    fused = CRBESolver(domain, problem, md, matvec_impl="fused",
+                       time_scheme_order=order, solver_method="chebyshev",
+                       chebyshev_iters=16,
+                       extrapolate_warm_start=extrapolate)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=2e-5)
+
+
+def test_chebyshev_guards():
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    with pytest.raises(ValueError, match="solver_method"):
+        CRBESolver(domain, problem, md, solver_method="sor")
+    s = CRBESolver(domain, problem, md, matvec_impl="fused",
+                   solver_method="chebyshev", fused_operator="canvas")
+    with pytest.raises(ValueError, match="uniform"):
+        s.solve(store_solutions=False)
+    ops = assemble(md, problem, 10 / 7, 1)
+    u0 = problem.initial_condition_fn(md.midpoints)
+    with pytest.raises(ValueError, match="bicgstab"):
+        run_time_loop(ops, u0, mesh_data=md, problem=problem, dt=10 / 7,
+                      order=1, tol=1e-7, maxiter=10, solver="chebyshev",
+                      differentiable=True)
+
+
+def test_chebyshev_fused_fits_larger_meshes():
+    """Chebyshev needs 12 canvases (r, d, t + state): ~480^2 fits."""
+    from airpollution_tpu.models.crbe import _pallas_fused_fits
+    from airpollution_tpu.ops.stencil import build_stencil_pattern
+
+    domain = Domain()
+    md = MeshData(create_mesh(480, 20.0), domain, nt=4)
+    pattern = build_stencil_pattern(
+        md._host_t2s, md._host_ell_cols, md.structured_n
+    )
+    assert _pallas_fused_fits(pattern, uniform=True, method="chebyshev")
+    assert not _pallas_fused_fits(pattern, uniform=True)
