@@ -50,6 +50,8 @@ def cmd_solve(args):
         matvec_impl=args.matvec_impl,
         stiffness_convention=args.stiffness_convention,
         extrapolate_warm_start=args.extrapolate,
+        solver_method=args.solver_method,
+        chebyshev_iters=args.chebyshev_iters,
     )
     store = bool(args.save_all)
     solver.solve(store_solutions=store)
@@ -143,7 +145,11 @@ def build_parser():
     common(sp)
     sp.add_argument("--order", type=int, default=1, choices=(1, 2))
     sp.add_argument("--matvec_impl", default="auto",
-                    choices=("auto", "ell", "stencil", "pallas", "fused"))
+                    choices=("auto", "ell", "stencil", "uniform", "pallas",
+                             "fused"))
+    sp.add_argument("--solver_method", default="bicgstab",
+                    choices=("bicgstab", "chebyshev"))
+    sp.add_argument("--chebyshev_iters", type=int, default=8)
     sp.add_argument("--stiffness_convention", default="correct",
                     choices=("correct", "reference"))
     sp.add_argument("--extrapolate", action="store_true")

@@ -63,9 +63,22 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     pattern = stencil_mod.get_pattern(md)
     fam_view = stencil_mod.family_view(md, pattern)
-    ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
-        pattern, ops, time_scheme_order
-    )
+    if pattern.n >= 3:
+        # Translation-invariant operator (ops/uniform.py): the 15 scalar
+        # coefficients are a traced gather from the assembled values, so
+        # d(consts)/d(D, v) flows exactly as through the canvas gather —
+        # at 15 elements instead of 15 canvases per forward AND per
+        # transposed (adjoint) matvec.
+        from airpollution_tpu.ops import uniform as uniform_mod
+
+        spec = uniform_mod.build_uniform_spec(pattern)
+        ops_fam, matvec, ka_matvec = uniform_mod.uniform_family_operators(
+            spec, pattern, ops, time_scheme_order
+        )
+    else:
+        ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
+            pattern, ops, time_scheme_order
+        )
     perm = jnp.asarray(pattern.perm)
     inv = jnp.asarray(pattern.inv_perm)
     sols_fam, _ = run_time_loop(ops_fam, u0[perm], mesh_data=fam_view,

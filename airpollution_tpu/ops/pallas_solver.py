@@ -463,16 +463,27 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=scratch,
         input_output_aliases={1: 0, 2: 1, 3: 2},
-        # The Mosaic default scoped-VMEM limit is 16 MB — far below the
-        # physical VMEM of a v5e core. Raising it is what lets the
-        # uniform kernel run meshes past ~300^2 (measured: 321^2 needs
-        # 16.8 MB scoped with BiCGStab scratch).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=_vmem_params(n, n_scratch + 3),
         interpret=interpret,
     )(packed, *u3)
     return from_canvases(spec, *outs)
+
+
+def _vmem_params(n: int, n_canvases: int):
+    """Raise Mosaic's scoped-VMEM limit only when the kernel needs it.
+
+    The default limit is 16 MB — below the physical VMEM of a v5e core —
+    and blocks meshes past ~300^2 (measured: 321^2 BiCGStab needs 16.8 MB
+    scoped). But a blanket high limit changes Mosaic's scheduling choices
+    and measurably slows kernels that fit the default, so the limit is
+    raised per-kernel from the canvas footprint: (8, 128)-tile-padded
+    canvases plus 50% headroom for expression temporaries (the 321^2
+    measurement: 12.1 MB of canvases -> 16.8 MB scoped)."""
+    padded = -(-n // 8) * 8 * (-(-n // 128) * 128) * 4
+    need = int(padded * n_canvases * 1.5) + 2 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=need)
 
 
 def fused_solve(pattern: StencilPattern, coeffs: tuple, mass_masked_fam,
