@@ -654,10 +654,41 @@ class CRBESolver:
 
         return jax.jit(solve_impl)
 
+    def _check_chebyshev_applicable(self, ops):
+        """Eager (unjitted) Chebyshev applicability check, once per solver.
+
+        Real-interval Chebyshev diverges when the preconditioned
+        spectrum's imaginary extent (the advection skew) leaves the
+        convergence ellipse — e.g. coarse meshes with large dt
+        (dt |v| / h >~ 0.4). Estimating the worst-case factor costs ~100
+        matvecs once; a silent divergence costs a wrong answer."""
+        if getattr(self, "_cheb_checked", False):
+            return
+        self._cheb_checked = True
+        import warnings
+
+        matvec = partial(sparse.ell_matvec, ops.system)
+        example = jnp.zeros_like(ops.system_diag)
+        scale = 1.0 / jnp.sqrt(ops.system_diag)
+        lo, hi = linalg.power_bounds(matvec, example, scale=scale)
+        beta = linalg.skew_norm(matvec, example, scale=scale)
+        factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
+        if not (factor < 0.97):
+            warnings.warn(
+                f"Chebyshev worst-case convergence factor {factor:.3f} "
+                f">= 1 for this operator (advection-dominated regime: "
+                f"interval [{float(lo):.3f}, {float(hi):.3f}], skew "
+                f"{float(beta):.3f}) — the solve may diverge; use "
+                f"solver_method='bicgstab'.",
+                stacklevel=3,
+            )
+
     def solve(self, store_solutions: bool = True, collect_iters: bool = False):
         """Run the full time horizon; returns (nt, n_seg) solutions
         (or (1, n_seg) final state when ``store_solutions=False``)."""
         ops = self._require_ops()
+        if self.solver_method == "chebyshev":
+            self._check_chebyshev_applicable(ops)
         u0 = self.set_initial_condition()
         key = (store_solutions, collect_iters)
         if key not in self._solve_fn_cache:

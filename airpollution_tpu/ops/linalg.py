@@ -266,6 +266,60 @@ def power_bounds(
     return (1.0 - margin) * lam_min, (1.0 + margin) * lam_max
 
 
+def skew_norm(
+    matvec: Callable,
+    example: jax.Array,
+    *,
+    scale: Optional[jax.Array] = None,
+    iters: int = 32,
+):
+    """Spectral norm of the skew part of the symmetrically scaled operator.
+
+    ``||(B - B^T)/2||_2`` with ``B = diag(scale) A diag(scale)`` — the
+    imaginary extent of the preconditioned spectrum. Power iteration on
+    ``-K^2`` (K is skew, so ``K^T K = -K^2``)."""
+    s = jnp.ones_like(example) if scale is None else scale
+
+    def scaled(x):
+        return s * matvec(s * x)
+
+    transpose = jax.linear_transpose(scaled, example)
+
+    def skew(x):
+        (tx,) = transpose(x)
+        return 0.5 * (scaled(x) - tx)
+
+    idx = jnp.arange(example.shape[0], dtype=example.dtype)
+    v = jnp.sin(2.3 * idx + 0.7) + 0.01
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, v):
+        w = skew(skew(v))
+        return -w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    return jnp.sqrt(jnp.abs(jnp.vdot(v, -skew(skew(v)))))
+
+
+def chebyshev_convergence_factor(lo, hi, beta):
+    """Worst-case asymptotic Chebyshev factor for spectrum in the box
+    ``[lo, hi] x [-beta, beta]i``.
+
+    The residual polynomial's level sets are ellipses with foci
+    ``[lo, hi]``; for a point ``z = d + i b`` (center + imaginary offset,
+    the worst case) the factor is
+    ``(b + sqrt(b^2 + c^2)) / (d + sqrt(d^2 - c^2))`` with
+    ``d = (hi+lo)/2, c = (hi-lo)/2``. < 1 means convergent. Note widening
+    the REAL interval shrinks imaginary tolerance — advection-dominated
+    regimes (large dt |v| / h) are where Chebyshev gives out and BiCGStab
+    remains the right default."""
+    d = 0.5 * (hi + lo)
+    c = 0.5 * (hi - lo)
+    num = beta + jnp.sqrt(beta * beta + c * c)
+    den = d + jnp.sqrt(jnp.maximum(d * d - c * c, 0.0))
+    return num / jnp.maximum(den, 1e-30)
+
+
 def chebyshev(
     matvec: Callable,
     b: jax.Array,

@@ -1,0 +1,234 @@
+"""Halo-exchange distributed CRBE solve: the uniform stencil over a mesh.
+
+The row-sharded ELL path (parallel/fem_shard.py) moves the ENTIRE solution
+vector through an ``all_gather`` on every matvec and reduces five inner
+products per BiCGStab iteration. This module is the TPU-native scale-out
+for structured meshes, built on two observations:
+
+1. With the translation-invariant operator (ops/uniform.py) the matvec in
+   canvas layout couples rows only at offsets {-1, 0, +1}, so a device
+   holding a contiguous strip of canvas rows needs exactly ONE row from
+   each neighbor: two ``jax.lax.ppermute`` transfers of a few KB per
+   matvec, riding ICI point-to-point instead of an all-to-all.
+   ``ppermute`` fills unpaired destinations with zeros — which is exactly
+   the mesh-boundary semantics of the zero-padded canvases, so the edge
+   devices need no special casing (and a 1-device mesh degenerates to the
+   serial operator).
+2. With Chebyshev iteration (ops/linalg.chebyshev) there are NO inner
+   products, so a full implicit time step issues NO collectives at all
+   beyond the halo exchanges — no psum, no all_gather, no global barrier
+   per iteration. The spectral interval is estimated once on the
+   replicated operator before sharding (ops/linalg.power_bounds).
+
+Scope (mirrors the fused kernel, ops/pallas_solver.py): zero-source
+problems (both built-in ones), backward Euler or Crank-Nicolson,
+final-state-only output, fixed iteration count. Dirichlet rows are kept
+at zero throughout (the Krylov-invariant formulation of the fused kernel:
+the RHS is masked, so identity rows never need to be applied) and the
+boundary lift happens on the reassembled vector outside the shard_map.
+
+Validated on the virtual 8-device CPU mesh against the serial Chebyshev
+scan path (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from airpollution_tpu.models.crbe import GlobalOperators
+from airpollution_tpu.ops import linalg
+from airpollution_tpu.ops import stencil as stencil_mod
+from airpollution_tpu.ops import uniform as uniform_mod
+from airpollution_tpu.ops.pallas_solver import from_canvases, to_canvases
+
+
+def _halo_from_above(row, axis):
+    """Device d receives device (d+1)'s ``row``; the last device zeros."""
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(d, d - 1) for d in range(1, n_dev)]
+    return jax.lax.ppermute(row, axis, perm)
+
+
+def _halo_from_below(row, axis):
+    """Device d receives device (d-1)'s ``row``; the first device zeros."""
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(d, d + 1) for d in range(n_dev - 1)]
+    return jax.lax.ppermute(row, axis, perm)
+
+
+def _shift_cols(x, shift):
+    """Zero-fill column shift (the local axis): shift=-1 -> x[:, j+1]."""
+    if shift == -1:
+        return jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    return jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+
+
+def _local_matvec(consts, masks, slabs, axis):
+    """One uniform stencil application on local canvas row-strips.
+
+    ``slabs`` is (3, r, n) — the H, V, D canvas strips. Axis-0 stencil
+    offsets become halo rows (2 ppermutes); axis-1 offsets are local
+    column shifts; the per-family interior rectangle masks (global row
+    indices baked in by the caller) zero Dirichlet rows, canvas padding
+    and halo wrap-ins exactly like the fused kernel's rect masks.
+    """
+    xH, xV, xD = slabs[0], slabs[1], slabs[2]
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = consts
+    mH, mV, mD = masks
+
+    # From below (row j-1 of V and D), one ppermute for both rows.
+    below = _halo_from_below(jnp.stack([xV[-1], xD[-1]]), axis)
+    vd_lo, dd_lo = below[0], below[1]
+    # From above (row j+1 of H).
+    h_hi = _halo_from_above(xH[:1], axis)
+
+    xV_down = jnp.concatenate([vd_lo[None, :], xV[:-1]], axis=0)
+    xD_down = jnp.concatenate([dd_lo[None, :], xD[:-1]], axis=0)
+    xH_up = jnp.concatenate([xH[1:], h_hi], axis=0)
+
+    yH = mH * (cHH * xH
+               + cHVu * _shift_cols(xV, -1)
+               + cHDu * xD
+               + cHVd * xV_down
+               + cHDd * xD_down)
+    yV = mV * (cVV * xV
+               + cVDl * _shift_cols(xD, 1)
+               + cVHl * _shift_cols(xH, 1)
+               + cVHr * xH_up
+               + cVDr * xD)
+    yD = mD * (cDD * xD
+               + cDVr * _shift_cols(xV, -1)
+               + cDHd * xH
+               + cDHu * xH_up
+               + cDVl * xV)
+    return jnp.stack([yH, yV, yD])
+
+
+def _family_masks(n, c, r_loc, row0, dtype):
+    """Interior rectangle masks for a local strip of canvas rows.
+
+    Global coordinates (UniformSpec.interior_rects): H rows [1, c) x cols
+    [0, c); V rows [0, c) x cols [1, c); D rows [0, c) x cols [0, c).
+    """
+    rows = row0 + jnp.arange(r_loc)[:, None]
+    cols = jnp.arange(n)[None, :]
+
+    def rect(r0, r1, c0, c1):
+        return (((rows >= r0) & (rows < r1)) &
+                ((cols >= c0) & (cols < c1))).astype(dtype)
+
+    return rect(1, c, 0, c), rect(0, c, 1, c), rect(0, c, 0, c)
+
+
+def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
+                      iters=8, axis="mp", extrapolate=False):
+    """Jitted halo-exchange solve: (ops, u0) -> (1, n_seg) final state.
+
+    Requires a structured mesh (uniform operator) and a zero-source
+    problem. The entire nt-1 step loop (scan + Chebyshev inner loop) runs
+    inside one ``shard_map``; per inner iteration the only communication
+    is two 1-row ppermutes.
+    """
+    md = mesh_data
+    if getattr(md, "structured_n", None) is None:
+        raise ValueError("halo solver requires a structured mesh")
+    if not getattr(problem, "zero_source", False):
+        raise ValueError("halo solver requires a zero-source problem")
+    pattern = stencil_mod.get_pattern(md)
+    spec = uniform_mod.build_uniform_spec(pattern)
+    n, c = spec.n, spec.c
+    n_dev = mesh.shape[axis]
+    r_loc = -(-n // n_dev)
+    n_rows = r_loc * n_dev
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    n_steps = md.nt - 1
+
+    def solve(ops: GlobalOperators, u0):
+        consts = uniform_mod.extract_constants(spec, ops.system.vals)
+        mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
+        idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
+        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+        bounds = linalg.power_bounds(
+            sys_matvec, jnp.zeros_like(u0),
+            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+        )
+        lo, hi = bounds
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+
+        u0_can = jnp.stack(to_canvases(spec, u0[perm]))  # (3, n, n), FULL
+        u0_can = jnp.pad(u0_can, ((0, 0), (0, n_rows - n), (0, 0)))
+
+        def device_solve(u0_loc):
+            dev = jax.lax.axis_index(axis)
+            row0 = dev * r_loc
+            masks = _family_masks(n, c, r_loc, row0, u0_loc.dtype)
+            mv = partial(_local_matvec, consts, masks, axis=axis)
+            mass3 = mass_c[:, None, None]
+            id3 = idiag_c[:, None, None]
+            mask3 = jnp.stack(masks)
+
+            def chebyshev_solve(r, x):
+                d = (id3 / theta) * r
+
+                def body(_, state):
+                    x, r, d, rho = state
+                    x = x + d
+                    r = r - mv(d)
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    d = (rho_new * rho) * d + (
+                        2.0 * rho_new / delta
+                    ) * (id3 * r)
+                    return (x, r, d, rho_new)
+
+                x, r, d, _ = jax.lax.fori_loop(
+                    0, iters, body, (x, r, d, 1.0 / sigma)
+                )
+                return x
+
+            def step(carry, _):
+                u, up = carry
+                # RHS in the Krylov-invariant (no identity rows) form of
+                # the fused kernel: BE b = m*mask(u); CN adds the
+                # row-masked -(dt/2)(K+A)u via b = 2 m mask(u) - mask(S u)
+                # (ops/pallas_solver.py docstring identity).
+                if order == 2:
+                    b = 2.0 * mass3 * (mask3 * u) - mv(u)
+                else:
+                    b = mass3 * (mask3 * u)
+                guess = (2.0 * u - up) if extrapolate else u
+                x0 = mask3 * guess
+                r0 = b - mv(x0)
+                u_new = chebyshev_solve(r0, x0)
+                return (u_new, u), None
+
+            (u_fin, _), _ = jax.lax.scan(
+                step, (u0_loc, u0_loc), None, length=n_steps
+            )
+            return u_fin
+
+        fn = jax.shard_map(
+            device_solve, mesh=mesh,
+            in_specs=P(None, axis, None),
+            out_specs=P(None, axis, None),
+        )
+        u_can = fn(u0_can)[:, :n, :]
+        u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
+        u_hom = u_fam[inv]
+        # Boundary lift at the final time (replicated, outside shard_map).
+        t_final = dt * n_steps
+        t_col = jnp.full((md.midpoints.shape[0], 1), t_final,
+                         dtype=md.midpoints.dtype)
+        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+        lift = jnp.where(md.boundary_mask, problem.boundary_fn(xyt), 0.0)
+        return (u_hom + lift)[None, :]
+
+    return jax.jit(solve)

@@ -140,3 +140,28 @@ def test_chebyshev_fused_fits_larger_meshes():
     )
     assert _pallas_fused_fits(pattern, uniform=True, method="chebyshev")
     assert not _pallas_fused_fits(pattern, uniform=True)
+
+
+def test_chebyshev_warns_in_advection_dominated_regime():
+    """dt = 10/3 at ms=6 is advection-dominated: the spectrum's imaginary
+    extent leaves the convergence ellipse and the solver must warn."""
+    import warnings
+
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(6, 20.0), domain, nt=4)
+    s = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                   solver_method="chebyshev", chebyshev_iters=10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s.solve(store_solutions=False)
+    assert any("diverge" in str(x.message) for x in w)
+
+    # ... and must stay silent in the production (diffusion-dominated)
+    # regime.
+    md2 = MeshData(create_mesh(16, 20.0), domain, nt=65)
+    s2 = CRBESolver(domain, problem, md2, matvec_impl="uniform",
+                    solver_method="chebyshev", chebyshev_iters=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s2.solve(store_solutions=False)
+    assert not any("diverge" in str(x.message) for x in w)

@@ -228,3 +228,43 @@ def test_train_parallel_with_fourier_features():
     assert len(tl) == 20 and np.isfinite(tl).all()
     assert tl[-1] < tl[0]
     np.testing.assert_array_equal(B0, np.asarray(model.params[0]["B"]))
+
+
+def test_halo_sharded_stencil_matches_serial():
+    """8-way halo-exchange (ppermute) Chebyshev solve equals the serial
+    Chebyshev scan path: the only per-iteration communication is two
+    1-row ppermutes (parallel/stencil_shard.py)."""
+    from airpollution_tpu.parallel.stencil_shard import build_halo_solver
+
+    domain, problem = Domain(), Problem()
+    for order in (1, 2):
+        md = MeshData(create_mesh(12, 20.0), domain, nt=16)
+        serial = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                            time_scheme_order=order,
+                            solver_method="chebyshev", chebyshev_iters=14)
+        u_serial = np.asarray(serial.solve(store_solutions=False))
+
+        mesh = make_mesh({"mp": 8})
+        solver = build_halo_solver(mesh, md, problem, serial.dt,
+                                   order=order, iters=14)
+        u_shard = np.asarray(solver(serial._require_ops(),
+                                    serial.set_initial_condition()))
+        np.testing.assert_allclose(u_shard, u_serial, atol=2e-6)
+
+
+def test_halo_solver_guards():
+    from airpollution_tpu.mesh.structured import create_unstructured_mesh
+    from airpollution_tpu.parallel.stencil_shard import build_halo_solver
+
+    domain, problem = Domain(), Problem()
+    mesh = make_mesh({"mp": 8})
+    md_u = MeshData(create_unstructured_mesh(8, 20.0), domain, nt=8)
+    with pytest.raises(ValueError, match="structured"):
+        build_halo_solver(mesh, md_u, problem, 1.0)
+
+    class Sourced(Problem):
+        zero_source = False
+
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    with pytest.raises(ValueError, match="zero-source"):
+        build_halo_solver(mesh, md, Sourced(), 1.0)
