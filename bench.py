@@ -46,14 +46,19 @@ def main():
     log(f"mesh: {md.number_of_segments} DOFs, setup {time.time() - t0:.1f}s")
 
     # Timed path: the fully fused VMEM-resident Pallas solver
-    # (ops/pallas_solver.py) — the whole time loop in one kernel. The
-    # second-order (extrapolated) warm start makes 3 BiCGStab iterations
-    # per step as accurate as 4 plain ones (measured diff 3.0e-6 vs the
-    # converged scan path, same as iters=4 without extrapolation).
+    # (ops/pallas_solver.py) — the whole time loop in one kernel, with
+    # the translation-invariant operator (21 scalars in SMEM, zero
+    # coefficient canvases, ops/uniform.py) and reduction-free Chebyshev
+    # inner iterations (ops/linalg.chebyshev; spectral interval from
+    # power_bounds, hoisted out of the loop). Second-order (extrapolated)
+    # warm starts let 4 Chebyshev iterations match the converged scan
+    # path to 2.0e-6 (measured; results_snapshot/cheb_ab.csv — BiCGStab-3
+    # at 19.9k steps/s is the runner-up).
     solver = CRBESolver(
         domain, problem, md,
         stiffness_convention="reference",
-        matvec_impl="fused", fused_iters=3,
+        matvec_impl="fused",
+        solver_method="chebyshev", chebyshev_iters=4,
         extrapolate_warm_start=True,
     )
 
