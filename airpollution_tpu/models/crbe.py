@@ -364,7 +364,7 @@ class CRBESolver:
         self.solver_tol = solver_tol
         self.solver_maxiter = solver_maxiter
         if matvec_impl not in ("auto", "ell", "stencil", "uniform", "pallas",
-                               "fused"):
+                               "fused", "fused_hbm"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         if preconditioner not in ("jacobi", "spectral"):
             raise ValueError(f"unknown preconditioner {preconditioner}")
@@ -433,7 +433,8 @@ class CRBESolver:
     def _use_stencil(self) -> bool:
         if self.matvec_impl == "ell":
             return False
-        if self.matvec_impl in ("stencil", "uniform", "pallas", "fused"):
+        if self.matvec_impl in ("stencil", "uniform", "pallas", "fused",
+                                "fused_hbm"):
             if self.mesh_data.structured_n is None:
                 raise ValueError(
                     "stencil matvec requires a structured mesh "
@@ -483,9 +484,10 @@ class CRBESolver:
         perm = jnp.asarray(pattern.perm)
         inv = jnp.asarray(pattern.inv_perm)
 
-        if self.matvec_impl == "fused":
-            # Entire time loop in one VMEM-resident Pallas kernel
-            # (ops/pallas_solver.py). Scope guards:
+        if self.matvec_impl in ("fused", "fused_hbm"):
+            # Entire time loop in fused Pallas kernels: VMEM-resident
+            # (ops/pallas_solver.py) while the canvases fit, HBM-tiled
+            # stripe streaming (ops/pallas_hbm.py) past that. Scope guards:
             if self.preconditioner == "spectral":
                 raise ValueError(
                     "the fused kernel preconditions with Jacobi in-VMEM; "
@@ -512,11 +514,19 @@ class CRBESolver:
                         "n_points_per_axis >= 3"
                     )
                 uniform = False  # auto: degenerate mesh, fall back
-            if not _pallas_fused_fits(pattern, self.extrapolate_warm_start,
-                                      uniform=uniform,
-                                      method=self.solver_method):
+            use_hbm = self.matvec_impl == "fused_hbm" or not _pallas_fused_fits(
+                pattern, self.extrapolate_warm_start, uniform=uniform,
+                method=self.solver_method,
+            )
+            if use_hbm and not (
+                uniform and self.solver_method == "chebyshev"
+            ):
                 raise ValueError(
-                    "mesh too large for the VMEM-resident fused solver"
+                    "mesh too large for the VMEM-resident fused solver; "
+                    "the HBM-tiled kernel needs the uniform operator and "
+                    "solver_method='chebyshev' (its reduction-free "
+                    "iterations keep stripes independent) — or use "
+                    "matvec_impl='stencil'"
                 )
             interpret = jax.default_backend() != "tpu"
             n_steps = md.nt - 1
@@ -557,18 +567,30 @@ class CRBESolver:
                                 ops.system_diag[perm]
                             ),
                         )
-                    u_fam = pallas_solver.fused_solve_uniform(
-                        spec, sys_consts,
-                        uniform_mod.family_constants(spec, ops.mass_diag),
-                        1.0 / uniform_mod.family_constants(
-                            spec, ops.system_diag
-                        ),
-                        u0_fam,
-                        n_steps=n_steps, n_iters=kiters, use_ka=use_ka,
-                        extrapolate=self.extrapolate_warm_start,
-                        method=self.solver_method, bounds=bounds,
-                        interpret=interpret,
+                    mass_c = uniform_mod.family_constants(
+                        spec, ops.mass_diag
                     )
+                    inv_diag_c = 1.0 / uniform_mod.family_constants(
+                        spec, ops.system_diag
+                    )
+                    if use_hbm:
+                        from airpollution_tpu.ops import pallas_hbm
+
+                        u_fam = pallas_hbm.fused_solve_uniform_hbm(
+                            spec, sys_consts, mass_c, inv_diag_c, u0_fam,
+                            n_steps=n_steps, n_iters=kiters,
+                            bounds=bounds, use_ka=use_ka,
+                            extrapolate=self.extrapolate_warm_start,
+                            interpret=interpret,
+                        )
+                    else:
+                        u_fam = pallas_solver.fused_solve_uniform(
+                            spec, sys_consts, mass_c, inv_diag_c, u0_fam,
+                            n_steps=n_steps, n_iters=kiters, use_ka=use_ka,
+                            extrapolate=self.extrapolate_warm_start,
+                            method=self.solver_method, bounds=bounds,
+                            interpret=interpret,
+                        )
                 else:
                     coeffs = stencil_mod.extract_coefficients(
                         pattern, ops.system.vals

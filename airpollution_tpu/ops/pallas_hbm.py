@@ -1,0 +1,360 @@
+"""HBM-tiled fused Pallas solver: the uniform-operator Chebyshev solve
+for meshes too large for the VMEM-resident kernel.
+
+The fully fused kernel (ops/pallas_solver.fused_solve_uniform) keeps every
+solver canvas in VMEM and tops out around 481^2 (~925k DOFs). Past that,
+the scan path pays the full HBM round-trip price per vector op: one
+Chebyshev iteration is ~11 canvas-sized HBM transfers (u += d; t = A d;
+r -= t; d = a d + b M^{-1} r), so a time step with k iterations moves
+~11(k+1) canvases through HBM.
+
+This kernel streams the state through VMEM in row stripes instead. One
+time step = one kernel sweep over stripes of S canvas rows; each stripe is
+loaded with a halo of ``depth = n_iters + 1 (+1 for Crank-Nicolson)``
+rows on each side, the ENTIRE step (RHS, warm start, and all Chebyshev
+iterations) is computed stripe-locally with the halo absorbing the
+1-row-per-matvec domain of dependence (classic overlapping/trapezoidal
+time-tiling), and only the interior S rows are written back. Per-step HBM
+traffic: read + write the state once — 4 canvases (6 with the
+extrapolated warm start) regardless of k, a ~(11k/4)x traffic reduction.
+DMA is double-buffered (guide pattern): stripe i+1 loads while stripe i
+computes, stripe i-1's writeback drains concurrently.
+
+Chebyshev only: its scalar recurrence (rho_{k+1} = 1/(2 sigma - rho_k))
+is data-independent, so stripes never need a global reduction. BiCGStab's
+per-iteration dot products would force a whole-grid barrier per iteration
+and are served by the VMEM kernel or the scan path instead.
+
+Correctness of the halo (why ``halo = depth + 1`` suffices): every matvec
+is a +-1-row stencil (ops/stencil.py neighbor table), so values computed
+in the outermost window rows — polluted by ``pltpu.roll`` wrap-around —
+creep inward one row per matvec application. The step applies
+``n_iters + 1 (+1 CN)`` matvecs, so pollution never reaches the interior
+S rows. Where the window is clamped to the physical canvas edge the wrap
+lands on rows the family rectangle masks zero anyway — the same argument
+as the full-canvas kernel (ops/pallas_solver.py module docstring).
+
+Row padding to a stripe multiple is benign: rows >= c are outside every
+family's interior rectangle, so the rect masks zero them in every matvec
+output and warm-start masking, and the padded rows of the output stay 0.
+
+Replaces the per-step SuperLU refactorization of the reference
+(crbe.py:397-426) at mesh sizes its scipy path cannot touch at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from airpollution_tpu.ops.pallas_solver import from_canvases, to_canvases
+
+
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
+                       budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Largest stripe height whose VMEM window working set fits budget.
+
+    Working set: 2 double-buffered state windows per carried state (u, and
+    u_prev when extrapolating) + r + d scratch + ~3 windows of matvec
+    temporaries, each (3, S + 2*halo, lane-padded n) f32."""
+    n_bufs = (4 if extrapolate else 2) + 2 + 3
+    for s in (256, 128, 64, 32, 16, 8):
+        w = s + 2 * halo
+        if n_bufs * 3 * w * _lane_pad(n) * 4 <= budget_bytes:
+            return s
+    return 8
+
+
+def _stripe_masks(n, c, ws, w_rows, dtype):
+    """Per-family interior rectangle masks for a window of w_rows canvas
+    rows starting at global row ws (UniformSpec.interior_rects)."""
+    gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rowH = ((gr >= 1) & (gr < c)).astype(dtype)
+    rowV = (gr < c).astype(dtype)
+    colH = (ci < c).astype(dtype)
+    colV = ((ci >= 1) & (ci < c)).astype(dtype)
+
+    def maskH(x):
+        return rowH * (colH * x)
+
+    def maskV(x):
+        return rowV * (colV * x)
+
+    def maskD(x):
+        return rowV * (colH * x)  # D: rows < c, cols < c
+
+    return maskH, maskV, maskD
+
+
+def _step_kernel(
+    consts, *refs,
+    n: int, c: int, n_pad: int, S: int, W: int, halo: int,
+    n_iters: int, has_ka: bool, extrapolate: bool,
+):
+    """One full implicit time step, streamed over row stripes.
+
+    Ref layout: inputs u_in [, up_in] (ANY, shape (3, n_pad, n)), outputs
+    u_out [, up_out] (ANY, same), scratch win_u (2, 3, W, n) [, win_up],
+    r, d (3, W, n), in_sems, out_sems (DMA, (2, n_states))."""
+    n_states = 2 if extrapolate else 1
+    u_in = refs[0]
+    up_in = refs[1] if extrapolate else None
+    u_out = refs[n_states]
+    up_out = refs[n_states + 1] if extrapolate else None
+    k = 2 * n_states
+    win_u = refs[k]
+    win_up = refs[k + 1] if extrapolate else None
+    r_ref = refs[k + n_states]
+    d_ref = refs[k + n_states + 1]
+    in_sems = refs[k + n_states + 2]
+    out_sems = refs[k + n_states + 3]
+
+    dtype = r_ref.dtype
+    n_stripes = n_pad // S
+
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = (consts[i] for i in range(15))
+    mcH, mcV, mcD = consts[15], consts[16], consts[17]
+    idH, idV, idD = consts[18], consts[19], consts[20]
+    lo, hi = consts[21], consts[22]
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    mconsts = (mcH, mcV, mcD)
+    idconsts = (idH, idV, idD)
+
+    def ws_of(i):
+        return jnp.clip(i * S - halo, 0, n_pad - W)
+
+    def in_dmas(slot, i):
+        ws = ws_of(i)
+        dmas = [pltpu.make_async_copy(
+            u_in.at[:, pl.ds(ws, W), :], win_u.at[slot],
+            in_sems.at[slot, 0],
+        )]
+        if extrapolate:
+            dmas.append(pltpu.make_async_copy(
+                up_in.at[:, pl.ds(ws, W), :], win_up.at[slot],
+                in_sems.at[slot, 1],
+            ))
+        return dmas
+
+    def out_dmas(slot, i):
+        r0 = i * S
+        off = r0 - ws_of(i)
+        dmas = [pltpu.make_async_copy(
+            win_u.at[slot, :, pl.ds(off, S), :],
+            u_out.at[:, pl.ds(r0, S), :],
+            out_sems.at[slot, 0],
+        )]
+        if extrapolate:
+            dmas.append(pltpu.make_async_copy(
+                win_up.at[slot, :, pl.ds(off, S), :],
+                up_out.at[:, pl.ds(r0, S), :],
+                out_sems.at[slot, 1],
+            ))
+        return dmas
+
+    def roll(x, shift, axis):
+        size = x.shape[axis]
+        return pltpu.roll(x, shift % size, axis)
+
+    def compute(slot, i):
+        ws = ws_of(i)
+        maskH, maskV, maskD = _stripe_masks(n, c, ws, W, dtype)
+        masks = (maskH, maskV, maskD)
+
+        def matvec(xH, xV, xD):
+            """Rect-masked uniform stencil on the window (same 15 terms
+            as ops/pallas_solver._uniform_solver_kernel)."""
+            yH = maskH(cHH * xH
+                       + cHVu * roll(xV, -1, 1)
+                       + cHDu * xD
+                       + cHVd * roll(xV, 1, 0)
+                       + cHDd * roll(xD, 1, 0))
+            yV = maskV(cVV * xV
+                       + cVDl * roll(xD, 1, 1)
+                       + cVHl * roll(xH, 1, 1)
+                       + cVHr * roll(xH, -1, 0)
+                       + cVDr * xD)
+            yD = maskD(cDD * xD
+                       + cDVr * roll(xV, -1, 1)
+                       + cDHd * xH
+                       + cDHu * roll(xH, -1, 0)
+                       + cDVl * xV)
+            return yH, yV, yD
+
+        u3 = tuple(win_u[slot, f] for f in range(3))
+        # RHS: r = M_masked u (BE, crbe.py:383-384) or
+        # 2 M_masked u - S u (CN, via the identity in ops/pallas_solver.py).
+        if has_ka:
+            t3 = matvec(*u3)
+            for f in range(3):
+                r_ref[f] = 2.0 * mconsts[f] * masks[f](u3[f]) - t3[f]
+        else:
+            for f in range(3):
+                r_ref[f] = mconsts[f] * masks[f](u3[f])
+        # Warm start (masked); extrapolated = mask(2u - u_prev).
+        if extrapolate:
+            for f in range(3):
+                guess = 2.0 * u3[f] - win_up[slot, f]
+                win_up[slot, f] = u3[f]
+                win_u[slot, f] = masks[f](guess)
+        else:
+            for f in range(3):
+                win_u[slot, f] = masks[f](u3[f])
+        t3 = matvec(win_u[slot, 0], win_u[slot, 1], win_u[slot, 2])
+        for f in range(3):
+            r_ref[f] = r_ref[f] - t3[f]
+            d_ref[f] = (idconsts[f] / theta) * r_ref[f]
+
+        def iterate(_, rho):
+            for f in range(3):
+                win_u[slot, f] = win_u[slot, f] + d_ref[f]
+            t3 = matvec(d_ref[0], d_ref[1], d_ref[2])
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            for f in range(3):
+                r_ref[f] = r_ref[f] - t3[f]
+                d_ref[f] = (rho_new * rho) * d_ref[f] + (
+                    2.0 * rho_new / delta
+                ) * (idconsts[f] * r_ref[f])
+            return rho_new
+
+        jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
+
+    # --- double-buffered stripe sweep (guide pattern) ---
+    for dma in in_dmas(0, 0):
+        dma.start()
+
+    def body(i, _):
+        cur = jax.lax.rem(i, 2)
+        nxt = 1 - cur
+
+        # Drain stripe i-1's writeback before reusing its slot as the
+        # load target for stripe i+1.
+        @pl.when(i >= 1)
+        def _():
+            for dma in out_dmas(nxt, i - 1):
+                dma.wait()
+
+        @pl.when(i + 1 < n_stripes)
+        def _():
+            for dma in in_dmas(nxt, i + 1):
+                dma.start()
+
+        for dma in in_dmas(cur, i):
+            dma.wait()
+        compute(cur, i)
+        for dma in out_dmas(cur, i):
+            dma.start()
+        return 0
+
+    jax.lax.fori_loop(0, n_stripes, body, 0)
+    for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
+        dma.wait()
+    if n_stripes >= 2:
+        for dma in out_dmas((n_stripes - 2) % 2, n_stripes - 2):
+            dma.wait()
+
+
+def _vmem_limit(n: int, W: int, extrapolate: bool):
+    """Scoped-VMEM limit for the window working set (see
+    ops/pallas_solver._vmem_params for why this is conditional)."""
+    n_bufs = (4 if extrapolate else 2) + 2 + 3
+    need = int(n_bufs * 3 * W * _lane_pad(n) * 4 * 1.3) + 2 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=need)
+
+
+def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
+                            u0_fam, *, n_steps: int, n_iters: int,
+                            bounds, use_ka: bool = False,
+                            extrapolate: bool = False,
+                            stripe_rows: int | None = None,
+                            interpret: bool = False):
+    """Whole time loop with the HBM-tiled stripe kernel (Chebyshev only).
+
+    Same contract as ops/pallas_solver.fused_solve_uniform with
+    ``method="chebyshev"``: ``spec`` an ops/uniform.UniformSpec, ``consts``
+    the 15 stencil scalars of the MASKED system, ``mass_consts`` /
+    ``inv_diag_consts`` the per-family interior scalars, ``bounds`` the
+    (lo, hi) spectral interval from linalg.power_bounds. Returns the final
+    homogeneous state in family layout (boundary lift is the caller's).
+    The mesh-size ceiling is HBM, not VMEM."""
+    n, c = spec.n, spec.c
+    dtype = u0_fam.dtype
+    # Matvec depth = n_iters + 1 (+1 CN); +1 safety, then rounded up to
+    # the (8, 128) sublane tile so every DMA slice offset/size stays
+    # 8-aligned (Mosaic requires aligned memref slices).
+    depth = n_iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    S = stripe_rows or choose_stripe_rows(n, extrapolate, halo)
+    if S % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    n_stripes = -(-n // S)
+    n_pad = n_stripes * S
+    W = min(S + 2 * halo, n_pad)
+
+    u = jnp.stack(to_canvases(spec, u0_fam))  # (3, n, n)
+    u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    parts = [
+        jnp.asarray(consts, dtype),
+        jnp.asarray(mass_consts, dtype),
+        jnp.asarray(inv_diag_consts, dtype),
+        jnp.stack([jnp.asarray(b, dtype) for b in bounds]),
+    ]
+    packed = jnp.concatenate(parts)
+
+    n_states = 2 if extrapolate else 1
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # State canvases are pinned to HBM — that is the kernel's contract
+    # (pl.ANY let the compiler pick VMEM for mid-sized meshes, defeating
+    # the tiling and tripping Mosaic's aligned-slice check).
+    anyspec = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = partial(
+        _step_kernel, n=n, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
+        n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate,
+    )
+    scratch = [pltpu.VMEM((2, 3, W, n), dtype)] * n_states
+    scratch += [pltpu.VMEM((3, W, n), dtype)] * 2  # r, d
+    scratch += [pltpu.SemaphoreType.DMA((2, n_states))] * 2
+    step_call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((3, n_pad, n), dtype)
+            for _ in range(n_states)
+        ),
+        in_specs=[smem] + [anyspec] * n_states,
+        out_specs=tuple(anyspec for _ in range(n_states)),
+        scratch_shapes=scratch,
+        compiler_params=_vmem_limit(n, W, extrapolate),
+        interpret=interpret,
+    )
+
+    if extrapolate:
+        def step(carry, _):
+            out = step_call(packed, *carry)
+            return (out[0], out[1]), None
+
+        (u, _), _ = jax.lax.scan(step, (u, u), None, length=n_steps)
+    else:
+        def step(carry, _):
+            (out,) = step_call(packed, carry)
+            return out, None
+
+        u, _ = jax.lax.scan(step, u, None, length=n_steps)
+
+    H, V, D = u[0, :n], u[1, :n], u[2, :n]
+    return from_canvases(spec, H, V, D)

@@ -1,0 +1,104 @@
+"""HBM-tiled fused solver (ops/pallas_hbm.py) vs the VMEM fused kernel.
+
+The stripe kernel must reproduce ops/pallas_solver.fused_solve_uniform
+(method="chebyshev") exactly: same algorithm, different tiling. Stripe
+sizes are forced small so multi-stripe sweeps, window clamping at both
+canvas edges, and ragged last stripes are all exercised on tiny meshes.
+"""
+
+import jax.numpy as jnp
+import pytest
+from functools import partial
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.ops import (
+    linalg,
+    pallas_hbm,
+    pallas_solver,
+    stencil as stencil_mod,
+    uniform as uniform_mod,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # ms=33 with 8-row stripes gives windows that are clamped at both
+    # canvas edges AND free-floating in the middle (n_pad=40 > W=24).
+    ms, nt = 33, 9
+    mesh = apt.create_mesh(ms, domain_size=20.0)
+    domain = apt.Domain()
+    problem = apt.Problem(sigma=1.0)
+    md = apt.MeshData(mesh, domain, nt=nt)
+    return domain, problem, md
+
+
+def _pieces(domain, problem, md, order):
+    solver = CRBESolver(domain, problem, md, time_scheme_order=order)
+    ops = solver.build_global_matrices()
+    pattern = stencil_mod.get_pattern(md)
+    spec = uniform_mod.build_uniform_spec(pattern)
+    perm = jnp.asarray(pattern.perm)
+    u0 = solver.set_initial_condition()[perm]
+    consts = uniform_mod.extract_constants(spec, ops.system.vals)
+    mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
+    inv_diag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
+    matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+    bounds = linalg.power_bounds(
+        matvec, jnp.zeros_like(u0),
+        scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+    )
+    return spec, consts, mass_c, inv_diag_c, u0, bounds
+
+
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (1, True),
+                                               (2, True)])
+@pytest.mark.parametrize("stripe_rows", [8, 16, 40])
+def test_matches_vmem_fused(setup, order, extrapolate, stripe_rows):
+    domain, problem, md = setup
+    spec, consts, mass_c, idc, u0, bounds = _pieces(
+        domain, problem, md, order
+    )
+    kw = dict(n_steps=md.nt - 1, n_iters=6, use_ka=(order == 2),
+              extrapolate=extrapolate)
+    ref = pallas_solver.fused_solve_uniform(
+        spec, consts, mass_c, idc, u0, method="chebyshev", bounds=bounds,
+        interpret=True, **kw,
+    )
+    got = pallas_hbm.fused_solve_uniform_hbm(
+        spec, consts, mass_c, idc, u0, bounds=bounds,
+        stripe_rows=stripe_rows, interpret=True, **kw,
+    )
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-12 * float(
+        jnp.max(jnp.abs(ref))
+    ) + 1e-14
+
+
+def test_solver_level_dispatch(setup):
+    """matvec_impl='fused_hbm' reproduces 'fused' through CRBESolver."""
+    domain, problem, md = setup
+    kw = dict(solver_method="chebyshev", chebyshev_iters=8,
+              extrapolate_warm_start=True)
+    a = CRBESolver(domain, problem, md, matvec_impl="fused", **kw).solve(
+        store_solutions=False, collect_iters=False
+    )
+    b = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   **kw).solve(store_solutions=False, collect_iters=False)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-10
+
+
+def test_hbm_requires_chebyshev(setup):
+    domain, problem, md = setup
+    solver = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                        solver_method="bicgstab")
+    with pytest.raises(ValueError, match="chebyshev"):
+        solver.solve(store_solutions=False, collect_iters=False)
+
+
+def test_choose_stripe_rows_budget():
+    # Larger meshes get narrower stripes so the window set stays in VMEM.
+    s_small = pallas_hbm.choose_stripe_rows(513, False, halo=8)
+    s_big = pallas_hbm.choose_stripe_rows(4097, True, halo=8)
+    assert s_small >= s_big
+    w = s_big + 16
+    assert 9 * 3 * w * pallas_hbm._lane_pad(4097) * 4 <= 12 * 1024 * 1024
