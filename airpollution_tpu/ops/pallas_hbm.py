@@ -73,11 +73,13 @@ def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
     return 8
 
 
-def _stripe_masks(n, c, ws, w_rows, dtype):
+def _stripe_masks(n_lane, c, ws, w_rows, dtype):
     """Per-family interior rectangle masks for a window of w_rows canvas
-    rows starting at global row ws (UniformSpec.interior_rects)."""
+    rows starting at global row ws (UniformSpec.interior_rects). Columns
+    past the family interior — including the 128-multiple lane padding —
+    are zeroed by the ``ci < c`` bounds."""
     gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, n_lane), 1)
     rowH = ((gr >= 1) & (gr < c)).astype(dtype)
     rowV = (gr < c).astype(dtype)
     colH = (ci < c).astype(dtype)
@@ -97,14 +99,17 @@ def _stripe_masks(n, c, ws, w_rows, dtype):
 
 def _step_kernel(
     consts, *refs,
-    n: int, c: int, n_pad: int, S: int, W: int, halo: int,
+    n_lane: int, c: int, n_pad: int, S: int, W: int, halo: int,
     n_iters: int, has_ka: bool, extrapolate: bool,
 ):
     """One full implicit time step, streamed over row stripes.
 
-    Ref layout: inputs u_in [, up_in] (ANY, shape (3, n_pad, n)), outputs
-    u_out [, up_out] (ANY, same), scratch win_u (2, 3, W, n) [, win_up],
-    r, d (3, W, n), in_sems, out_sems (DMA, (2, n_states))."""
+    Ref layout: inputs u_in [, up_in] (HBM, shape (3, n_pad, n_lane)),
+    outputs u_out [, up_out] (HBM, same), scratch win_u (2, 3, W, n_lane)
+    [, win_up], r, d (3, W, n_lane), in_sems, out_sems (DMA,
+    (2, n_states)). All DMA slice offsets/sizes are (8, 128)-aligned by
+    construction (S, W, halo multiples of 8; lane dim unsliced and padded
+    to a 128 multiple)."""
     n_states = 2 if extrapolate else 1
     u_in = refs[0]
     up_in = refs[1] if extrapolate else None
@@ -134,7 +139,9 @@ def _step_kernel(
     idconsts = (idH, idV, idD)
 
     def ws_of(i):
-        return jnp.clip(i * S - halo, 0, n_pad - W)
+        # S, halo, n_pad, W are all multiples of 8; tell Mosaic (it
+        # cannot prove divisibility through the clip).
+        return pl.multiple_of(jnp.clip(i * S - halo, 0, n_pad - W), 8)
 
     def in_dmas(slot, i):
         ws = ws_of(i)
@@ -150,8 +157,8 @@ def _step_kernel(
         return dmas
 
     def out_dmas(slot, i):
-        r0 = i * S
-        off = r0 - ws_of(i)
+        r0 = pl.multiple_of(i * S, 8)
+        off = pl.multiple_of(r0 - ws_of(i), 8)
         dmas = [pltpu.make_async_copy(
             win_u.at[slot, :, pl.ds(off, S), :],
             u_out.at[:, pl.ds(r0, S), :],
@@ -171,7 +178,7 @@ def _step_kernel(
 
     def compute(slot, i):
         ws = ws_of(i)
-        maskH, maskV, maskD = _stripe_masks(n, c, ws, W, dtype)
+        maskH, maskV, maskD = _stripe_masks(n_lane, c, ws, W, dtype)
         masks = (maskH, maskV, maskD)
 
         def matvec(xH, xV, xD):
@@ -260,11 +267,10 @@ def _step_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_stripes, body, 0)
+    # Stripes 0..n_stripes-2 were waited inside the loop (each body
+    # drains stripe i-1); only the last stripe's writeback remains.
     for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
         dma.wait()
-    if n_stripes >= 2:
-        for dma in out_dmas((n_stripes - 2) % 2, n_stripes - 2):
-            dma.wait()
 
 
 def _vmem_limit(n: int, W: int, extrapolate: bool):
@@ -304,10 +310,11 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
         raise ValueError("stripe_rows must be a multiple of 8")
     n_stripes = -(-n // S)
     n_pad = n_stripes * S
+    n_lane = _lane_pad(n)
     W = min(S + 2 * halo, n_pad)
 
     u = jnp.stack(to_canvases(spec, u0_fam))  # (3, n, n)
-    u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
+    u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, n_lane - n)))
 
     parts = [
         jnp.asarray(consts, dtype),
@@ -324,16 +331,16 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
     # the tiling and tripping Mosaic's aligned-slice check).
     anyspec = pl.BlockSpec(memory_space=pltpu.HBM)
     kernel = partial(
-        _step_kernel, n=n, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
+        _step_kernel, n_lane=n_lane, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
         n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate,
     )
-    scratch = [pltpu.VMEM((2, 3, W, n), dtype)] * n_states
-    scratch += [pltpu.VMEM((3, W, n), dtype)] * 2  # r, d
+    scratch = [pltpu.VMEM((2, 3, W, n_lane), dtype)] * n_states
+    scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
     scratch += [pltpu.SemaphoreType.DMA((2, n_states))] * 2
     step_call = pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((3, n_pad, n), dtype)
+            jax.ShapeDtypeStruct((3, n_pad, n_lane), dtype)
             for _ in range(n_states)
         ),
         in_specs=[smem] + [anyspec] * n_states,
@@ -356,5 +363,5 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
 
         u, _ = jax.lax.scan(step, u, None, length=n_steps)
 
-    H, V, D = u[0, :n], u[1, :n], u[2, :n]
+    H, V, D = u[0, :n, :n], u[1, :n, :n], u[2, :n, :n]
     return from_canvases(spec, H, V, D)
