@@ -350,6 +350,7 @@ class CRBESolver:
         preconditioner: str = "jacobi",
         solver_method: str = "bicgstab",
         chebyshev_iters: int = 8,
+        assembly: str = "auto",
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -373,6 +374,9 @@ class CRBESolver:
             raise ValueError(f"unknown fused_operator {fused_operator}")
         if solver_method not in ("bicgstab", "chebyshev"):
             raise ValueError(f"unknown solver_method {solver_method}")
+        if assembly not in ("auto", "full", "patch"):
+            raise ValueError(f"unknown assembly {assembly}")
+        self.assembly = assembly
         self.solver_method = solver_method
         self.chebyshev_iters = chebyshev_iters
         self.matvec_impl = matvec_impl
@@ -443,6 +447,46 @@ class CRBESolver:
             return True
         return self.mesh_data.structured_n is not None  # "auto"
 
+    def _use_patch(self) -> bool:
+        """Patch assembly: extract the uniform-operator scalars from a
+        tiny congruent patch mesh (ops/uniform.patch_constants) instead
+        of assembling the global ELL operator — O(1) setup and memory.
+        Auto-selected for fused solves on meshes where the vmapped global
+        assembly would exhaust HBM (measured: 24 GB at 2049^2)."""
+        if self.assembly == "full":
+            return False
+        eligible = (
+            self.matvec_impl in ("fused", "fused_hbm")
+            and self.mesh_data.structured_n is not None
+            and self.mesh_data.structured_n >= 3
+            and self.fused_operator != "canvas"
+            and getattr(self.problem, "zero_source", False)
+        )
+        if self.assembly == "patch":
+            if not eligible:
+                raise ValueError(
+                    "assembly='patch' requires a structured mesh, a "
+                    "zero-source problem, matvec_impl='fused'/'fused_hbm' "
+                    "and the uniform fused operator"
+                )
+            return True
+        return eligible and self.mesh_data.number_of_segments > 6_000_000
+
+    def _patch_pieces(self):
+        """(spec_lite, sys_consts, mass_c, sys_diag_c) — cached."""
+        if getattr(self, "_patch_cache", None) is None:
+            from airpollution_tpu.ops import uniform as uniform_mod
+
+            n = self.mesh_data.structured_n
+            spec = uniform_mod.make_spec_lite(n)
+            consts = uniform_mod.patch_constants(
+                n, float(self.domain.Lx), self.problem, self.dt,
+                self.time_scheme_order, self.stiffness_convention,
+                dtype=self.mesh_data.midpoints.dtype,
+            )
+            self._patch_cache = (spec,) + consts
+        return self._patch_cache
+
     def _stencil_pattern(self):
         if self._pattern is None:
             from airpollution_tpu.ops import stencil as stencil_mod
@@ -480,9 +524,18 @@ class CRBESolver:
         from airpollution_tpu.ops import stencil as stencil_mod
 
         md = self.mesh_data
-        pattern = self._stencil_pattern()
-        perm = jnp.asarray(pattern.perm)
-        inv = jnp.asarray(pattern.inv_perm)
+        patch = self._use_patch()
+        if patch:
+            # Patch assembly (ops/uniform.patch_constants): no global
+            # operator, no per-term slot grids — just the permutation.
+            perm_np, inv_np = stencil_mod.get_family_perm(md)
+            pattern = None
+            perm = jnp.asarray(perm_np)
+            inv = jnp.asarray(inv_np)
+        else:
+            pattern = self._stencil_pattern()
+            perm = jnp.asarray(pattern.perm)
+            inv = jnp.asarray(pattern.inv_perm)
 
         if self.matvec_impl in ("fused", "fused_hbm"):
             # Entire time loop in fused Pallas kernels: VMEM-resident
@@ -507,15 +560,26 @@ class CRBESolver:
 
             use_ka = self.time_scheme_order == 2
             uniform = self.fused_operator != "canvas"
-            if uniform and pattern.n < 3:
+            if uniform and md.structured_n < 3:
                 if self.fused_operator == "uniform":
                     raise ValueError(
                         "uniform fused operator requires "
                         "n_points_per_axis >= 3"
                     )
                 uniform = False  # auto: degenerate mesh, fall back
+            if patch and not uniform:
+                raise ValueError(
+                    "assembly='patch' requires the uniform fused operator"
+                )
+            spec = None
+            if uniform:
+                from airpollution_tpu.ops import uniform as uniform_mod
+
+                spec = (self._patch_pieces()[0] if patch
+                        else uniform_mod.build_uniform_spec(pattern))
             use_hbm = self.matvec_impl == "fused_hbm" or not _pallas_fused_fits(
-                pattern, self.extrapolate_warm_start, uniform=uniform,
+                spec if patch else pattern,
+                self.extrapolate_warm_start, uniform=uniform,
                 method=self.solver_method,
             )
             if use_hbm and not (
@@ -532,14 +596,18 @@ class CRBESolver:
             n_steps = md.nt - 1
             n_iters = self.fused_iters
             dt = self.dt
-            if uniform:
-                from airpollution_tpu.ops import uniform as uniform_mod
-
-                spec = uniform_mod.build_uniform_spec(pattern)
             if self.solver_method == "chebyshev" and not uniform:
                 raise ValueError(
                     "fused chebyshev requires the uniform operator "
                     "(fused_operator='uniform' or 'auto')"
+                )
+            if self.solver_method == "chebyshev" and not hasattr(
+                self, "_cheb_bounds"
+            ):
+                # Normally set by solve(); needed eagerly (concrete ops)
+                # because solve_impl closes over the host floats.
+                self._check_chebyshev_applicable(
+                    None if patch else self._require_ops()
                 )
 
             def solve_impl(ops: GlobalOperators, u0):
@@ -551,28 +619,30 @@ class CRBESolver:
                     # Translation-invariant operator: 21 scalars, no
                     # canvases (ops/uniform.py) — VMEM budget 21-24
                     # canvases instead of 48 (12-15 with chebyshev).
-                    sys_consts = uniform_mod.extract_constants(
-                        spec, ops.system.vals
-                    )
+                    if patch:
+                        # Scalars from the congruent patch mesh — the
+                        # global operator was never assembled.
+                        _, sys_consts, mass_c, diag_c = (
+                            self._patch_pieces()
+                        )
+                        inv_diag_c = 1.0 / diag_c
+                    else:
+                        sys_consts = uniform_mod.extract_constants(
+                            spec, ops.system.vals
+                        )
+                        mass_c = uniform_mod.family_constants(
+                            spec, ops.mass_diag
+                        )
+                        inv_diag_c = 1.0 / uniform_mod.family_constants(
+                            spec, ops.system_diag
+                        )
                     bounds = None
                     kiters = n_iters
                     if self.solver_method == "chebyshev":
                         kiters = self.chebyshev_iters
-                        matvec = partial(
-                            uniform_mod.uniform_matvec, spec, sys_consts
-                        )
-                        bounds = linalg.power_bounds(
-                            matvec, jnp.zeros_like(u0_fam),
-                            scale=1.0 / jnp.sqrt(
-                                ops.system_diag[perm]
-                            ),
-                        )
-                    mass_c = uniform_mod.family_constants(
-                        spec, ops.mass_diag
-                    )
-                    inv_diag_c = 1.0 / uniform_mod.family_constants(
-                        spec, ops.system_diag
-                    )
+                        # Spectral interval cached by the eager
+                        # applicability check (same operator).
+                        bounds = self._cheb_bounds
                     if use_hbm:
                         from airpollution_tpu.ops import pallas_hbm
 
@@ -689,11 +759,45 @@ class CRBESolver:
         self._cheb_checked = True
         import warnings
 
-        matvec = partial(sparse.ell_matvec, ops.system)
-        example = jnp.zeros_like(ops.system_diag)
-        scale = 1.0 / jnp.sqrt(ops.system_diag)
+        if ops is None:
+            # Patch-assembled path: the uniform matvec from the patch
+            # scalars, diag synthesized from the 3 family constants.
+            from airpollution_tpu.ops import (
+                stencil as stencil_mod,
+                uniform as uniform_mod,
+            )
+
+            spec, sys_consts, _, diag_c = self._patch_pieces()
+            perm, _ = stencil_mod.get_family_perm(self.mesh_data)
+            bmask_fam = self.mesh_data.boundary_mask[jnp.asarray(perm)]
+            diag_fam = uniform_mod.family_diag_vector(
+                spec, diag_c, bmask_fam
+            )
+            matvec = partial(uniform_mod.uniform_matvec, spec, sys_consts)
+            example = jnp.zeros_like(diag_fam)
+            scale = 1.0 / jnp.sqrt(diag_fam)
+        elif self._use_stencil() and self.mesh_data.structured_n >= 3:
+            # Family-layout uniform matvec: same spectrum (similarity by
+            # permutation), ~20x faster than the ELL gather path eagerly.
+            from airpollution_tpu.ops import uniform as uniform_mod
+
+            pattern = self._stencil_pattern()
+            spec = uniform_mod.build_uniform_spec(pattern)
+            consts = uniform_mod.extract_constants(spec, ops.system.vals)
+            matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+            perm = jnp.asarray(pattern.perm)
+            example = jnp.zeros_like(ops.system_diag)
+            scale = 1.0 / jnp.sqrt(ops.system_diag[perm])
+        else:
+            matvec = partial(sparse.ell_matvec, ops.system)
+            example = jnp.zeros_like(ops.system_diag)
+            scale = 1.0 / jnp.sqrt(ops.system_diag)
         lo, hi = linalg.power_bounds(matvec, example, scale=scale)
         beta = linalg.skew_norm(matvec, example, scale=scale)
+        # Cache for the fused solves: reusing the eager estimate removes
+        # ~100 in-jit matvecs per solve() call (the interval is a
+        # property of the operator, not of the call).
+        self._cheb_bounds = (float(lo), float(hi))
         factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
         if not (factor < 0.97):
             warnings.warn(
@@ -708,7 +812,7 @@ class CRBESolver:
     def solve(self, store_solutions: bool = True, collect_iters: bool = False):
         """Run the full time horizon; returns (nt, n_seg) solutions
         (or (1, n_seg) final state when ``store_solutions=False``)."""
-        ops = self._require_ops()
+        ops = None if self._use_patch() else self._require_ops()
         if self.solver_method == "chebyshev":
             self._check_chebyshev_applicable(ops)
         u0 = self.set_initial_condition()

@@ -9,34 +9,42 @@ r -= t; d = a d + b M^{-1} r), so a time step with k iterations moves
 ~11(k+1) canvases through HBM.
 
 This kernel streams the state through VMEM in row stripes instead. One
-time step = one kernel sweep over stripes of S canvas rows; each stripe is
+time step = one sweep over stripes of S canvas rows; each stripe is
 loaded with a halo of ``depth = n_iters + 1 (+1 for Crank-Nicolson)``
 rows on each side, the ENTIRE step (RHS, warm start, and all Chebyshev
 iterations) is computed stripe-locally with the halo absorbing the
 1-row-per-matvec domain of dependence (classic overlapping/trapezoidal
 time-tiling), and only the interior S rows are written back. Per-step HBM
-traffic: read + write the state once — 4 canvases (6 with the
-extrapolated warm start) regardless of k, a ~(11k/4)x traffic reduction.
-DMA is double-buffered (guide pattern): stripe i+1 loads while stripe i
-computes, stripe i-1's writeback drains concurrently.
+traffic: read + write the state once — 2 canvases per carried state
+regardless of k, a ~(11k/4)x traffic reduction. DMA is double-buffered
+(guide pattern): stripe i+1 loads while stripe i computes, stripe i-1's
+writeback drains concurrently.
+
+The time loop is a host-side ``lax.scan`` over one kernel call per step.
+An in-kernel variant (whole loop in one launch, state ping-ponging
+between two HBM buffers) measured ~10% SLOWER at 513^2-1025^2: per-step
+launch cost is negligible on this path, and the even/odd buffer-select
+branches the ping-pong needs cost more than the launches they save.
 
 Chebyshev only: its scalar recurrence (rho_{k+1} = 1/(2 sigma - rho_k))
 is data-independent, so stripes never need a global reduction. BiCGStab's
 per-iteration dot products would force a whole-grid barrier per iteration
 and are served by the VMEM kernel or the scan path instead.
 
-Correctness of the halo (why ``halo = depth + 1`` suffices): every matvec
-is a +-1-row stencil (ops/stencil.py neighbor table), so values computed
-in the outermost window rows — polluted by ``pltpu.roll`` wrap-around —
-creep inward one row per matvec application. The step applies
-``n_iters + 1 (+1 CN)`` matvecs, so pollution never reaches the interior
-S rows. Where the window is clamped to the physical canvas edge the wrap
-lands on rows the family rectangle masks zero anyway — the same argument
-as the full-canvas kernel (ops/pallas_solver.py module docstring).
-
-Row padding to a stripe multiple is benign: rows >= c are outside every
-family's interior rectangle, so the rect masks zero them in every matvec
-output and warm-start masking, and the padded rows of the output stay 0.
+Correctness of the halo (why ``halo >= depth + 1`` suffices): every
+matvec is a +-1-row stencil (ops/stencil.py neighbor table), so values
+computed in the outermost window rows — polluted by ``pltpu.roll``
+wrap-around — creep inward one row per matvec application. The step
+applies ``n_iters + 1 (+1 CN)`` matvecs, so pollution never reaches the
+interior S rows. Where the window is clamped to the physical canvas edge
+the wrap lands on rows the family rectangle masks zero anyway — the same
+argument as the full-canvas kernel (ops/pallas_solver.py docstring). The
+halo is rounded up to a multiple of 8 so every DMA slice offset/size
+stays (8, 128)-tile aligned (a Mosaic requirement); the canvas lane
+dimension is padded to a 128 multiple for the same reason. Row/lane
+padding is benign: rows/cols >= c are outside every family's interior
+rectangle, so the rect masks zero them in every matvec output and
+warm-start masking.
 
 Replaces the per-step SuperLU refactorization of the reference
 (crbe.py:397-426) at mesh sizes its scipy path cannot touch at all.
@@ -59,14 +67,18 @@ def _lane_pad(n: int) -> int:
 
 
 def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
-                       budget_bytes: int = 12 * 1024 * 1024) -> int:
+                       budget_bytes: int = 20 * 1024 * 1024) -> int:
     """Largest stripe height whose VMEM window working set fits budget.
 
     Working set: 2 double-buffered state windows per carried state (u, and
     u_prev when extrapolating) + r + d scratch + ~3 windows of matvec
-    temporaries, each (3, S + 2*halo, lane-padded n) f32."""
+    temporaries, each (3, S + 2*halo, lane-padded n) f32. Measured
+    (results_snapshot/hbm_ab.csv): S=128 beats both 256 (VMEM pressure,
+    -10% at 513^2) and 64 (redundant halo compute, -5% at 1025^2), so 128
+    caps the search; the 20 MB budget is validated by the 1025^2/S=128
+    configuration running with ~20 MB scoped."""
     n_bufs = (4 if extrapolate else 2) + 2 + 3
-    for s in (256, 128, 64, 32, 16, 8):
+    for s in (128, 64, 32, 16, 8):
         w = s + 2 * halo
         if n_bufs * 3 * w * _lane_pad(n) * 4 <= budget_bytes:
             return s
@@ -74,27 +86,22 @@ def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
 
 
 def _stripe_masks(n_lane, c, ws, w_rows, dtype):
-    """Per-family interior rectangle masks for a window of w_rows canvas
-    rows starting at global row ws (UniformSpec.interior_rects). Columns
-    past the family interior — including the 128-multiple lane padding —
-    are zeroed by the ``ci < c`` bounds."""
+    """Per-family interior rectangle mask CANVASES for a window of w_rows
+    canvas rows starting at global row ws (UniformSpec.interior_rects).
+    Materialized once per stripe so every application is ONE multiply
+    (~11 applications per family per step at the default iteration
+    count). Columns past the family interior — including the 128-multiple
+    lane padding — are zeroed by the ``ci < c`` bounds."""
     gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, n_lane), 1)
     rowH = ((gr >= 1) & (gr < c)).astype(dtype)
     rowV = (gr < c).astype(dtype)
     colH = (ci < c).astype(dtype)
     colV = ((ci >= 1) & (ci < c)).astype(dtype)
-
-    def maskH(x):
-        return rowH * (colH * x)
-
-    def maskV(x):
-        return rowV * (colV * x)
-
-    def maskD(x):
-        return rowV * (colH * x)  # D: rows < c, cols < c
-
-    return maskH, maskV, maskD
+    mH = rowH * colH
+    mV = rowV * colV
+    mD = rowV * colH  # D: rows < c, cols < c
+    return mH, mV, mD
 
 
 def _step_kernel(
@@ -102,19 +109,21 @@ def _step_kernel(
     n_lane: int, c: int, n_pad: int, S: int, W: int, halo: int,
     n_iters: int, has_ka: bool, extrapolate: bool,
 ):
-    """One full implicit time step, streamed over row stripes.
+    """One full implicit time step, streamed over row stripes. The outer
+    time loop is a host-side ``lax.scan`` over this call — measured
+    FASTER than keeping the step loop in-kernel with HBM ping-pong
+    buffers (90.5 vs 81.5 ms at 513^2/k=6: per-step launch cost is
+    negligible and the in-kernel even/odd buffer branches cost ~10%).
 
-    Ref layout: inputs u_in [, up_in] (HBM, shape (3, n_pad, n_lane)),
-    outputs u_out [, up_out] (HBM, same), scratch win_u (2, 3, W, n_lane)
+    Ref layout: inputs u_in [, up_in] (HBM, shape (3, n_pad, n_lane));
+    outputs u_out [, up_out] (HBM, same); scratch win_u (2, 3, W, n_lane)
     [, win_up], r, d (3, W, n_lane), in_sems, out_sems (DMA,
-    (2, n_states)). All DMA slice offsets/sizes are (8, 128)-aligned by
-    construction (S, W, halo multiples of 8; lane dim unsliced and padded
-    to a 128 multiple)."""
+    (2, n_states))."""
     n_states = 2 if extrapolate else 1
-    u_in = refs[0]
-    up_in = refs[1] if extrapolate else None
-    u_out = refs[n_states]
-    up_out = refs[n_states + 1] if extrapolate else None
+    u_src = refs[0]
+    up_src = refs[1] if extrapolate else None
+    u_dst = refs[n_states]
+    up_dst = refs[n_states + 1] if extrapolate else None
     k = 2 * n_states
     win_u = refs[k]
     win_up = refs[k + 1] if extrapolate else None
@@ -143,134 +152,144 @@ def _step_kernel(
         # cannot prove divisibility through the clip).
         return pl.multiple_of(jnp.clip(i * S - halo, 0, n_pad - W), 8)
 
-    def in_dmas(slot, i):
-        ws = ws_of(i)
-        dmas = [pltpu.make_async_copy(
-            u_in.at[:, pl.ds(ws, W), :], win_u.at[slot],
-            in_sems.at[slot, 0],
-        )]
-        if extrapolate:
-            dmas.append(pltpu.make_async_copy(
-                up_in.at[:, pl.ds(ws, W), :], win_up.at[slot],
-                in_sems.at[slot, 1],
-            ))
-        return dmas
-
-    def out_dmas(slot, i):
-        r0 = pl.multiple_of(i * S, 8)
-        off = pl.multiple_of(r0 - ws_of(i), 8)
-        dmas = [pltpu.make_async_copy(
-            win_u.at[slot, :, pl.ds(off, S), :],
-            u_out.at[:, pl.ds(r0, S), :],
-            out_sems.at[slot, 0],
-        )]
-        if extrapolate:
-            dmas.append(pltpu.make_async_copy(
-                win_up.at[slot, :, pl.ds(off, S), :],
-                up_out.at[:, pl.ds(r0, S), :],
-                out_sems.at[slot, 1],
-            ))
-        return dmas
-
     def roll(x, shift, axis):
         size = x.shape[axis]
         return pltpu.roll(x, shift % size, axis)
 
-    def compute(slot, i):
-        ws = ws_of(i)
-        maskH, maskV, maskD = _stripe_masks(n_lane, c, ws, W, dtype)
-        masks = (maskH, maskV, maskD)
+    def sweep():
+        """One full time step: double-buffered stripe sweep src -> dst."""
 
-        def matvec(xH, xV, xD):
-            """Rect-masked uniform stencil on the window (same 15 terms
-            as ops/pallas_solver._uniform_solver_kernel)."""
-            yH = maskH(cHH * xH
-                       + cHVu * roll(xV, -1, 1)
-                       + cHDu * xD
-                       + cHVd * roll(xV, 1, 0)
-                       + cHDd * roll(xD, 1, 0))
-            yV = maskV(cVV * xV
-                       + cVDl * roll(xD, 1, 1)
-                       + cVHl * roll(xH, 1, 1)
-                       + cVHr * roll(xH, -1, 0)
-                       + cVDr * xD)
-            yD = maskD(cDD * xD
-                       + cDVr * roll(xV, -1, 1)
-                       + cDHd * xH
-                       + cDHu * roll(xH, -1, 0)
-                       + cDVl * xV)
-            return yH, yV, yD
+        def in_dmas(slot, i):
+            ws = ws_of(i)
+            dmas = [pltpu.make_async_copy(
+                u_src.at[:, pl.ds(ws, W), :], win_u.at[slot],
+                in_sems.at[slot, 0],
+            )]
+            if extrapolate:
+                dmas.append(pltpu.make_async_copy(
+                    up_src.at[:, pl.ds(ws, W), :], win_up.at[slot],
+                    in_sems.at[slot, 1],
+                ))
+            return dmas
 
-        u3 = tuple(win_u[slot, f] for f in range(3))
-        # RHS: r = M_masked u (BE, crbe.py:383-384) or
-        # 2 M_masked u - S u (CN, via the identity in ops/pallas_solver.py).
-        if has_ka:
-            t3 = matvec(*u3)
-            for f in range(3):
-                r_ref[f] = 2.0 * mconsts[f] * masks[f](u3[f]) - t3[f]
-        else:
-            for f in range(3):
-                r_ref[f] = mconsts[f] * masks[f](u3[f])
-        # Warm start (masked); extrapolated = mask(2u - u_prev).
-        if extrapolate:
-            for f in range(3):
-                guess = 2.0 * u3[f] - win_up[slot, f]
-                win_up[slot, f] = u3[f]
-                win_u[slot, f] = masks[f](guess)
-        else:
-            for f in range(3):
-                win_u[slot, f] = masks[f](u3[f])
-        t3 = matvec(win_u[slot, 0], win_u[slot, 1], win_u[slot, 2])
-        for f in range(3):
-            r_ref[f] = r_ref[f] - t3[f]
-            d_ref[f] = (idconsts[f] / theta) * r_ref[f]
+        def out_dmas(slot, i):
+            r0 = pl.multiple_of(i * S, 8)
+            off = pl.multiple_of(r0 - ws_of(i), 8)
+            dmas = [pltpu.make_async_copy(
+                win_u.at[slot, :, pl.ds(off, S), :],
+                u_dst.at[:, pl.ds(r0, S), :],
+                out_sems.at[slot, 0],
+            )]
+            if extrapolate:
+                dmas.append(pltpu.make_async_copy(
+                    win_up.at[slot, :, pl.ds(off, S), :],
+                    up_dst.at[:, pl.ds(r0, S), :],
+                    out_sems.at[slot, 1],
+                ))
+            return dmas
 
-        def iterate(_, rho):
-            for f in range(3):
-                win_u[slot, f] = win_u[slot, f] + d_ref[f]
-            t3 = matvec(d_ref[0], d_ref[1], d_ref[2])
-            rho_new = 1.0 / (2.0 * sigma - rho)
+        def compute(slot, i):
+            ws = ws_of(i)
+            masks = _stripe_masks(n_lane, c, ws, W, dtype)
+            mH, mV, mD = masks
+
+            def matvec(xH, xV, xD):
+                """Rect-masked uniform stencil on the window (same 15
+                terms as ops/pallas_solver._uniform_solver_kernel)."""
+                yH = mH * (cHH * xH
+                           + cHVu * roll(xV, -1, 1)
+                           + cHDu * xD
+                           + cHVd * roll(xV, 1, 0)
+                           + cHDd * roll(xD, 1, 0))
+                yV = mV * (cVV * xV
+                           + cVDl * roll(xD, 1, 1)
+                           + cVHl * roll(xH, 1, 1)
+                           + cVHr * roll(xH, -1, 0)
+                           + cVDr * xD)
+                yD = mD * (cDD * xD
+                           + cDVr * roll(xV, -1, 1)
+                           + cDHd * xH
+                           + cDHu * roll(xH, -1, 0)
+                           + cDVl * xV)
+                return yH, yV, yD
+
+            u3 = tuple(win_u[slot, f] for f in range(3))
+            # RHS: r = M_masked u (BE, crbe.py:383-384) or
+            # 2 M_masked u - S u (CN, via the identity in
+            # ops/pallas_solver.py's module docstring).
+            if has_ka:
+                t3 = matvec(*u3)
+                for f in range(3):
+                    r_ref[f] = (2.0 * mconsts[f]) * (
+                        masks[f] * u3[f]
+                    ) - t3[f]
+            else:
+                for f in range(3):
+                    r_ref[f] = mconsts[f] * (masks[f] * u3[f])
+            # Warm start (masked); extrapolated = mask(2u - u_prev).
+            if extrapolate:
+                for f in range(3):
+                    guess = 2.0 * u3[f] - win_up[slot, f]
+                    win_up[slot, f] = u3[f]
+                    win_u[slot, f] = masks[f] * guess
+            else:
+                for f in range(3):
+                    win_u[slot, f] = masks[f] * u3[f]
+            t3 = matvec(win_u[slot, 0], win_u[slot, 1], win_u[slot, 2])
             for f in range(3):
                 r_ref[f] = r_ref[f] - t3[f]
-                d_ref[f] = (rho_new * rho) * d_ref[f] + (
-                    2.0 * rho_new / delta
-                ) * (idconsts[f] * r_ref[f])
-            return rho_new
+                d_ref[f] = (idconsts[f] / theta) * r_ref[f]
 
-        jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
+            def iterate(_, rho):
+                for f in range(3):
+                    win_u[slot, f] = win_u[slot, f] + d_ref[f]
+                t3 = matvec(d_ref[0], d_ref[1], d_ref[2])
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                a = rho_new * rho
+                for f in range(3):
+                    r_ref[f] = r_ref[f] - t3[f]
+                    # Scalar chain folded host-of-loop: one axpy per
+                    # family (b_f = 2 rho' id_f / delta).
+                    d_ref[f] = a * d_ref[f] + (
+                        2.0 * rho_new / delta * idconsts[f]
+                    ) * r_ref[f]
+                return rho_new
 
-    # --- double-buffered stripe sweep (guide pattern) ---
-    for dma in in_dmas(0, 0):
-        dma.start()
+            jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
 
-    def body(i, _):
-        cur = jax.lax.rem(i, 2)
-        nxt = 1 - cur
-
-        # Drain stripe i-1's writeback before reusing its slot as the
-        # load target for stripe i+1.
-        @pl.when(i >= 1)
-        def _():
-            for dma in out_dmas(nxt, i - 1):
-                dma.wait()
-
-        @pl.when(i + 1 < n_stripes)
-        def _():
-            for dma in in_dmas(nxt, i + 1):
-                dma.start()
-
-        for dma in in_dmas(cur, i):
-            dma.wait()
-        compute(cur, i)
-        for dma in out_dmas(cur, i):
+        for dma in in_dmas(0, 0):
             dma.start()
-        return 0
 
-    jax.lax.fori_loop(0, n_stripes, body, 0)
-    # Stripes 0..n_stripes-2 were waited inside the loop (each body
-    # drains stripe i-1); only the last stripe's writeback remains.
-    for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
-        dma.wait()
+        def body(i, _):
+            cur = jax.lax.rem(i, 2)
+            nxt = 1 - cur
+
+            # Drain stripe i-1's writeback before reusing its slot as
+            # the load target for stripe i+1.
+            @pl.when(i >= 1)
+            def _():
+                for dma in out_dmas(nxt, i - 1):
+                    dma.wait()
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                for dma in in_dmas(nxt, i + 1):
+                    dma.start()
+
+            for dma in in_dmas(cur, i):
+                dma.wait()
+            compute(cur, i)
+            for dma in out_dmas(cur, i):
+                dma.start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+        # Stripes 0..n_stripes-2 were waited inside the loop (each body
+        # drains stripe i-1); only the last stripe's writeback remains.
+        for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
+            dma.wait()
+
+    sweep()
 
 
 def _vmem_limit(n: int, W: int, extrapolate: bool):
@@ -298,6 +317,8 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
     (lo, hi) spectral interval from linalg.power_bounds. Returns the final
     homogeneous state in family layout (boundary lift is the caller's).
     The mesh-size ceiling is HBM, not VMEM."""
+    if n_steps == 0:
+        return u0_fam
     n, c = spec.n, spec.c
     dtype = u0_fam.dtype
     # Matvec depth = n_iters + 1 (+1 CN); +1 safety, then rounded up to
@@ -329,10 +350,11 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
     # State canvases are pinned to HBM — that is the kernel's contract
     # (pl.ANY let the compiler pick VMEM for mid-sized meshes, defeating
     # the tiling and tripping Mosaic's aligned-slice check).
-    anyspec = pl.BlockSpec(memory_space=pltpu.HBM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     kernel = partial(
-        _step_kernel, n_lane=n_lane, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
-        n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate,
+        _step_kernel, n_lane=n_lane, c=c, n_pad=n_pad, S=S, W=W,
+        halo=halo, n_iters=n_iters, has_ka=use_ka,
+        extrapolate=extrapolate,
     )
     scratch = [pltpu.VMEM((2, 3, W, n_lane), dtype)] * n_states
     scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
@@ -343,8 +365,8 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
             jax.ShapeDtypeStruct((3, n_pad, n_lane), dtype)
             for _ in range(n_states)
         ),
-        in_specs=[smem] + [anyspec] * n_states,
-        out_specs=tuple(anyspec for _ in range(n_states)),
+        in_specs=[smem] + [hbm] * n_states,
+        out_specs=tuple(hbm for _ in range(n_states)),
         scratch_shapes=scratch,
         compiler_params=_vmem_limit(n, W, extrapolate),
         interpret=interpret,

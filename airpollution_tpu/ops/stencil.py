@@ -78,6 +78,35 @@ def _family_ids(t2s: np.ndarray, n: int):
     return H, V, D
 
 
+def build_family_perm(t2s, n: int):
+    """Family-layout permutation only (no per-term ELL slot grids).
+
+    The slot grids cost 15 x (n, n) int64 host arrays (~0.5 GB at 2049^2)
+    and are only needed to EXTRACT coefficients from an assembled ELL
+    operator; the patch-assembled uniform path (ops/uniform.py
+    patch_constants) needs just the permutation."""
+    H, V, D = _family_ids(np.asarray(t2s), n)
+    perm = np.concatenate([H.ravel(), V.ravel(), D.ravel()]).astype(np.int32)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv_perm
+
+
+def get_family_perm(mesh_data):
+    """Build (and cache) perm/inv_perm without the full pattern; reuses
+    the pattern's arrays when one is already cached."""
+    pattern = getattr(mesh_data, "_stencil_pattern", None)
+    if pattern is not None:
+        return pattern.perm, pattern.inv_perm
+    cached = getattr(mesh_data, "_family_perm", None)
+    if cached is None:
+        cached = build_family_perm(
+            mesh_data._host_t2s, mesh_data.structured_n
+        )
+        mesh_data._family_perm = cached
+    return cached
+
+
 def build_stencil_pattern(t2s, ell_cols, n: int) -> StencilPattern:
     """Precompute permutations and per-term ELL slot grids (host, once)."""
     t2s = np.asarray(t2s)
@@ -86,9 +115,7 @@ def build_stencil_pattern(t2s, ell_cols, n: int) -> StencilPattern:
     c = n - 1
     H, V, D = _family_ids(t2s, n)
 
-    perm = np.concatenate([H.ravel(), V.ravel(), D.ravel()]).astype(np.int32)
-    inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
+    perm, inv_perm = build_family_perm(t2s, n)
 
     def term(rows, col_grid, valid):
         """Flat ELL slot of entry (row, col) per grid cell, + validity."""

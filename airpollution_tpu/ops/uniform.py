@@ -114,6 +114,74 @@ def build_uniform_spec(pattern: StencilPattern) -> UniformSpec:
     )
 
 
+def make_spec_lite(n: int) -> UniformSpec:
+    """A UniformSpec carrying only the grid geometry (n, c) — for use
+    with patch-extracted constants (:func:`patch_constants`), where the
+    center sample indices of the BIG mesh are never needed. The matvec,
+    canvas embedding, and the fused kernels read only ``n``/``c``."""
+    if n < 3:
+        raise ValueError("uniform operator requires n_points_per_axis >= 3")
+    zero = np.zeros(15, dtype=np.int64)
+    return UniformSpec(n=n, c=n - 1, center_slots=zero,
+                       center_dofs=np.zeros(3, dtype=np.int64))
+
+
+def patch_constants(n: int, domain_size: float, problem, dt: float,
+                    order: int, stiffness_convention: str = "correct",
+                    *, patch_n: int = 9, dtype=None):
+    """Uniform-operator scalars WITHOUT assembling the global operator.
+
+    On a structured mesh with constant (v, D) every stencil coefficient
+    is determined by one congruent cell (module docstring), so the 15
+    system scalars and the per-family mass/system-diagonal constants can
+    be extracted from a TINY patch mesh with the same cell size
+    ``h = 2 * domain_size / (n - 1)``: assembly cost O(patch_n^2) instead
+    of O(n^2). This is what makes meshes past ~2000^2 reachable at all —
+    the vmapped global assembly OOMs HBM near 8M triangles (measured:
+    24 GB requested at 2049^2), while the fused solve itself only ever
+    touches these 21 scalars.
+
+    The patch coordinates reproduce the big mesh's spacing up to float
+    rounding, so the scalars match full-mesh extraction to ~1e-7 relative
+    in float32 (exactly the rounding already accepted by
+    :func:`extract_constants`, see module docstring).
+
+    Returns (sys_consts (15,), mass_c (3,), sys_diag_c (3,))."""
+    from airpollution_tpu.mesh import MeshData, create_mesh
+    from airpollution_tpu.models import crbe as crbe_mod
+    from airpollution_tpu.ops import stencil as stencil_mod
+    from airpollution_tpu.problems import Domain
+
+    h = 2.0 * domain_size / (n - 1)
+    patch_L = h * (patch_n - 1) / 2.0
+    mesh = create_mesh(patch_n, patch_L)
+    kwargs = {} if dtype is None else {"dtype": dtype}
+    md = MeshData(mesh, Domain(Lx=patch_L, Ly=patch_L, T=1.0), nt=2,
+                  **kwargs)
+    ops = crbe_mod.assemble(md, problem, dt, order, stiffness_convention)
+    pattern = stencil_mod.get_pattern(md)
+    spec = build_uniform_spec(pattern)
+    return (
+        extract_constants(spec, ops.system.vals),
+        family_constants(spec, ops.mass_diag),
+        family_constants(spec, ops.system_diag),
+    )
+
+
+def family_diag_vector(spec: UniformSpec, diag_c, bmask_fam):
+    """Full family-layout diagonal vector synthesized from the 3
+    per-family constants: Dirichlet rows are exactly 1 (identity rows of
+    the masked system), interior rows the family constant."""
+    n, c = spec.n, spec.c
+    parts = [
+        jnp.full((n * c,), diag_c[0]),
+        jnp.full((c * n,), diag_c[1]),
+        jnp.full((c * c,), diag_c[2]),
+    ]
+    vec = jnp.concatenate(parts)
+    return jnp.where(bmask_fam, jnp.ones((), vec.dtype), vec)
+
+
 def extract_constants(spec: UniformSpec, ell_vals) -> jnp.ndarray:
     """The 15 scalar stencil coefficients (traced; 15-element gather)."""
     return ell_vals.reshape(-1)[jnp.asarray(spec.center_slots)]

@@ -95,10 +95,50 @@ def test_hbm_requires_chebyshev(setup):
         solver.solve(store_solutions=False, collect_iters=False)
 
 
+def test_patch_constants_match_full_extraction(setup):
+    """ops/uniform.patch_constants == full-mesh ELL extraction up to
+    coordinate rounding (the patch mesh has the same cell size)."""
+    domain, problem, md = setup
+    spec, consts, mass_c, diag_c, _, _ = _pieces(domain, problem, md, 1)
+    solver = CRBESolver(domain, problem, md)
+    p_consts, p_mass, p_diag = uniform_mod.patch_constants(
+        md.structured_n, float(domain.Lx), problem, solver.dt, 1,
+    )
+    assert jnp.allclose(jnp.asarray(consts), p_consts, rtol=1e-10)
+    assert jnp.allclose(mass_c, p_mass, rtol=1e-10)
+    # diag_c in _pieces is already inverted; invert back.
+    assert jnp.allclose(1.0 / diag_c, p_diag, rtol=1e-10)
+
+
+def test_patch_assembly_solve_matches_full(setup):
+    """assembly='patch' reproduces the full-assembly fused solve without
+    ever building the global operator."""
+    domain, problem, md = setup
+    kw = dict(solver_method="chebyshev", chebyshev_iters=8,
+              extrapolate_warm_start=True)
+    a = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   **kw).solve(store_solutions=False, collect_iters=False)
+    s = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   assembly="patch", **kw)
+    b = s.solve(store_solutions=False, collect_iters=False)
+    assert s._ops is None  # the global operator was never assembled
+    scale = float(jnp.max(jnp.abs(a)))
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-9 * scale
+
+
+def test_patch_requires_uniform_fused(setup):
+    domain, problem, md = setup
+    with pytest.raises(ValueError, match="patch"):
+        CRBESolver(domain, problem, md, matvec_impl="stencil",
+                   assembly="patch").solve(store_solutions=False)
+
+
 def test_choose_stripe_rows_budget():
     # Larger meshes get narrower stripes so the window set stays in VMEM.
     s_small = pallas_hbm.choose_stripe_rows(513, False, halo=8)
     s_big = pallas_hbm.choose_stripe_rows(4097, True, halo=8)
     assert s_small >= s_big
     w = s_big + 16
-    assert 9 * 3 * w * pallas_hbm._lane_pad(4097) * 4 <= 12 * 1024 * 1024
+    assert 9 * 3 * w * pallas_hbm._lane_pad(4097) * 4 <= 20 * 1024 * 1024
+    # Measured optimum at 513^2-1025^2: S=128 (hbm_ab.csv).
+    assert pallas_hbm.choose_stripe_rows(1025, True, halo=16) == 128
