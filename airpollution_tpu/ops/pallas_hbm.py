@@ -67,7 +67,7 @@ def _lane_pad(n: int) -> int:
 
 
 def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
-                       budget_bytes: int = 20 * 1024 * 1024) -> int:
+                       budget_bytes: int = 31 * 1024 * 1024) -> int:
     """Largest stripe height whose VMEM window working set fits budget.
 
     Working set: 2 double-buffered state windows per carried state (u, and
@@ -75,10 +75,11 @@ def choose_stripe_rows(n: int, extrapolate: bool, halo: int,
     temporaries, each (3, S + 2*halo, lane-padded n) f32. Measured
     (results_snapshot/hbm_ab.csv): S=128 beats both 256 (VMEM pressure,
     -10% at 513^2) and 64 (redundant halo compute, -5% at 1025^2), so 128
-    caps the search; the 20 MB budget is validated by the 1025^2/S=128
-    configuration running with ~20 MB scoped."""
+    caps the search; taller-than-estimate configs schedule fine on v5e up
+    to at least the 2049^2/S=96 working set (estimate 30 MB), which beat
+    S=64 by 6% and S=32 by 16% — hence the 31 MB budget."""
     n_bufs = (4 if extrapolate else 2) + 2 + 3
-    for s in (128, 64, 32, 16, 8):
+    for s in (128, 96, 64, 32, 16, 8):
         w = s + 2 * halo
         if n_bufs * 3 * w * _lane_pad(n) * 4 <= budget_bytes:
             return s
