@@ -456,24 +456,30 @@ class CRBESolver:
         if self.assembly == "full":
             return False
         eligible = (
-            self.matvec_impl in ("fused", "fused_hbm")
+            self.matvec_impl in ("fused", "fused_hbm", "uniform")
             and self.mesh_data.structured_n is not None
             and self.mesh_data.structured_n >= 3
             and self.fused_operator != "canvas"
-            and getattr(self.problem, "zero_source", False)
         )
+        if self.matvec_impl in ("fused", "fused_hbm"):
+            # The fused kernels additionally require a zero source (the
+            # general scan path via matvec_impl='uniform' does not).
+            eligible = eligible and getattr(
+                self.problem, "zero_source", False
+            )
         if self.assembly == "patch":
             if not eligible:
                 raise ValueError(
-                    "assembly='patch' requires a structured mesh, a "
-                    "zero-source problem, matvec_impl='fused'/'fused_hbm' "
-                    "and the uniform fused operator"
+                    "assembly='patch' requires a structured mesh and the "
+                    "uniform operator (matvec_impl='uniform', 'fused' or "
+                    "'fused_hbm'; fused also needs a zero-source problem)"
                 )
             return True
         return eligible and self.mesh_data.number_of_segments > 6_000_000
 
     def _patch_pieces(self):
-        """(spec_lite, sys_consts, mass_c, sys_diag_c) — cached."""
+        """(spec_lite, sys_consts, ka_consts, mass_c, sys_diag_c) —
+        cached."""
         if getattr(self, "_patch_cache", None) is None:
             from airpollution_tpu.ops import uniform as uniform_mod
 
@@ -622,7 +628,7 @@ class CRBESolver:
                     if patch:
                         # Scalars from the congruent patch mesh — the
                         # global operator was never assembled.
-                        _, sys_consts, mass_c, diag_c = (
+                        _, sys_consts, _, mass_c, diag_c = (
                             self._patch_pieces()
                         )
                         inv_diag_c = 1.0 / diag_c
@@ -694,7 +700,12 @@ class CRBESolver:
 
             return jax.jit(solve_impl)
 
-        fam_view = stencil_mod.family_view(md, pattern)
+        if patch and self.matvec_impl != "uniform":
+            raise AssertionError("patch mode reaches only the uniform path")
+        fam_view = stencil_mod.family_view(
+            md, pattern if pattern is not None
+            else type("_P", (), {"perm": perm_np})
+        )
         if self.matvec_impl == "pallas":
             from airpollution_tpu.ops import pallas_stencil
 
@@ -714,12 +725,42 @@ class CRBESolver:
             # meshes with constant problem coefficients.
             from airpollution_tpu.ops import uniform as uniform_mod
 
-            spec = uniform_mod.build_uniform_spec(pattern)
+            if patch:
+                # Patch assembly: matvec closures and diagonal vectors
+                # synthesized from the patch scalars — the general scan
+                # path (sources, snapshots, BiCGStab) with NO global
+                # operator. Boundary rows of the synthesized vectors are
+                # only ever consumed after run_time_loop's row masking.
+                spec_p, sys_c, ka_c, mass_c, diag_c = self._patch_pieces()
+                bmask_fam = md.boundary_mask[perm]
 
-            def family_ops(ops):
-                return uniform_mod.uniform_family_operators(
-                    spec, pattern, ops, self.time_scheme_order
-                )
+                def family_ops(_ops_unused):
+                    matvec = partial(
+                        uniform_mod.uniform_matvec, spec_p, sys_c
+                    )
+                    ka_matvec = (
+                        partial(uniform_mod.uniform_matvec, spec_p, ka_c,
+                                boundary="drop")
+                        if self.time_scheme_order == 2 else None
+                    )
+                    ops_fam = GlobalOperators(
+                        mass_diag=uniform_mod.family_const_vector(
+                            spec_p, mass_c
+                        ),
+                        stiffness=None, advection=None, ka=None,
+                        system=None,
+                        system_diag=uniform_mod.family_diag_vector(
+                            spec_p, diag_c, bmask_fam
+                        ),
+                    )
+                    return ops_fam, matvec, ka_matvec
+            else:
+                spec = uniform_mod.build_uniform_spec(pattern)
+
+                def family_ops(ops):
+                    return uniform_mod.uniform_family_operators(
+                        spec, pattern, ops, self.time_scheme_order
+                    )
         else:
             def family_ops(ops):
                 return stencil_mod.family_operators(
@@ -767,7 +808,7 @@ class CRBESolver:
                 uniform as uniform_mod,
             )
 
-            spec, sys_consts, _, diag_c = self._patch_pieces()
+            spec, sys_consts, _, _, diag_c = self._patch_pieces()
             perm, _ = stencil_mod.get_family_perm(self.mesh_data)
             bmask_fam = self.mesh_data.boundary_mask[jnp.asarray(perm)]
             diag_fam = uniform_mod.family_diag_vector(

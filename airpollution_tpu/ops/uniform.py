@@ -146,7 +146,9 @@ def patch_constants(n: int, domain_size: float, problem, dt: float,
     in float32 (exactly the rounding already accepted by
     :func:`extract_constants`, see module docstring).
 
-    Returns (sys_consts (15,), mass_c (3,), sys_diag_c (3,))."""
+    Returns (sys_consts (15,), ka_consts (15,), mass_c (3,),
+    sys_diag_c (3,)) — ka_consts are the raw K+A stencil scalars
+    (Crank-Nicolson's RHS operator, consumed with boundary="drop")."""
     from airpollution_tpu.mesh import MeshData, create_mesh
     from airpollution_tpu.models import crbe as crbe_mod
     from airpollution_tpu.ops import stencil as stencil_mod
@@ -163,22 +165,28 @@ def patch_constants(n: int, domain_size: float, problem, dt: float,
     spec = build_uniform_spec(pattern)
     return (
         extract_constants(spec, ops.system.vals),
+        extract_constants(spec, ops.ka.vals),
         family_constants(spec, ops.mass_diag),
         family_constants(spec, ops.system_diag),
     )
+
+
+def family_const_vector(spec: UniformSpec, c3):
+    """Family-layout vector filled blockwise with the 3 per-family
+    constants (H block, then V, then D)."""
+    n, c = spec.n, spec.c
+    return jnp.concatenate([
+        jnp.full((n * c,), c3[0]),
+        jnp.full((c * n,), c3[1]),
+        jnp.full((c * c,), c3[2]),
+    ])
 
 
 def family_diag_vector(spec: UniformSpec, diag_c, bmask_fam):
     """Full family-layout diagonal vector synthesized from the 3
     per-family constants: Dirichlet rows are exactly 1 (identity rows of
     the masked system), interior rows the family constant."""
-    n, c = spec.n, spec.c
-    parts = [
-        jnp.full((n * c,), diag_c[0]),
-        jnp.full((c * n,), diag_c[1]),
-        jnp.full((c * c,), diag_c[2]),
-    ]
-    vec = jnp.concatenate(parts)
+    vec = family_const_vector(spec, diag_c)
     return jnp.where(bmask_fam, jnp.ones((), vec.dtype), vec)
 
 

@@ -101,7 +101,7 @@ def test_patch_constants_match_full_extraction(setup):
     domain, problem, md = setup
     spec, consts, mass_c, diag_c, _, _ = _pieces(domain, problem, md, 1)
     solver = CRBESolver(domain, problem, md)
-    p_consts, p_mass, p_diag = uniform_mod.patch_constants(
+    p_consts, _, p_mass, p_diag = uniform_mod.patch_constants(
         md.structured_n, float(domain.Lx), problem, solver.dt, 1,
     )
     assert jnp.allclose(jnp.asarray(consts), p_consts, rtol=1e-10)
@@ -124,6 +124,31 @@ def test_patch_assembly_solve_matches_full(setup):
     assert s._ops is None  # the global operator was never assembled
     scale = float(jnp.max(jnp.abs(a)))
     assert float(jnp.max(jnp.abs(a - b))) < 1e-9 * scale
+
+
+def test_patch_uniform_scan_matches_full(setup):
+    """assembly='patch' + matvec_impl='uniform': the general scan path
+    (snapshots, BiCGStab, nonzero sources) without the global operator."""
+    domain, problem, md = setup
+
+    class SourceProblem(apt.Problem):
+        zero_source = False
+
+        def source_term(self, xyt):
+            return jnp.full(xyt.shape[:-1], 0.3, xyt.dtype)
+
+    src = SourceProblem(sigma=1.0)
+    for order in (1, 2):
+        a = CRBESolver(domain, src, md, matvec_impl="uniform",
+                       time_scheme_order=order).solve()
+        s = CRBESolver(domain, src, md, matvec_impl="uniform",
+                       time_scheme_order=order, assembly="patch")
+        b = s.solve()
+        assert s._ops is None
+        scale = float(jnp.max(jnp.abs(a)))
+        # BiCGStab stops at tol=1e-7: two operators differing only by
+        # patch-coordinate rounding give tolerance-level answer diffs.
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-6 * scale
 
 
 def test_patch_requires_uniform_fused(setup):
