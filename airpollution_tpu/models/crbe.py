@@ -400,6 +400,13 @@ class CRBESolver:
             self.time_scheme_order,
             self.stiffness_convention,
         )
+        # The operator changed: spectral bounds, patch scalars, and the
+        # jitted solve closures (which bake the host-float bounds) are
+        # all stale.
+        self._cheb_checked = False
+        self._cheb_bounds = None
+        self._patch_cache = None
+        self._solve_fn_cache = {}
         return self._ops
 
     @property
@@ -485,8 +492,13 @@ class CRBESolver:
 
             n = self.mesh_data.structured_n
             spec = uniform_mod.make_spec_lite(n)
+            # Cell size from the ACTUAL mesh coordinates — domain.Lx is a
+            # second, unchecked source of the same fact and the two can
+            # disagree (create_mesh(domain_size=...) is independent).
+            xs = self.mesh_data.points[:, 0]
+            half_width = float(jnp.max(xs) - jnp.min(xs)) / 2.0
             consts = uniform_mod.patch_constants(
-                n, float(self.domain.Lx), self.problem, self.dt,
+                n, half_width, self.problem, self.dt,
                 self.time_scheme_order, self.stiffness_convention,
                 dtype=self.mesh_data.midpoints.dtype,
             )
@@ -591,12 +603,17 @@ class CRBESolver:
             if use_hbm and not (
                 uniform and self.solver_method == "chebyshev"
             ):
+                reason = (
+                    "matvec_impl='fused_hbm' was requested"
+                    if self.matvec_impl == "fused_hbm"
+                    else "mesh too large for the VMEM-resident fused "
+                    "solver"
+                )
                 raise ValueError(
-                    "mesh too large for the VMEM-resident fused solver; "
-                    "the HBM-tiled kernel needs the uniform operator and "
-                    "solver_method='chebyshev' (its reduction-free "
-                    "iterations keep stripes independent) — or use "
-                    "matvec_impl='stencil'"
+                    f"{reason}, but the HBM-tiled kernel needs the "
+                    "uniform operator and solver_method='chebyshev' "
+                    "(its reduction-free iterations keep stripes "
+                    "independent) — or use matvec_impl='stencil'"
                 )
             interpret = jax.default_backend() != "tpu"
             n_steps = md.nt - 1
@@ -607,9 +624,9 @@ class CRBESolver:
                     "fused chebyshev requires the uniform operator "
                     "(fused_operator='uniform' or 'auto')"
                 )
-            if self.solver_method == "chebyshev" and not hasattr(
-                self, "_cheb_bounds"
-            ):
+            if self.solver_method == "chebyshev" and getattr(
+                self, "_cheb_bounds", None
+            ) is None:
                 # Normally set by solve(); needed eagerly (concrete ops)
                 # because solve_impl closes over the host floats.
                 self._check_chebyshev_applicable(
@@ -702,10 +719,8 @@ class CRBESolver:
 
         if patch and self.matvec_impl != "uniform":
             raise AssertionError("patch mode reaches only the uniform path")
-        fam_view = stencil_mod.family_view(
-            md, pattern if pattern is not None
-            else type("_P", (), {"perm": perm_np})
-        )
+        fam_view = (stencil_mod.family_view(md, perm=perm_np) if patch
+                    else stencil_mod.family_view(md, pattern))
         if self.matvec_impl == "pallas":
             from airpollution_tpu.ops import pallas_stencil
 
@@ -817,9 +832,17 @@ class CRBESolver:
             matvec = partial(uniform_mod.uniform_matvec, spec, sys_consts)
             example = jnp.zeros_like(diag_fam)
             scale = 1.0 / jnp.sqrt(diag_fam)
-        elif self._use_stencil() and self.mesh_data.structured_n >= 3:
+        elif (
+            self.matvec_impl in ("uniform", "fused", "fused_hbm")
+            and self._use_stencil()
+            and self.mesh_data.structured_n >= 3
+        ):
             # Family-layout uniform matvec: same spectrum (similarity by
             # permutation), ~20x faster than the ELL gather path eagerly.
+            # Restricted to impls that SOLVE with the uniform operator —
+            # the stencil/canvas paths exist for spatially varying
+            # coefficients, where a center-sampled uniform surrogate
+            # could mask a genuinely divergent regime.
             from airpollution_tpu.ops import uniform as uniform_mod
 
             pattern = self._stencil_pattern()

@@ -78,14 +78,15 @@ def _family_ids(t2s: np.ndarray, n: int):
     return H, V, D
 
 
-def build_family_perm(t2s, n: int):
+def build_family_perm(t2s, n: int, ids=None):
     """Family-layout permutation only (no per-term ELL slot grids).
 
     The slot grids cost 15 x (n, n) int64 host arrays (~0.5 GB at 2049^2)
     and are only needed to EXTRACT coefficients from an assembled ELL
     operator; the patch-assembled uniform path (ops/uniform.py
-    patch_constants) needs just the permutation."""
-    H, V, D = _family_ids(np.asarray(t2s), n)
+    patch_constants) needs just the permutation. ``ids`` accepts
+    precomputed ``_family_ids`` output to avoid recomputing it."""
+    H, V, D = ids if ids is not None else _family_ids(np.asarray(t2s), n)
     perm = np.concatenate([H.ravel(), V.ravel(), D.ravel()]).astype(np.int32)
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
@@ -115,7 +116,7 @@ def build_stencil_pattern(t2s, ell_cols, n: int) -> StencilPattern:
     c = n - 1
     H, V, D = _family_ids(t2s, n)
 
-    perm, inv_perm = build_family_perm(t2s, n)
+    perm, inv_perm = build_family_perm(t2s, n, ids=(H, V, D))
 
     def term(rows, col_grid, valid):
         """Flat ELL slot of entry (row, col) per grid cell, + validity."""
@@ -223,10 +224,13 @@ def get_pattern(mesh_data) -> StencilPattern:
     return pattern
 
 
-def family_view(mesh_data, pattern: StencilPattern):
+def family_view(mesh_data, pattern: StencilPattern = None, *, perm=None):
     """Static mesh-data stand-in with fields permuted to family layout,
-    for running run_time_loop entirely in family order."""
-    perm = jnp.asarray(pattern.perm)
+    for running run_time_loop entirely in family order. Pass either a
+    pattern or a bare ``perm`` array (the only field consumed)."""
+    if perm is None:
+        perm = pattern.perm
+    perm = jnp.asarray(perm)
 
     class _FamView:
         midpoints = mesh_data.midpoints[perm]

@@ -70,9 +70,9 @@ def main():
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s")
 
     # Timed runs (compile cache hot). The shared remote tunnel adds ~2x
-    # run-to-run variance (CLAUDE.md), so report the best of 3 warm runs.
+    # run-to-run variance (CLAUDE.md), so report the best of 5 warm runs.
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         solver.solve(store_solutions=False, collect_iters=False)
         times.append(time.time() - t0)

@@ -43,7 +43,7 @@ def run(ms, nt, impl, iters, warm_reps=1, assembly="auto"):
     log(f"  {impl} ms={ms} nt={nt} k={iters}: {best*1e3:.1f} ms warm -> "
         f"{sps:,.0f} steps/s")
     errs = s.compute_errors(problem.analytical_solution)
-    log(f"  errors (max, l2, rel_l2): {tuple(float(e) for e in errs)}")
+    log(f"  errors (rel_l2, l2, max): {tuple(float(e) for e in errs)}")
     return out, sps
 
 
@@ -61,9 +61,19 @@ def main():
             sys.exit(1)
 
     log("== solver-level scaling past the VMEM envelope ==")
+    rows = []
     for ms, nt, iters, asm in [(513, 1001, 6, "auto"), (769, 1001, 8, "auto"),
                           (1025, 1001, 8, "auto"), (2049, 1001, 10, "patch")]:
-        run(ms, nt, "fused_hbm", iters, warm_reps=3, assembly=asm)
+        _, sps = run(ms, nt, "fused_hbm", iters, warm_reps=3, assembly=asm)
+        rows.append(dict(ms=ms, nt=nt, k=iters, assembly=asm,
+                         solver_steps_per_sec=round(sps, 1)))
+    import csv
+
+    with open("results_snapshot/hbm_scaling.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    log(f"wrote {len(rows)} rows to results_snapshot/hbm_scaling.csv")
 
 
 if __name__ == "__main__":

@@ -90,6 +90,9 @@ def main():
                              ms_per_solve=round(best * 1e3, 2),
                              reldiff_vs_k12=f"{diff:.3e}"))
 
+    if not rows:
+        log("no configs succeeded; nothing to write")
+        return
     path = "results_snapshot/hbm_ab.csv"
     exists = os.path.exists(path)
     with open(path, "a", newline="") as f:

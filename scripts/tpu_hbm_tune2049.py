@@ -28,7 +28,7 @@ def main():
     solver = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
                         solver_method="chebyshev", assembly="patch",
                         extrapolate_warm_start=True)
-    spec, sys_c, mass_c, diag_c = solver._patch_pieces()
+    spec, sys_c, _, mass_c, diag_c = solver._patch_pieces()
     solver._check_chebyshev_applicable(None)
     bounds = solver._cheb_bounds
     perm, _ = stencil_mod.get_family_perm(md)
@@ -71,6 +71,9 @@ def main():
                          ms_per_solve=round(best * 1e3, 2),
                          reldiff_vs_k12=f"{diff:.3e}"))
 
+    if not rows:
+        log("no configs succeeded; nothing to write")
+        return
     path = "results_snapshot/hbm_ab.csv"
     exists = os.path.exists(path)
     with open(path, "a", newline="") as f:

@@ -158,6 +158,23 @@ def test_patch_requires_uniform_fused(setup):
                    assembly="patch").solve(store_solutions=False)
 
 
+def test_rebuild_invalidates_cached_bounds(setup):
+    """build_global_matrices() must drop the cached spectral bounds and
+    jitted solve closures (they bake the old operator's interval)."""
+    domain, problem, md = setup
+    s = CRBESolver(domain, problem, md, matvec_impl="fused",
+                   solver_method="chebyshev", chebyshev_iters=8)
+    a = s.solve(store_solutions=False, collect_iters=False)
+    old_bounds = s._cheb_bounds
+    s.build_global_matrices()
+    assert s._cheb_bounds is None and not s._solve_fn_cache
+    b = s.solve(store_solutions=False, collect_iters=False)
+    assert s._cheb_bounds is not None
+    assert jnp.allclose(jnp.asarray(s._cheb_bounds),
+                        jnp.asarray(old_bounds))
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-12
+
+
 def test_choose_stripe_rows_budget():
     # Larger meshes get narrower stripes so the window set stays in VMEM.
     s_small = pallas_hbm.choose_stripe_rows(513, False, halo=8)
