@@ -70,11 +70,6 @@ class MeshData:
         )
         diameter = float(edge_len.max()) if edge_len.size else 0.0
 
-        # --- sparsity pattern for assembly / SpMV ---
-        ell = topo_mod.build_ell_pattern(
-            topo.triangle_to_segments, n_seg=segs.shape[0]
-        )
-
         # --- publish: device arrays ---
         self.points = jnp.asarray(pts, dtype=dtype)
         self.number_of_points = pts.shape[0]
@@ -98,16 +93,47 @@ class MeshData:
         bmask[topo.boundary_segments] = True
         self.boundary_mask = jnp.asarray(bmask)
 
-        self.ell_cols = jnp.asarray(ell.cols)
-        self.ell_entry_to_slot = jnp.asarray(ell.entry_to_slot)
-        self.ell_diag_slot = jnp.asarray(ell.diag_slot)
-        self.ell_width = ell.width
-
         # Structured-mesh metadata (enables the stencil SpMV fast path) and
         # host copies of the topology for stencil pattern construction.
         self.structured_n = getattr(mesh, "n_points_per_axis", None)
         self._host_t2s = topo.triangle_to_segments
-        self._host_ell_cols = ell.cols
+        self._ell_pattern = None
+
+    # --- ELL sparsity pattern (lazy): only the global-assembly paths need
+    # it; patch-assembled solves (models/crbe.py assembly='patch') never
+    # touch it, and at 2049^2+ the device arrays alone are multiple GB. ---
+
+    def _ensure_ell(self):
+        # Cache HOST arrays only: the first access may happen inside a
+        # jit/vmap trace (the vmapped sweeps assemble under vmap), where
+        # jnp.asarray returns trace-local constants that must not leak
+        # into the cache. The per-access conversion folds to a constant
+        # under jit and is a one-time transfer eagerly.
+        if self._ell_pattern is None:
+            self._ell_pattern = topo_mod.build_ell_pattern(
+                self._host_t2s, n_seg=self.number_of_segments
+            )
+        return self._ell_pattern
+
+    @property
+    def ell_cols(self):
+        return jnp.asarray(self._ensure_ell().cols)
+
+    @property
+    def ell_entry_to_slot(self):
+        return jnp.asarray(self._ensure_ell().entry_to_slot)
+
+    @property
+    def ell_diag_slot(self):
+        return jnp.asarray(self._ensure_ell().diag_slot)
+
+    @property
+    def ell_width(self):
+        return self._ensure_ell().width
+
+    @property
+    def _host_ell_cols(self):
+        return self._ensure_ell().cols
 
     def show(self, filename="mesh_visualition.pdf"):
         """Visualize the triangulation (crbe.py:156-164; the reference's

@@ -379,6 +379,19 @@ class CRBESolver:
         self.assembly = assembly
         self.solver_method = solver_method
         self.chebyshev_iters = chebyshev_iters
+        if (
+            matvec_impl == "auto"
+            and assembly != "full"
+            and getattr(mesh_data, "structured_n", None) is not None
+            and mesh_data.structured_n >= 3
+            and mesh_data.number_of_segments > 6_000_000
+        ):
+            # Past ~8M triangles the vmapped global assembly exhausts HBM
+            # (measured: 24 GB at 2049^2). On a structured mesh with the
+            # constant coefficients the Problem ABC carries
+            # (common.py:15-30 stores plain v, D), the uniform operator is
+            # exact — route 'auto' to it so patch assembly can kick in.
+            matvec_impl = "uniform"
         self.matvec_impl = matvec_impl
         self.fused_iters = fused_iters
         self.fused_operator = fused_operator
@@ -879,6 +892,20 @@ class CRBESolver:
         ops = None if self._use_patch() else self._require_ops()
         if self.solver_method == "chebyshev":
             self._check_chebyshev_applicable(ops)
+        elif (self.mesh_data.number_of_segments > 6_000_000
+              and not getattr(self, "_bicgstab_scale_warned", False)):
+            self._bicgstab_scale_warned = True
+            import warnings
+
+            warnings.warn(
+                "BiCGStab's residual tolerance may be unreachable in "
+                "float32 at this size (measured at 12.6M DOFs: the "
+                "solver runs maxiter every step — the solution is fine, "
+                "the time is wasted). Use solver_method='chebyshev' "
+                "(fixed reduction-free iterations) or raise solver_tol "
+                "for meshes past a few million DOFs.",
+                stacklevel=2,
+            )
         u0 = self.set_initial_condition()
         key = (store_solutions, collect_iters)
         if key not in self._solve_fn_cache:
