@@ -646,11 +646,18 @@ class CRBESolver:
                     None if patch else self._require_ops()
                 )
 
-            def solve_impl(ops: GlobalOperators, u0):
+            # The big per-mesh arrays ride as jit ARGUMENTS, not closure
+            # constants: embedded constants are serialized into every
+            # compile (at 4097^2 the perm/inv/midpoints/mask closures are
+            # ~850 MB and overflow the remote-compile transport).
+            self._solve_aux = (perm, inv, md.midpoints, md.boundary_mask)
+
+            def solve_impl(ops: GlobalOperators, u0, aux):
+                perm_a, inv_a, midpoints_a, bmask_a = aux
                 # u0 goes in FULL (boundary values included): the first
                 # step's RHS may read boundary columns (CN's (K+A) u0
                 # term); the kernel masks the warm start itself.
-                u0_fam = u0[perm]
+                u0_fam = u0[perm_a]
                 if uniform:
                     # Translation-invariant operator: 21 scalars, no
                     # canvases (ops/uniform.py) — VMEM budget 21-24
@@ -701,11 +708,11 @@ class CRBESolver:
                     coeffs = stencil_mod.extract_coefficients(
                         pattern, ops.system.vals
                     )
-                    bmask_fam = md.boundary_mask[perm]
+                    bmask_fam = bmask_a[perm_a]
                     mass_fam = jnp.where(
-                        bmask_fam, 0.0, ops.mass_diag[perm]
+                        bmask_fam, 0.0, ops.mass_diag[perm_a]
                     )
-                    inv_diag_fam = 1.0 / ops.system_diag[perm]
+                    inv_diag_fam = 1.0 / ops.system_diag[perm_a]
                     interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
                     # CN's row-masked -(dt/2)(K+A) RHS term is
                     # reconstructed in-kernel from the system canvases
@@ -718,17 +725,18 @@ class CRBESolver:
                         extrapolate=self.extrapolate_warm_start,
                         interpret=interpret,
                     )
-                u_global = u_fam[inv]
+                u_global = u_fam[inv_a]
                 # Boundary lift at the final time (matches run_time_loop's
                 # final-state-only output).
-                t_col = jnp.full((md.midpoints.shape[0], 1),
-                                 dt * n_steps, dtype=md.midpoints.dtype)
-                xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
-                lift = jnp.where(md.boundary_mask,
+                t_col = jnp.full((midpoints_a.shape[0], 1),
+                                 dt * n_steps, dtype=midpoints_a.dtype)
+                xyt = jnp.concatenate([midpoints_a, t_col], axis=1)
+                lift = jnp.where(bmask_a,
                                  self.problem.boundary_fn(xyt), 0.0)
                 return (u_global + lift)[None, :], None
 
-            return jax.jit(solve_impl)
+            jfn = jax.jit(solve_impl)
+            return lambda ops_, u0_: jfn(ops_, u0_, self._solve_aux)
 
         if patch and self.matvec_impl != "uniform":
             raise AssertionError("patch mode reaches only the uniform path")
@@ -906,7 +914,14 @@ class CRBESolver:
                 "for meshes past a few million DOFs.",
                 stacklevel=2,
             )
-        u0 = self.set_initial_condition()
+        if getattr(self, "_u0_cache", None) is None:
+            # The IC is a pure function of (problem, midpoints): evaluate
+            # once per solver under jit instead of eager op-by-op every
+            # solve() call (tens of ms at 12.6M DOFs).
+            self._u0_cache = jax.jit(self.problem.initial_condition_fn)(
+                self.mesh_data.midpoints
+            )
+        u0 = self._u0_cache
         key = (store_solutions, collect_iters)
         if key not in self._solve_fn_cache:
             self._solve_fn_cache[key] = self._build_solve_fn(*key)

@@ -1,0 +1,49 @@
+"""Fused HBM-tiled solve at 4097^2 — 50.3M DOFs on one v5e chip.
+
+Patch assembly + lazy ELL keep setup O(1) in operator terms; the solve
+streams ~850 MB of state through VMEM stripes per step. k=12 Chebyshev
+(interval widens as h shrinks at fixed dt)."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.crbe import CRBESolver
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    log(f"device: {jax.devices()[0]}")
+    ms, nt = 4097, 1001
+    t0 = time.time()
+    mesh = apt.create_mesh(ms, domain_size=20.0)
+    domain = apt.Domain()
+    problem = apt.Problem(sigma=1.0)
+    md = apt.MeshData(mesh, domain, nt=nt)
+    log(f"mesh: {md.number_of_segments:,} DOFs, setup {time.time()-t0:.1f}s")
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    s = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   assembly="patch", extrapolate_warm_start=True,
+                   solver_method="chebyshev", chebyshev_iters=k)
+    t0 = time.time()
+    s.solve(store_solutions=False, collect_iters=False)
+    log(f"first call (compile+run) {time.time()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = s.solve(store_solutions=False, collect_iters=False)
+        best = min(best, time.time() - t0)
+    log(f"fused_hbm ms={ms} nt={nt} k={k}: {best*1e3:.1f} ms -> "
+        f"{(nt-1)/best:,.0f} steps/s")
+    errs = s.compute_errors(problem.analytical_solution)
+    log(f"errors (rel_l2, l2, max): {tuple(float(e) for e in errs)}")
+
+
+if __name__ == "__main__":
+    main()
