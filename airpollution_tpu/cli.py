@@ -48,6 +48,7 @@ def cmd_solve(args):
     solver = CRBESolver(
         domain, problem, md, time_scheme_order=args.order,
         matvec_impl=args.matvec_impl,
+        assembly=args.assembly,
         stiffness_convention=args.stiffness_convention,
         extrapolate_warm_start=args.extrapolate,
         solver_method=args.solver_method,
@@ -146,7 +147,11 @@ def build_parser():
     sp.add_argument("--order", type=int, default=1, choices=(1, 2))
     sp.add_argument("--matvec_impl", default="auto",
                     choices=("auto", "ell", "stencil", "uniform", "pallas",
-                             "fused"))
+                             "fused", "fused_hbm"))
+    sp.add_argument("--assembly", default="auto",
+                    choices=("auto", "full", "patch"),
+                    help="patch: O(1) uniform-operator scalars from a "
+                         "congruent patch mesh (no global assembly)")
     sp.add_argument("--solver_method", default="bicgstab",
                     choices=("bicgstab", "chebyshev"))
     sp.add_argument("--chebyshev_iters", type=int, default=8)

@@ -20,7 +20,8 @@ def log(*a):
 
 def main():
     log(f"device: {jax.devices()[0]}")
-    ms, nt = 4097, 1001
+    ms = 4097
+    nt = int(sys.argv[2]) if len(sys.argv) > 2 else 1001
     t0 = time.time()
     mesh = apt.create_mesh(ms, domain_size=20.0)
     domain = apt.Domain()
