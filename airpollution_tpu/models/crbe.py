@@ -166,9 +166,16 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
         loc.mass_diag.reshape(-1), t2s_flat, num_segments=n_seg
     )
 
+    # Hoist the (lazy-property) ELL arrays into locals: each property
+    # access converts the host pattern afresh, and sharing one buffer
+    # keeps K.cols/A.cols/system.cols aliased.
+    ell_cols = md.ell_cols
+    ell_e2s = md.ell_entry_to_slot
+    ell_diag_slot = md.ell_diag_slot
+
     def to_ell(local_vals):
         return sparse.ell_from_entries(
-            local_vals.reshape(-1), md.ell_entry_to_slot, md.ell_cols
+            local_vals.reshape(-1), ell_e2s, ell_cols
         )
 
     K = to_ell(loc.stiffness)
@@ -179,14 +186,14 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     sys_vals = (c * dt) * ka.vals
     # Add the diagonal mass into the system's diagonal slots.
     flat = sys_vals.reshape(-1)
-    flat = flat.at[md.ell_diag_slot].add(mass_diag)
+    flat = flat.at[ell_diag_slot].add(mass_diag)
     system = sparse.EllMatrix(
         vals=flat.reshape(sys_vals.shape), cols=ka.cols
     )
     system = sparse.ell_mask_dirichlet_rows(
-        system, md.boundary_mask, md.ell_diag_slot
+        system, md.boundary_mask, ell_diag_slot
     )
-    system_diag = sparse.ell_diagonal(system, md.ell_diag_slot)
+    system_diag = sparse.ell_diagonal(system, ell_diag_slot)
 
     return GlobalOperators(
         mass_diag=mass_diag,
@@ -382,6 +389,7 @@ class CRBESolver:
         if (
             matvec_impl == "auto"
             and assembly != "full"
+            and preconditioner != "spectral"
             and getattr(mesh_data, "structured_n", None) is not None
             and mesh_data.structured_n >= 3
             and mesh_data.number_of_segments > 6_000_000
@@ -479,20 +487,25 @@ class CRBESolver:
             self.matvec_impl in ("fused", "fused_hbm", "uniform")
             and self.mesh_data.structured_n is not None
             and self.mesh_data.structured_n >= 3
-            and self.fused_operator != "canvas"
+            # The spectral preconditioner extracts canvas coefficients
+            # from the assembled operator — it needs full assembly.
+            and self.preconditioner != "spectral"
         )
         if self.matvec_impl in ("fused", "fused_hbm"):
             # The fused kernels additionally require a zero source (the
-            # general scan path via matvec_impl='uniform' does not).
+            # general scan path via matvec_impl='uniform' does not) and
+            # the uniform fused operator.
             eligible = eligible and getattr(
                 self.problem, "zero_source", False
-            )
+            ) and self.fused_operator != "canvas"
         if self.assembly == "patch":
             if not eligible:
                 raise ValueError(
-                    "assembly='patch' requires a structured mesh and the "
+                    "assembly='patch' requires a structured mesh, the "
                     "uniform operator (matvec_impl='uniform', 'fused' or "
-                    "'fused_hbm'; fused also needs a zero-source problem)"
+                    "'fused_hbm'; fused also needs a zero-source problem "
+                    "and fused_operator != 'canvas') and a "
+                    "non-spectral preconditioner"
                 )
             return True
         return eligible and self.mesh_data.number_of_segments > 6_000_000
@@ -833,7 +846,6 @@ class CRBESolver:
         matvecs once; a silent divergence costs a wrong answer."""
         if getattr(self, "_cheb_checked", False):
             return
-        self._cheb_checked = True
         import warnings
 
         if ops is None:
@@ -881,8 +893,11 @@ class CRBESolver:
         beta = linalg.skew_norm(matvec, example, scale=scale)
         # Cache for the fused solves: reusing the eager estimate removes
         # ~100 in-jit matvecs per solve() call (the interval is a
-        # property of the operator, not of the call).
+        # property of the operator, not of the call). The checked flag is
+        # set only on success so a transient failure (e.g. a tunnel
+        # error) does not permanently disable the check.
         self._cheb_bounds = (float(lo), float(hi))
+        self._cheb_checked = True
         factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
         if not (factor < 0.97):
             warnings.warn(
@@ -917,10 +932,11 @@ class CRBESolver:
         if getattr(self, "_u0_cache", None) is None:
             # The IC is a pure function of (problem, midpoints): evaluate
             # once per solver under jit instead of eager op-by-op every
-            # solve() call (tens of ms at 12.6M DOFs).
-            self._u0_cache = jax.jit(self.problem.initial_condition_fn)(
-                self.mesh_data.midpoints
-            )
+            # solve() call (tens of ms at 12.6M DOFs). Routed through the
+            # public method so subclass overrides keep working.
+            self._u0_cache = jax.jit(
+                lambda: self.set_initial_condition()
+            )()
         u0 = self._u0_cache
         key = (store_solutions, collect_iters)
         if key not in self._solve_fn_cache:

@@ -175,6 +175,28 @@ def test_rebuild_invalidates_cached_bounds(setup):
     assert float(jnp.max(jnp.abs(a - b))) < 1e-12
 
 
+def test_patch_rejects_spectral_preconditioner(setup):
+    domain, problem, md = setup
+    with pytest.raises(ValueError, match="patch"):
+        CRBESolver(domain, problem, md, matvec_impl="uniform",
+                   assembly="patch", preconditioner="spectral").solve(
+            store_solutions=False)
+
+
+def test_solve_honors_ic_override(setup):
+    """solve() must route the IC through the public
+    set_initial_condition hook (reference-parity subclass point)."""
+    domain, problem, md = setup
+
+    class Shifted(CRBESolver):
+        def set_initial_condition(self):
+            return super().set_initial_condition() + 1.0
+
+    base = CRBESolver(domain, problem, md).solve()
+    shifted = Shifted(domain, problem, md).solve()
+    assert float(jnp.max(jnp.abs(shifted[0] - (base[0] + 1.0)))) < 1e-12
+
+
 def test_choose_stripe_rows_budget():
     # Larger meshes get narrower stripes so the window set stays in VMEM.
     s_small = pallas_hbm.choose_stripe_rows(513, False, halo=8)
