@@ -53,6 +53,7 @@ def cmd_solve(args):
         extrapolate_warm_start=args.extrapolate,
         solver_method=args.solver_method,
         chebyshev_iters=args.chebyshev_iters,
+        snapshot_every=args.snapshot_every,
     )
     store = bool(args.save_all)
     solver.solve(store_solutions=store)
@@ -61,8 +62,11 @@ def cmd_solve(args):
         import numpy as np
 
         sols = np.asarray(solver.solutions)
+        times = np.asarray(md.time_discr)
+        if store and solver.snapshot_every and sols.shape[0] != times.shape[0]:
+            times = times[::solver.snapshot_every]  # strided fused output
         save_field(args.save, sols if store else sols[-1],
-                   times=np.asarray(md.time_discr) if store else None)
+                   times=times if store else None)
         print(f"saved field to {args.save}", file=sys.stderr)
     print(json.dumps({
         "method": "crbe", "mesh_size": args.mesh_size, "nt": args.nt,
@@ -158,6 +162,9 @@ def build_parser():
     sp.add_argument("--stiffness_convention", default="correct",
                     choices=("correct", "reference"))
     sp.add_argument("--extrapolate", action="store_true")
+    sp.add_argument("--snapshot_every", type=int, default=None,
+                    help="strided snapshots for the fused paths "
+                         "(with --save_all)")
     sp.add_argument("--save", default="", help="Save final field to .npz")
     sp.add_argument("--save_all", action="store_true",
                     help="Save every snapshot (with --save)")

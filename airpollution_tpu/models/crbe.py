@@ -358,6 +358,7 @@ class CRBESolver:
         solver_method: str = "bicgstab",
         chebyshev_iters: int = 8,
         assembly: str = "auto",
+        snapshot_every: Optional[int] = None,
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -384,6 +385,9 @@ class CRBESolver:
         if assembly not in ("auto", "full", "patch"):
             raise ValueError(f"unknown assembly {assembly}")
         self.assembly = assembly
+        if snapshot_every is not None and snapshot_every < 1:
+            raise ValueError("snapshot_every must be a positive int")
+        self.snapshot_every = snapshot_every
         self.solver_method = solver_method
         self.chebyshev_iters = chebyshev_iters
         if (
@@ -595,10 +599,17 @@ class CRBESolver:
                 raise ValueError(
                     "fused solver requires a zero-source problem"
                 )
-            if store_solutions or collect_iters:
+            strided = store_solutions and self.snapshot_every is not None
+            if (store_solutions and not strided) or collect_iters:
                 raise ValueError(
-                    "fused solver returns the final state only "
-                    "(store_solutions=False, collect_iters=False)"
+                    "fused solver returns the final state only — pass "
+                    "snapshot_every=k to CRBESolver for strided "
+                    "snapshots with store_solutions=True "
+                    "(collect_iters is not available fused)"
+                )
+            if strided and (md.nt - 1) % self.snapshot_every:
+                raise ValueError(
+                    "snapshot_every must divide nt-1 for the fused paths"
                 )
             from airpollution_tpu.ops import pallas_solver
 
@@ -671,53 +682,57 @@ class CRBESolver:
                 # step's RHS may read boundary columns (CN's (K+A) u0
                 # term); the kernel masks the warm start itself.
                 u0_fam = u0[perm_a]
-                if uniform:
-                    # Translation-invariant operator: 21 scalars, no
-                    # canvases (ops/uniform.py) — VMEM budget 21-24
-                    # canvases instead of 48 (12-15 with chebyshev).
-                    if patch:
-                        # Scalars from the congruent patch mesh — the
-                        # global operator was never assembled.
-                        _, sys_consts, _, mass_c, diag_c = (
-                            self._patch_pieces()
-                        )
-                        inv_diag_c = 1.0 / diag_c
-                    else:
-                        sys_consts = uniform_mod.extract_constants(
-                            spec, ops.system.vals
-                        )
-                        mass_c = uniform_mod.family_constants(
-                            spec, ops.mass_diag
-                        )
-                        inv_diag_c = 1.0 / uniform_mod.family_constants(
-                            spec, ops.system_diag
-                        )
-                    bounds = None
-                    kiters = n_iters
-                    if self.solver_method == "chebyshev":
-                        kiters = self.chebyshev_iters
-                        # Spectral interval cached by the eager
-                        # applicability check (same operator).
-                        bounds = self._cheb_bounds
-                    if use_hbm:
-                        from airpollution_tpu.ops import pallas_hbm
 
-                        u_fam = pallas_hbm.fused_solve_uniform_hbm(
-                            spec, sys_consts, mass_c, inv_diag_c, u0_fam,
-                            n_steps=n_steps, n_iters=kiters,
-                            bounds=bounds, use_ka=use_ka,
-                            extrapolate=self.extrapolate_warm_start,
-                            interpret=interpret,
-                        )
-                    else:
-                        u_fam = pallas_solver.fused_solve_uniform(
-                            spec, sys_consts, mass_c, inv_diag_c, u0_fam,
-                            n_steps=n_steps, n_iters=kiters, use_ka=use_ka,
+                def run_kernel(u_start_fam, steps):
+                    """steps of the fused implicit loop from u_start_fam
+                    (family layout); returns the homogeneous state."""
+                    if uniform:
+                        # Translation-invariant operator: 21 scalars, no
+                        # canvases (ops/uniform.py) — VMEM budget 21-24
+                        # canvases instead of 48 (12-15 with chebyshev).
+                        if patch:
+                            # Scalars from the congruent patch mesh —
+                            # the global operator was never assembled.
+                            _, sys_consts, _, mass_c, diag_c = (
+                                self._patch_pieces()
+                            )
+                            inv_diag_c = 1.0 / diag_c
+                        else:
+                            sys_consts = uniform_mod.extract_constants(
+                                spec, ops.system.vals
+                            )
+                            mass_c = uniform_mod.family_constants(
+                                spec, ops.mass_diag
+                            )
+                            inv_diag_c = 1.0 / uniform_mod.family_constants(
+                                spec, ops.system_diag
+                            )
+                        bounds = None
+                        kiters = n_iters
+                        if self.solver_method == "chebyshev":
+                            kiters = self.chebyshev_iters
+                            # Spectral interval cached by the eager
+                            # applicability check (same operator).
+                            bounds = self._cheb_bounds
+                        if use_hbm:
+                            from airpollution_tpu.ops import pallas_hbm
+
+                            return pallas_hbm.fused_solve_uniform_hbm(
+                                spec, sys_consts, mass_c, inv_diag_c,
+                                u_start_fam,
+                                n_steps=steps, n_iters=kiters,
+                                bounds=bounds, use_ka=use_ka,
+                                extrapolate=self.extrapolate_warm_start,
+                                interpret=interpret,
+                            )
+                        return pallas_solver.fused_solve_uniform(
+                            spec, sys_consts, mass_c, inv_diag_c,
+                            u_start_fam,
+                            n_steps=steps, n_iters=kiters, use_ka=use_ka,
                             extrapolate=self.extrapolate_warm_start,
                             method=self.solver_method, bounds=bounds,
                             interpret=interpret,
                         )
-                else:
                     coeffs = stencil_mod.extract_coefficients(
                         pattern, ops.system.vals
                     )
@@ -726,26 +741,63 @@ class CRBESolver:
                         bmask_fam, 0.0, ops.mass_diag[perm_a]
                     )
                     inv_diag_fam = 1.0 / ops.system_diag[perm_a]
-                    interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
+                    interior_fam = 1.0 - bmask_fam.astype(
+                        u_start_fam.dtype
+                    )
                     # CN's row-masked -(dt/2)(K+A) RHS term is
                     # reconstructed in-kernel from the system canvases
                     # (pallas_solver docstring identity) — no extra
                     # coefficient set.
-                    u_fam = pallas_solver.fused_solve(
-                        pattern, coeffs, mass_fam, inv_diag_fam, u0_fam,
-                        interior_fam,
-                        n_steps=n_steps, n_iters=n_iters, use_ka=use_ka,
+                    return pallas_solver.fused_solve(
+                        pattern, coeffs, mass_fam, inv_diag_fam,
+                        u_start_fam, interior_fam,
+                        n_steps=steps, n_iters=n_iters, use_ka=use_ka,
                         extrapolate=self.extrapolate_warm_start,
                         interpret=interpret,
                     )
+
+                def lift_at(t):
+                    t_col = jnp.full((midpoints_a.shape[0], 1), t,
+                                     dtype=midpoints_a.dtype)
+                    xyt = jnp.concatenate([midpoints_a, t_col], axis=1)
+                    return jnp.where(bmask_a,
+                                     self.problem.boundary_fn(xyt), 0.0)
+
+                if strided:
+                    # Strided snapshots: chunks of snapshot_every steps,
+                    # one kernel sweep per chunk. Row 0 is the full IC
+                    # (boundary values included, crbe.py:364 semantics);
+                    # later rows get the boundary lift at their time.
+                    # NOTE the extrapolated warm start resets at chunk
+                    # boundaries (the kernel seeds u_prev = u_start), so
+                    # one step per chunk uses a first-order warm start —
+                    # a convergence detail at fixed iteration counts,
+                    # bounded by the snapshot stride.
+                    k_snap = self.snapshot_every
+                    n_chunks = n_steps // k_snap
+
+                    def chunk(u_c, _):
+                        u_n = run_kernel(u_c, k_snap)
+                        return u_n, u_n
+
+                    _, snaps_fam = jax.lax.scan(
+                        chunk, u0_fam, None, length=n_chunks
+                    )
+                    sols = jnp.concatenate(
+                        [u0_fam[None], snaps_fam], axis=0
+                    )[:, inv_a]
+                    times = dt * k_snap * jnp.arange(
+                        1, n_chunks + 1, dtype=midpoints_a.dtype
+                    )
+                    lifts = jax.vmap(lift_at)(times)
+                    return sols.at[1:].add(lifts), None
+
+                u_fam = run_kernel(u0_fam, n_steps)
                 u_global = u_fam[inv_a]
                 # Boundary lift at the final time (matches run_time_loop's
                 # final-state-only output).
-                t_col = jnp.full((midpoints_a.shape[0], 1),
-                                 dt * n_steps, dtype=midpoints_a.dtype)
-                xyt = jnp.concatenate([midpoints_a, t_col], axis=1)
-                lift = jnp.where(bmask_a,
-                                 self.problem.boundary_fn(xyt), 0.0)
+                lift = lift_at(jnp.asarray(dt * n_steps,
+                                           dtype=midpoints_a.dtype))
                 return (u_global + lift)[None, :], None
 
             jfn = jax.jit(solve_impl)

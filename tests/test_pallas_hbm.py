@@ -175,6 +175,36 @@ def test_rebuild_invalidates_cached_bounds(setup):
     assert float(jnp.max(jnp.abs(a - b))) < 1e-12
 
 
+def test_strided_snapshots_match_scan(setup):
+    """snapshot_every: fused paths emit strided trajectories that match
+    the scan path's stored snapshots (chunked kernel sweeps; the warm
+    start resets at chunk boundaries, hence the loose-ish tolerance)."""
+    domain, problem, md = setup
+    # The module fixture's nt=9 has dt deep in Chebyshev's divergence
+    # regime; snapshots need a convergent configuration.
+    md_fine = apt.MeshData(md.mesh, domain, nt=65)
+    scan = CRBESolver(domain, problem, md_fine, matvec_impl="uniform",
+                      extrapolate_warm_start=True)
+    full = scan.solve(store_solutions=True)  # (nt, n_seg)
+    for impl in ("fused", "fused_hbm"):
+        s = CRBESolver(domain, problem, md_fine, matvec_impl=impl,
+                       solver_method="chebyshev", chebyshev_iters=10,
+                       extrapolate_warm_start=True, snapshot_every=8)
+        snaps = s.solve(store_solutions=True)
+        assert snaps.shape == ((md_fine.nt - 1) // 8 + 1, full.shape[1])
+        ref = full[::8]
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(snaps - ref))) < 1e-5 * scale
+
+
+def test_strided_snapshots_require_divisor(setup):
+    domain, problem, md = setup
+    s = CRBESolver(domain, problem, md, matvec_impl="fused",
+                   solver_method="chebyshev", snapshot_every=3)
+    with pytest.raises(ValueError, match="divide"):
+        s.solve(store_solutions=True)  # nt-1 = 8 not divisible by 3
+
+
 def test_patch_rejects_spectral_preconditioner(setup):
     domain, problem, md = setup
     with pytest.raises(ValueError, match="patch"):
