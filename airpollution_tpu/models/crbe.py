@@ -431,6 +431,7 @@ class CRBESolver:
         self._cheb_checked = False
         self._cheb_bounds = None
         self._patch_cache = None
+        self._u0_cache = None
         self._solve_fn_cache = {}
         return self._ops
 
@@ -557,6 +558,26 @@ class CRBESolver:
             solver=self.solver_method,
             chebyshev_iters=self.chebyshev_iters,
         )
+
+        def stride_rows(fn):
+            """Honor snapshot_every on the scan paths by slicing the
+            stored trajectory (same row <-> time contract as the fused
+            chunked path; peak memory is still the full trajectory —
+            the fused paths are the memory-bounded option)."""
+            k_snap = self.snapshot_every
+            if not (store_solutions and k_snap and k_snap > 1):
+                return fn
+            if (self.mesh_data.nt - 1) % k_snap:
+                raise ValueError(
+                    "snapshot_every must divide nt-1"
+                )
+
+            def wrapped(*args):
+                sols, iters = fn(*args)
+                return sols[::k_snap], iters
+
+            return wrapped
+
         if not self._use_stencil():
             if self.preconditioner == "spectral":
                 raise ValueError(
@@ -565,7 +586,7 @@ class CRBESolver:
                 )
             solve_impl = partial(run_time_loop, mesh_data=self.mesh_data,
                                  **base)
-            return jax.jit(solve_impl)
+            return jax.jit(stride_rows(solve_impl))
 
         # Stencil fast path: run the whole loop in family-grid layout (see
         # airpollution_tpu.ops.stencil), permute snapshots back at the end.
@@ -683,37 +704,39 @@ class CRBESolver:
                 # term); the kernel masks the warm start itself.
                 u0_fam = u0[perm_a]
 
-                def run_kernel(u_start_fam, steps):
-                    """steps of the fused implicit loop from u_start_fam
-                    (family layout); returns the homogeneous state."""
-                    if uniform:
-                        # Translation-invariant operator: 21 scalars, no
-                        # canvases (ops/uniform.py) — VMEM budget 21-24
-                        # canvases instead of 48 (12-15 with chebyshev).
-                        if patch:
-                            # Scalars from the congruent patch mesh —
-                            # the global operator was never assembled.
-                            _, sys_consts, _, mass_c, diag_c = (
-                                self._patch_pieces()
-                            )
-                            inv_diag_c = 1.0 / diag_c
-                        else:
-                            sys_consts = uniform_mod.extract_constants(
-                                spec, ops.system.vals
-                            )
-                            mass_c = uniform_mod.family_constants(
-                                spec, ops.mass_diag
-                            )
-                            inv_diag_c = 1.0 / uniform_mod.family_constants(
-                                spec, ops.system_diag
-                            )
-                        bounds = None
-                        kiters = n_iters
-                        if self.solver_method == "chebyshev":
-                            kiters = self.chebyshev_iters
-                            # Spectral interval cached by the eager
-                            # applicability check (same operator).
-                            bounds = self._cheb_bounds
+                # Operand preparation is loop-invariant: hoisted out of
+                # run_kernel so the strided chunk scan body contains
+                # ONLY the kernel call (no per-chunk re-extraction).
+                if uniform:
+                    # Translation-invariant operator: 21 scalars, no
+                    # canvases (ops/uniform.py) — VMEM budget 21-24
+                    # canvases instead of 48 (12-15 with chebyshev).
+                    if patch:
+                        # Scalars from the congruent patch mesh — the
+                        # global operator was never assembled.
+                        _, sys_consts, _, mass_c, diag_c = (
+                            self._patch_pieces()
+                        )
+                        inv_diag_c = 1.0 / diag_c
+                    else:
+                        sys_consts = uniform_mod.extract_constants(
+                            spec, ops.system.vals
+                        )
+                        mass_c = uniform_mod.family_constants(
+                            spec, ops.mass_diag
+                        )
+                        inv_diag_c = 1.0 / uniform_mod.family_constants(
+                            spec, ops.system_diag
+                        )
+                    bounds = None
+                    kiters = n_iters
+                    if self.solver_method == "chebyshev":
+                        kiters = self.chebyshev_iters
+                        # Spectral interval cached by the eager
+                        # applicability check (same operator).
+                        bounds = self._cheb_bounds
+
+                    def run_kernel(u_start_fam, steps):
                         if use_hbm:
                             from airpollution_tpu.ops import pallas_hbm
 
@@ -733,6 +756,7 @@ class CRBESolver:
                             method=self.solver_method, bounds=bounds,
                             interpret=interpret,
                         )
+                else:
                     coeffs = stencil_mod.extract_coefficients(
                         pattern, ops.system.vals
                     )
@@ -741,20 +765,20 @@ class CRBESolver:
                         bmask_fam, 0.0, ops.mass_diag[perm_a]
                     )
                     inv_diag_fam = 1.0 / ops.system_diag[perm_a]
-                    interior_fam = 1.0 - bmask_fam.astype(
-                        u_start_fam.dtype
-                    )
-                    # CN's row-masked -(dt/2)(K+A) RHS term is
-                    # reconstructed in-kernel from the system canvases
-                    # (pallas_solver docstring identity) — no extra
-                    # coefficient set.
-                    return pallas_solver.fused_solve(
-                        pattern, coeffs, mass_fam, inv_diag_fam,
-                        u_start_fam, interior_fam,
-                        n_steps=steps, n_iters=n_iters, use_ka=use_ka,
-                        extrapolate=self.extrapolate_warm_start,
-                        interpret=interpret,
-                    )
+                    interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
+
+                    def run_kernel(u_start_fam, steps):
+                        # CN's row-masked -(dt/2)(K+A) RHS term is
+                        # reconstructed in-kernel from the system
+                        # canvases (pallas_solver docstring identity) —
+                        # no extra coefficient set.
+                        return pallas_solver.fused_solve(
+                            pattern, coeffs, mass_fam, inv_diag_fam,
+                            u_start_fam, interior_fam,
+                            n_steps=steps, n_iters=n_iters, use_ka=use_ka,
+                            extrapolate=self.extrapolate_warm_start,
+                            interpret=interpret,
+                        )
 
                 def lift_at(t):
                     t_col = jnp.full((midpoints_a.shape[0], 1), t,
@@ -886,7 +910,7 @@ class CRBESolver:
             )
             return sols_fam[:, inv], iters
 
-        return jax.jit(solve_impl)
+        return jax.jit(stride_rows(solve_impl))
 
     def _check_chebyshev_applicable(self, ops):
         """Eager (unjitted) Chebyshev applicability check, once per solver.
@@ -983,12 +1007,19 @@ class CRBESolver:
             )
         if getattr(self, "_u0_cache", None) is None:
             # The IC is a pure function of (problem, midpoints): evaluate
-            # once per solver under jit instead of eager op-by-op every
-            # solve() call (tens of ms at 12.6M DOFs). Routed through the
-            # public method so subclass overrides keep working.
-            self._u0_cache = jax.jit(
-                lambda: self.set_initial_condition()
-            )()
+            # once per solver instead of eager op-by-op every solve()
+            # call (tens of ms at 12.6M DOFs). When set_initial_condition
+            # is not overridden, jit the problem IC with midpoints as an
+            # ARGUMENT (a zero-arg closure would embed them as a compile
+            # payload constant — ~400 MB at 4097^2); a subclass override
+            # is honored by calling the hook eagerly.
+            if (type(self).set_initial_condition
+                    is CRBESolver.set_initial_condition):
+                self._u0_cache = jax.jit(self.problem.initial_condition_fn)(
+                    self.mesh_data.midpoints
+                )
+            else:
+                self._u0_cache = self.set_initial_condition()
         u0 = self._u0_cache
         key = (store_solutions, collect_iters)
         if key not in self._solve_fn_cache:

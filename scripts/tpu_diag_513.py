@@ -1,0 +1,82 @@
+"""Physics diagnostics at 513^2 on fused-solver snapshots.
+
+The problem3 analyses (mass conservation, center-of-mass drift, plume
+spreading, peak decay — scripts/problem3_comprehensive_analysis2.py)
+previously needed the scan path's full trajectory; with snapshot_every
+they run on the HBM-fused solver's strided output. Square-pulse problem
+(no analytical solution), physics invariants as the oracles
+(SURVEY.md section 4): total mass loss should be small away from the
+outflow, COM should track (10, 10) + v t, variance should grow ~2 D t.
+
+Writes the summary to results_snapshot/diag_513.json.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import airpollution_tpu as apt
+from airpollution_tpu.diagnostics import analysis
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.problems import SquarePulseProblem
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    log(f"device: {jax.devices()[0]}")
+    ms, nt, every = 513, 1001, 100
+    mesh = apt.create_mesh(ms, domain_size=20.0)
+    domain = apt.Domain()
+    problem = SquarePulseProblem()
+    md = apt.MeshData(mesh, domain, nt=nt)
+    s = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   solver_method="chebyshev", chebyshev_iters=8,
+                   extrapolate_warm_start=True, snapshot_every=every)
+    t0 = time.time()
+    U = s.solve(store_solutions=True)
+    U.block_until_ready()
+    log(f"first solve (compile+run) {time.time()-t0:.1f}s; "
+        f"snapshots {U.shape}")
+    t0 = time.time()
+    U = s.solve(store_solutions=True)
+    U.block_until_ready()
+    log(f"warm solve {time.time()-t0:.2f}s")
+
+    w = analysis.quadrature_weights(md)
+    mass = analysis.mass_over_time(U, w)
+    com_x, com_y, _ = analysis.center_of_mass_over_time(U, w, md.midpoints)
+    var_x, var_y = analysis.variance_over_time(U, w, md.midpoints)
+    peak = analysis.peak_tracking(U, md.midpoints)[0]
+
+    times = np.arange(U.shape[0]) * every * s.dt
+    mass = np.asarray(mass)
+    mass_loss_pct = 100.0 * (1.0 - mass[-1] / mass[0])
+    # Theory: COM = (10, 10) + v t (v = (1, 0)); var = var0 + 2 D t.
+    com_err = float(np.max(np.abs(
+        np.asarray(com_x) - (10.0 + times)
+    ) + np.abs(np.asarray(com_y) - 10.0)))
+    var_growth = float(
+        (np.asarray(var_x)[-1] - np.asarray(var_x)[0]) / times[-1]
+    )
+    out = {
+        "mesh": ms, "nt": nt, "snapshot_every": every,
+        "mass_loss_pct": round(float(mass_loss_pct), 4),
+        "max_com_error": round(com_err, 5),
+        "var_x_growth_rate": round(var_growth, 5),
+        "expected_var_growth": 2 * 0.1,
+        "peak_initial": round(float(np.asarray(peak)[0]), 5),
+        "peak_final": round(float(np.asarray(peak)[-1]), 5),
+    }
+    log(json.dumps(out))
+    with open("results_snapshot/diag_513.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -197,6 +197,18 @@ def test_strided_snapshots_match_scan(setup):
         assert float(jnp.max(jnp.abs(snaps - ref))) < 1e-5 * scale
 
 
+def test_strided_snapshots_scan_path(setup):
+    """snapshot_every also strides the scan paths' stored trajectory
+    (same row <-> time contract as the fused chunked output)."""
+    domain, problem, md = setup
+    full = CRBESolver(domain, problem, md,
+                      matvec_impl="uniform").solve(store_solutions=True)
+    strided = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                         snapshot_every=4).solve(store_solutions=True)
+    assert strided.shape[0] == (md.nt - 1) // 4 + 1
+    assert float(jnp.max(jnp.abs(strided - full[::4]))) == 0.0
+
+
 def test_strided_snapshots_require_divisor(setup):
     domain, problem, md = setup
     s = CRBESolver(domain, problem, md, matvec_impl="fused",
