@@ -56,19 +56,26 @@ def main():
 
     times = np.arange(U.shape[0]) * every * s.dt
     mass = np.asarray(mass)
-    mass_loss_pct = 100.0 * (1.0 - mass[-1] / mass[0])
-    # Theory: COM = (10, 10) + v t (v = (1, 0)); var = var0 + 2 D t.
+    # The pulse (center x=10, half-width 2, v=(1,0)) reaches the x=20
+    # outflow boundary near t=8; the free-space invariants (COM = start
+    # + v t, var = var0 + 2 D t, conserved mass) hold only BEFORE
+    # outflow, so the oracles are evaluated on t <= 5 and the full-T
+    # mass loss is reported as the (physical) outflow fraction.
+    w5 = times <= 5.0 + 1e-9
+    mass_loss_t5_pct = 100.0 * (1.0 - mass[w5][-1] / mass[0])
+    outflow_T_pct = 100.0 * (1.0 - mass[-1] / mass[0])
     com_err = float(np.max(np.abs(
-        np.asarray(com_x) - (10.0 + times)
-    ) + np.abs(np.asarray(com_y) - 10.0)))
+        np.asarray(com_x)[w5] - (10.0 + times[w5])
+    ) + np.abs(np.asarray(com_y)[w5] - 10.0)))
     var_growth = float(
-        (np.asarray(var_x)[-1] - np.asarray(var_x)[0]) / times[-1]
+        (np.asarray(var_x)[w5][-1] - np.asarray(var_x)[0]) / times[w5][-1]
     )
     out = {
         "mesh": ms, "nt": nt, "snapshot_every": every,
-        "mass_loss_pct": round(float(mass_loss_pct), 4),
-        "max_com_error": round(com_err, 5),
-        "var_x_growth_rate": round(var_growth, 5),
+        "mass_loss_t5_pct": round(float(mass_loss_t5_pct), 4),
+        "outflow_by_T_pct": round(float(outflow_T_pct), 3),
+        "max_com_error_t5": round(com_err, 5),
+        "var_x_growth_rate_t5": round(var_growth, 5),
         "expected_var_growth": 2 * 0.1,
         "peak_initial": round(float(np.asarray(peak)[0]), 5),
         "peak_final": round(float(np.asarray(peak)[-1]), 5),
