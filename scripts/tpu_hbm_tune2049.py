@@ -37,7 +37,7 @@ def main():
     log(f"setup done; bounds {bounds}")
 
     rows, results = [], {}
-    for k, S in [(10, 32), (10, 64), (8, 64), (12, 64), (10, 96)]:
+    for k, S in [(10, 96), (10, 128), (12, 128)]:
         fn = jax.jit(lambda u0_, k_=k, S_=S: pallas_hbm.fused_solve_uniform_hbm(
             spec, sys_c, mass_c, inv_diag_c, u0_, n_steps=nt - 1,
             n_iters=k_, bounds=bounds, extrapolate=True, stripe_rows=S_,
@@ -58,7 +58,7 @@ def main():
         results[(k, S)] = (out, sps, best)
         log(f"  k={k} S={S}: {best*1e3:.1f} ms -> {sps:,.0f} steps/s")
 
-    deep = [key for key in results if key[0] == 12]
+    deep = [key for key in results if key[0] == 12 and key[1] == 128]
     ref_out = results[deep[0]][0] if deep else None
     scale = float(jnp.max(jnp.abs(ref_out))) if deep else 1.0
     for (k, S), (out, sps, best) in results.items():
