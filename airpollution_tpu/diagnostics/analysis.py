@@ -45,10 +45,13 @@ def quadrature_weights(mesh_data) -> jnp.ndarray:
     return w
 
 
-def evaluate_pinn_on_grid(model, mesh_data) -> jnp.ndarray:
-    """PINN field on the full (nt, n_seg) space-time grid, one forward."""
+def evaluate_pinn_on_grid(model, mesh_data, times=None) -> jnp.ndarray:
+    """PINN field on the (nt, n_seg) space-time grid, one forward.
+
+    ``times`` defaults to the full ``mesh_data.time_discr``; pass the
+    snapshot times when comparing against a strided CRBE trajectory."""
     mid = mesh_data.midpoints
-    times = mesh_data.time_discr
+    times = mesh_data.time_discr if times is None else jnp.asarray(times)
     nt, n = times.shape[0], mid.shape[0]
     xyt = jnp.concatenate(
         [
@@ -104,9 +107,12 @@ def peak_tracking(U, midpoints):
     return peaks, locations
 
 
-def concentration_profiles(U, mesh_data, y_slice=10.0, tol=0.5):
+def concentration_profiles(U, mesh_data, y_slice=10.0, tol=0.5, times=None):
     """Transect profiles at y ~ y_slice for 4 time snapshots
-    (analysis2.py:350-387). Host-side selection (static result shapes)."""
+    (analysis2.py:350-387). Host-side selection (static result shapes).
+
+    ``times`` must match ``U.shape[0]`` (snapshot times for a strided
+    trajectory); defaults to the full time discretization."""
     mid = np.asarray(mesh_data.midpoints)
     y_idx = np.where(np.abs(mid[:, 1] - y_slice) < tol)[0]
     order = np.argsort(mid[y_idx, 0])
@@ -114,7 +120,9 @@ def concentration_profiles(U, mesh_data, y_slice=10.0, tol=0.5):
     x_coords = mid[y_idx, 0]
     nt = U.shape[0]
     snapshots = [nt // 4, nt // 2, 3 * nt // 4, nt - 1]
-    times = np.asarray(mesh_data.time_discr)
+    times = np.asarray(
+        mesh_data.time_discr if times is None else times
+    )
     U_np = np.asarray(U)
     return {
         f"t_{times[i]:.1f}": {
@@ -148,13 +156,32 @@ class ComprehensiveAnalysis:
         else:
             raise ValueError(f"unknown quadrature {quadrature}")
         self._U_crbe = jnp.asarray(solver_crbe.solutions)
-        self._U_pinn = evaluate_pinn_on_grid(model_pinn, mesh_data)
+        # Snapshot times must match the stored trajectory: a solver built
+        # with snapshot_every=k stores a strided (nt-1)/k+1-row trajectory
+        # (advisor finding, round 1 — times arrays were silently longer
+        # than the masses/COM/variance arrays).
+        times_full = np.asarray(mesh_data.time_discr)
+        n_rows = int(self._U_crbe.shape[0])
+        k_snap = getattr(solver_crbe, "snapshot_every", None)
+        if n_rows == times_full.shape[0]:
+            self._times = times_full
+        elif k_snap and n_rows == (times_full.shape[0] - 1) // k_snap + 1:
+            self._times = times_full[::k_snap]
+        else:
+            raise ValueError(
+                f"stored trajectory has {n_rows} rows but the time "
+                f"discretization has {times_full.shape[0]} points "
+                f"(snapshot_every={k_snap}); cannot align diagnostics"
+            )
+        self._U_pinn = evaluate_pinn_on_grid(
+            model_pinn, mesh_data, times=self._times
+        )
 
     def compute_mass_conservation(self):
         crbe_masses = np.asarray(mass_over_time(self._U_crbe, self._w))
         pinn_masses = np.asarray(mass_over_time(self._U_pinn, self._w))
         self.results["mass_conservation"] = {
-            "times": np.asarray(self.mesh_data.time_discr),
+            "times": self._times,
             "crbe_masses": crbe_masses,
             "pinn_masses": pinn_masses,
             "initial_mass": crbe_masses[0],
@@ -162,7 +189,7 @@ class ComprehensiveAnalysis:
         return self.results["mass_conservation"]
 
     def compute_center_of_mass_tracking(self):
-        times = np.asarray(self.mesh_data.time_discr)
+        times = self._times
         mid = self.mesh_data.midpoints
         cx, cy, _ = center_of_mass_over_time(self._U_crbe, self._w, mid)
         px, py, _ = center_of_mass_over_time(self._U_pinn, self._w, mid)
@@ -180,7 +207,7 @@ class ComprehensiveAnalysis:
         return self.results["center_of_mass"]
 
     def compute_spreading_rate_analysis(self):
-        times = np.asarray(self.mesh_data.time_discr)
+        times = self._times
         mid = self.mesh_data.midpoints
         cvx, cvy = variance_over_time(self._U_crbe, self._w, mid)
         pvx, pvy = variance_over_time(self._U_pinn, self._w, mid)
@@ -201,7 +228,7 @@ class ComprehensiveAnalysis:
         cp, cl = peak_tracking(self._U_crbe, mid)
         pp, pl = peak_tracking(self._U_pinn, mid)
         self.results["peak_tracking"] = {
-            "times": np.asarray(self.mesh_data.time_discr),
+            "times": self._times,
             "crbe_peaks": np.asarray(cp),
             "pinn_peaks": np.asarray(pp),
             "crbe_peak_locations": np.asarray(cl),
@@ -210,8 +237,12 @@ class ComprehensiveAnalysis:
         return self.results["peak_tracking"]
 
     def compute_concentration_profiles(self, y_slice=10.0):
-        crbe = concentration_profiles(self._U_crbe, self.mesh_data, y_slice)
-        pinn = concentration_profiles(self._U_pinn, self.mesh_data, y_slice)
+        crbe = concentration_profiles(
+            self._U_crbe, self.mesh_data, y_slice, times=self._times
+        )
+        pinn = concentration_profiles(
+            self._U_pinn, self.mesh_data, y_slice, times=self._times
+        )
         profiles = {
             k: {
                 "x_coords": crbe[k]["x_coords"],

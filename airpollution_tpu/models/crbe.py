@@ -39,6 +39,7 @@ lifting, crbe.py:429) with two documented divergences:
 
 from __future__ import annotations
 
+import math
 import time
 from functools import partial
 from typing import NamedTuple, Optional
@@ -414,6 +415,16 @@ class CRBESolver:
         self._ops = None
         self._solve_fn_cache = {}
         self._pattern = None
+
+    def _config_key(self):
+        """Every solver attribute the jitted solve closures bake in."""
+        return (
+            self.time_scheme_order, self.solver_tol, self.solver_maxiter,
+            self.matvec_impl, self.fused_iters, self.fused_operator,
+            self.extrapolate_warm_start, self.preconditioner,
+            self.solver_method, self.chebyshev_iters, self.assembly,
+            self.snapshot_every, self.stiffness_convention,
+        )
 
     # --- assembly ---
 
@@ -912,14 +923,17 @@ class CRBESolver:
 
         return jax.jit(stride_rows(solve_impl))
 
-    def _check_chebyshev_applicable(self, ops):
+    def _check_chebyshev_applicable(self, ops, warn=True):
         """Eager (unjitted) Chebyshev applicability check, once per solver.
 
         Real-interval Chebyshev diverges when the preconditioned
         spectrum's imaginary extent (the advection skew) leaves the
         convergence ellipse — e.g. coarse meshes with large dt
         (dt |v| / h >~ 0.4). Estimating the worst-case factor costs ~100
-        matvecs once; a silent divergence costs a wrong answer."""
+        matvecs once; a silent divergence costs a wrong answer.
+
+        ``warn=False`` computes/caches the factor without the user-facing
+        warning (for the large-mesh auto-fallback probe)."""
         if getattr(self, "_cheb_checked", False):
             return
         import warnings
@@ -975,36 +989,85 @@ class CRBESolver:
         self._cheb_bounds = (float(lo), float(hi))
         self._cheb_checked = True
         factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
-        if not (factor < 0.97):
+        self._cheb_factor = factor
+        if warn and not (factor < 0.97):
             warnings.warn(
-                f"Chebyshev worst-case convergence factor {factor:.3f} "
-                f">= 1 for this operator (advection-dominated regime: "
+                f"Chebyshev worst-case convergence factor {factor:.3f} is "
+                f"close to or above 1 (threshold 0.97) for this operator "
+                f"(advection-dominated regime: "
                 f"interval [{float(lo):.3f}, {float(hi):.3f}], skew "
-                f"{float(beta):.3f}) — the solve may diverge; use "
-                f"solver_method='bicgstab'.",
+                f"{float(beta):.3f}) — the solve may converge slowly or "
+                f"diverge; use solver_method='bicgstab'.",
                 stacklevel=3,
             )
+
+    def _apply_large_mesh_solver_policy(self, ops):
+        """Automatic BiCGStab fallback past ~6M DOFs (f32 tolerance wall).
+
+        Measured at 12.6M DOFs: the relative residual target ``tol*|b|``
+        is unreachable in float32, so BiCGStab burns ``maxiter`` every
+        step (the answer is fine, the time is wasted). Instead of the
+        round-1 warn-only behavior, pick a working configuration once per
+        solver:
+
+        - If the Chebyshev applicability check passes, switch to the
+          reduction-free Chebyshev solver with an iteration count derived
+          from the measured worst-case convergence factor (enough for a
+          1e-4 residual reduction — far below the O(h) discretization
+          error that dominates at these sizes).
+        - Otherwise (advection-dominated spectrum) keep BiCGStab but floor
+          the tolerance at the f32 rounding level ``sqrt(N)*eps/4`` so the
+          stopping test is reachable.
+        """
+        import warnings
+
+        n = self.mesh_data.number_of_segments
+        try:
+            self._check_chebyshev_applicable(ops, warn=False)
+            factor = self._cheb_factor
+        except Exception:
+            factor = 1.0
+        if factor < 0.97:
+            k = int(min(24.0, max(
+                self.chebyshev_iters,
+                math.ceil(math.log(1e-4) / math.log(max(factor, 1e-6))),
+            )))
+            warnings.warn(
+                f"auto-switching solver_method to 'chebyshev' "
+                f"(chebyshev_iters={k}) at {n} DOFs: BiCGStab's float32 "
+                f"residual tolerance {self.solver_tol:g} is unreachable "
+                f"at this size, and the Chebyshev convergence factor "
+                f"{factor:.3f} passes the applicability check. "
+                f"Construct the solver with solver_method='chebyshev' "
+                f"(or a larger solver_tol) to silence this.",
+                stacklevel=3,
+            )
+            self.solver_method = "chebyshev"
+            self.chebyshev_iters = k
+        else:
+            floor = math.sqrt(n) * float(np.finfo(np.float32).eps) / 4
+            if self.solver_tol < floor:
+                warnings.warn(
+                    f"raising solver_tol {self.solver_tol:g} -> {floor:.2e} "
+                    f"at {n} DOFs: the float32 residual target is "
+                    f"unreachable below ~sqrt(N)*eps and BiCGStab would "
+                    f"burn maxiter every step (Chebyshev fallback not "
+                    f"applicable: convergence factor {factor:.3f}).",
+                    stacklevel=3,
+                )
+                self.solver_tol = floor
 
     def solve(self, store_solutions: bool = True, collect_iters: bool = False):
         """Run the full time horizon; returns (nt, n_seg) solutions
         (or (1, n_seg) final state when ``store_solutions=False``)."""
         ops = None if self._use_patch() else self._require_ops()
+        if (self.solver_method == "bicgstab"
+                and self.mesh_data.number_of_segments > 6_000_000
+                and not getattr(self, "_large_mesh_policy_applied", False)):
+            self._large_mesh_policy_applied = True
+            self._apply_large_mesh_solver_policy(ops)
         if self.solver_method == "chebyshev":
             self._check_chebyshev_applicable(ops)
-        elif (self.mesh_data.number_of_segments > 6_000_000
-              and not getattr(self, "_bicgstab_scale_warned", False)):
-            self._bicgstab_scale_warned = True
-            import warnings
-
-            warnings.warn(
-                "BiCGStab's residual tolerance may be unreachable in "
-                "float32 at this size (measured at 12.6M DOFs: the "
-                "solver runs maxiter every step — the solution is fine, "
-                "the time is wasted). Use solver_method='chebyshev' "
-                "(fixed reduction-free iterations) or raise solver_tol "
-                "for meshes past a few million DOFs.",
-                stacklevel=2,
-            )
         if getattr(self, "_u0_cache", None) is None:
             # The IC is a pure function of (problem, midpoints): evaluate
             # once per solver instead of eager op-by-op every solve()
@@ -1021,9 +1084,15 @@ class CRBESolver:
             else:
                 self._u0_cache = self.set_initial_condition()
         u0 = self._u0_cache
-        key = (store_solutions, collect_iters)
+        # Key on every attribute the compiled closure bakes in, so
+        # mutating e.g. snapshot_every / chebyshev_iters / solver_method
+        # after a solve() triggers a rebuild instead of silently reusing
+        # the stale program (advisor finding, round 1).
+        key = (store_solutions, collect_iters) + self._config_key()
         if key not in self._solve_fn_cache:
-            self._solve_fn_cache[key] = self._build_solve_fn(*key)
+            self._solve_fn_cache[key] = self._build_solve_fn(
+                store_solutions, collect_iters
+            )
         start = time.time()
         solutions, iters = self._solve_fn_cache[key](ops, u0)
         solutions.block_until_ready()

@@ -121,9 +121,12 @@ def make_spec_lite(n: int) -> UniformSpec:
     canvas embedding, and the fused kernels read only ``n``/``c``."""
     if n < 3:
         raise ValueError("uniform operator requires n_points_per_axis >= 3")
-    zero = np.zeros(15, dtype=np.int64)
-    return UniformSpec(n=n, c=n - 1, center_slots=zero,
-                       center_dofs=np.zeros(3, dtype=np.int64))
+    # -1 sentinels: a lite spec has no center-sample indices, so feeding it
+    # to extract_constants/family_constants must fail loudly instead of
+    # silently gathering slot 0.
+    sentinel = np.full(15, -1, dtype=np.int64)
+    return UniformSpec(n=n, c=n - 1, center_slots=sentinel,
+                       center_dofs=np.full(3, -1, dtype=np.int64))
 
 
 def patch_constants(n: int, domain_size: float, problem, dt: float,
@@ -192,12 +195,22 @@ def family_diag_vector(spec: UniformSpec, diag_c, bmask_fam):
 
 def extract_constants(spec: UniformSpec, ell_vals) -> jnp.ndarray:
     """The 15 scalar stencil coefficients (traced; 15-element gather)."""
+    if np.any(np.asarray(spec.center_slots) < 0):
+        raise ValueError(
+            "spec carries no center-sample slots (make_spec_lite); use "
+            "patch_constants to obtain coefficients for a lite spec"
+        )
     return ell_vals.reshape(-1)[jnp.asarray(spec.center_slots)]
 
 
 def family_constants(spec: UniformSpec, vec) -> jnp.ndarray:
     """Per-family (H, V, D) interior constants of a global DOF vector
     (mass diagonal, system diagonal, ...)."""
+    if np.any(np.asarray(spec.center_dofs) < 0):
+        raise ValueError(
+            "spec carries no center-sample DOFs (make_spec_lite); use "
+            "patch_constants to obtain per-family constants"
+        )
     return vec[jnp.asarray(spec.center_dofs)]
 
 

@@ -113,3 +113,30 @@ def test_peak_tracking_shapes_and_decay():
     assert peaks.shape == (16,)
     assert locs.shape == (16, 2)
     assert float(peaks[-1]) < float(peaks[0])  # diffusion decays the peak
+
+
+def test_analysis_aligns_times_with_strided_snapshots():
+    """A solver built with snapshot_every=k yields a (nt-1)/k+1-row
+    trajectory; ComprehensiveAnalysis must emit times arrays of the SAME
+    length (advisor finding, round 1: times were silently longer)."""
+    from airpollution_tpu.diagnostics import ComprehensiveAnalysis
+    from airpollution_tpu.models.pinn import PINN
+
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    problem = SquarePulseProblem()
+    solver = CRBESolver(domain, problem, md, solver_tol=1e-11,
+                        snapshot_every=2)
+    solver.solve()
+    assert solver.solutions.shape[0] == 5  # (9-1)/2 + 1
+    model = PINN([3, 4, 1], problem, domain, activation="tanh", seed=0)
+    ana = ComprehensiveAnalysis(problem, domain, md, solver, model)
+    mc = ana.compute_mass_conservation()
+    assert mc["times"].shape == mc["crbe_masses"].shape == (5,)
+    np.testing.assert_allclose(mc["times"], np.asarray(md.time_discr)[::2])
+    com = ana.compute_center_of_mass_tracking()
+    assert com["times"].shape == com["crbe_com_x"].shape == (5,)
+    profiles = ana.compute_concentration_profiles()
+    # Profile labels come from the SNAPSHOT times, not the full discr.
+    assert set(profiles) <= {f"t_{t:.1f}"
+                             for t in np.asarray(md.time_discr)[::2]}

@@ -217,3 +217,23 @@ def test_final_state_mode_matches_stored_last_row():
     full = np.asarray(s.solve(store_solutions=True))
     final = np.asarray(s.solve(store_solutions=False))
     np.testing.assert_allclose(final[0], full[-1], atol=1e-10)
+
+
+def test_solve_fn_cache_honors_attribute_mutation():
+    """Mutating solver attributes after a solve() must NOT reuse the stale
+    compiled closure (advisor finding, round 1): the cache keys on the
+    full config. snapshot_every changes the stored-trajectory shape, so a
+    stale reuse is directly observable."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    s = CRBESolver(domain, problem, md, solver_tol=1e-11)
+    assert s.solve().shape[0] == 9
+    s.snapshot_every = 2
+    assert s.solve().shape[0] == 5  # stale cache would return 9 rows
+    s.snapshot_every = None
+    assert s.solve().shape[0] == 9
+    # A solver-method switch also rebuilds (different algorithm entirely).
+    s.solver_method = "chebyshev"
+    s.chebyshev_iters = 12
+    sols_cheb = np.asarray(s.solve())
+    assert sols_cheb.shape[0] == 9

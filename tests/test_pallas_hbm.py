@@ -6,6 +6,11 @@ sizes are forced small so multi-stripe sweeps, window clamping at both
 canvas edges, and ragged last stripes are all exercised on tiny meshes.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.kernels
+
+
 import jax.numpy as jnp
 import pytest
 from functools import partial

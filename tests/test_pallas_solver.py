@@ -1,5 +1,10 @@
 """Tests for the fully fused Pallas solve kernel (interpreter on CPU)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.kernels
+
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,10 @@
 """Tests for the fused Pallas stencil kernel (interpreter mode on CPU)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.kernels
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -132,3 +132,15 @@ def test_family_constants_pick_interior_values():
     for f in range(3):
         sel = (fam_of == f) & ~bm
         np.testing.assert_allclose(mass[sel], mass_consts[f], rtol=1e-12)
+
+
+def test_lite_spec_rejects_center_extraction():
+    """A make_spec_lite spec carries -1 sentinels: feeding it to the
+    center-sample extractors raises instead of gathering slot-0 garbage
+    (advisor finding, round 1)."""
+    spec = un.make_spec_lite(9)
+    vals = jnp.ones((200, 15))
+    with pytest.raises(ValueError, match="lite"):
+        un.extract_constants(spec, vals)
+    with pytest.raises(ValueError, match="lite"):
+        un.family_constants(spec, jnp.ones(200))
