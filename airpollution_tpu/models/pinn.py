@@ -137,6 +137,30 @@ def mlp_apply(params, x, activation="adaptive_tanh"):
     return h @ last["W"] + last["b"]
 
 
+def ansatz_apply(params, xyt, activation, problem=None, hard_ic=False,
+                 t_final=1.0):
+    """Solution ansatz: the raw MLP, or the hard-initial-condition form
+
+        u(x, y, t) = u0(x, y) + (t / T) * NN(x, y, t)
+
+    (Lagaris et al. 1998; an accuracy lever beyond the reference). With
+    ``hard_ic`` the initial condition — problem data, available in closed
+    form (problems.py `initial_condition_fn`) — is satisfied EXACTLY at
+    t = 0 instead of being penalized, which removes the largest error
+    source on the Gaussian-plume problem: the network only learns the
+    deviation from the initial state, and the IC loss term vanishes
+    identically. ``xyt`` is (..., 3) in (x, y, t) order or a single
+    (3,) point; output shape matches ``mlp_apply``."""
+    out = mlp_apply(params, xyt, activation)
+    if not hard_ic:
+        return out
+    # Keep the network dtype: problem closed forms compute in f64 under
+    # x64 and would silently promote the whole training carry.
+    u0 = problem.initial_condition_fn(xyt[..., :2]).astype(out.dtype)
+    ramp = (xyt[..., 2] / t_final).astype(out.dtype)
+    return u0[..., None] + ramp[..., None] * out
+
+
 def count_parameters(layers):
     """Weight+bias count, the formula the experiment tables use
     (pinn_experiments.py:142)."""
@@ -156,21 +180,51 @@ def count_trainable_parameters(params):
 
 
 def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
-                   bc_target, lambda_weights, mini_batch_size, activation):
+                   bc_target, lambda_weights, mini_batch_size, activation,
+                   hard_ic=False, t_final=1.0, causal_eps=0.0,
+                   causal_bins=32):
     """The weighted composite PINN loss (pinn.py:182-216 semantics).
 
     ``problem`` is a pytree (physical parameters are traced leaves), so
-    one compiled program serves every parameter value."""
+    one compiled program serves every parameter value. With ``hard_ic``
+    the model is evaluated through :func:`ansatz_apply` and the IC term
+    is identically zero (satisfied by construction), so it is skipped.
+
+    ``causal_eps > 0`` switches the PDE term to respect-temporal-causality
+    weighting (Wang, Sankaran & Perdikaris 2022): collocation points are
+    sorted by t into ``causal_bins`` bins with per-bin mean residual
+    losses L_i, and the term becomes mean_i(w_i L_i) with
+    w_i = exp(-eps * cumsum_{j<i} L_j) (stop-gradient). Until the
+    residual is small at earlier times the later bins contribute ~nothing
+    — the cure for the propagation failure where the network fits a
+    near-steady wrong solution at late times before the initial state has
+    propagated (exactly the observed rel-L2 > 1 mode on the plume
+    problem)."""
 
     def u(p):
-        return mlp_apply(params, p, activation)[0]
+        return ansatz_apply(params, p, activation, problem, hard_ic,
+                            t_final)[0]
 
     source = problem.source_term(xyt_pde)
     residual = autodiff.pde_residual(u, xyt_pde, problem.v, problem.D,
                                      source)
     res2 = jnp.square(residual).reshape(-1)
     n_pde = res2.shape[0]
-    if n_pde > _MINI_BATCH_THRESHOLD:
+    if causal_eps > 0.0:
+        # Sort by t, bin, causal-weight. Any remainder after even binning
+        # is dropped from the last bin (ragged tail < bins points).
+        order = jnp.argsort(xyt_pde[:, 2])
+        per_bin = n_pde // causal_bins
+        binned = res2[order[: per_bin * causal_bins]].reshape(
+            causal_bins, per_bin
+        )
+        bin_loss = jnp.mean(binned, axis=1)
+        prior = jnp.concatenate(
+            [jnp.zeros((1,), res2.dtype), jnp.cumsum(bin_loss)[:-1]]
+        )
+        w = jax.lax.stop_gradient(jnp.exp(-causal_eps * prior))
+        pde_loss = jnp.mean(w * bin_loss)
+    elif n_pde > _MINI_BATCH_THRESHOLD:
         # Mean of per-chunk means, ragged last chunk included
         # (pinn.py:182-193) — computed without a loop.
         chunk = mini_batch_size or _MINI_BATCH_THRESHOLD
@@ -183,9 +237,13 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
     else:
         pde_loss = jnp.mean(res2)
 
-    ic_pred = mlp_apply(params, xyt_ic, activation)
-    ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
-    bc_pred = mlp_apply(params, xyt_bc, activation)
+    if hard_ic:
+        ic_loss = jnp.zeros((), res2.dtype)
+    else:
+        ic_pred = mlp_apply(params, xyt_ic, activation)
+        ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
+    bc_pred = ansatz_apply(params, xyt_bc, activation, problem, hard_ic,
+                           t_final)
     bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
 
     lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
@@ -268,7 +326,7 @@ class PINN:
 
     def __init__(self, layers, problem, domain, activation="adaptive_tanh",
                  seed=1234, dtype=jnp.float32, fourier_features=0,
-                 fourier_scale=1.0):
+                 fourier_scale=1.0, hard_ic=False):
         if activation not in _ACTIVATIONS:
             raise ValueError(f"Activation function {activation} not implemented")
         self.layers = list(layers)
@@ -278,6 +336,7 @@ class PINN:
         self.dtype = dtype
         self.fourier_features = int(fourier_features)
         self.fourier_scale = float(fourier_scale)
+        self.hard_ic = bool(hard_ic)
         self.xy_ranges = (-domain.Lx, domain.Lx, -domain.Ly, domain.Ly)
         self.t_range = (0.0, domain.T)
         self.key = jax.random.PRNGKey(seed)
@@ -299,12 +358,14 @@ class PINN:
     # --- forward / residual ---
 
     def forward(self, xyt):
-        return mlp_apply(self.params, jnp.asarray(xyt, self.dtype),
-                         self.activation)
+        return ansatz_apply(self.params, jnp.asarray(xyt, self.dtype),
+                            self.activation, self.problem, self.hard_ic,
+                            self.domain.T)
 
     def _point_fn(self, params):
         def u(p):
-            return mlp_apply(params, p, self.activation)[0]
+            return ansatz_apply(params, p, self.activation, self.problem,
+                                self.hard_ic, self.domain.T)[0]
 
         return u
 
@@ -325,12 +386,14 @@ class PINN:
         return composite_loss(
             params, self.problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
             bc_target, lambda_weights, mini_batch_size, self.activation,
+            hard_ic=self.hard_ic, t_final=self.domain.T,
         )
 
     @staticmethod
     def _build_train_fn(batch_sizes, mini_batch_size, epochs, activation,
                         xy_ranges, t_range, dtype, adaptive_oversample=0.0,
-                        adaptive_weights_every=0):
+                        adaptive_weights_every=0, hard_ic=False,
+                        causal_eps=0.0, causal_bins=32):
         n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
 
@@ -352,6 +415,10 @@ class PINN:
                 lambda_weights=weights_used,
                 mini_batch_size=mini_batch_size,
                 activation=activation,
+                hard_ic=hard_ic,
+                t_final=t_range[1],
+                causal_eps=causal_eps,
+                causal_bins=causal_bins,
             )
             key, k_bc, k_pde, k_sel = jax.random.split(state.key, 4)
             xyt_bc = sampling.sample_boundary_points(
@@ -371,7 +438,8 @@ class PINN:
                 )
 
                 def u_point(p):
-                    return mlp_apply(state.params, p, activation)[0]
+                    return ansatz_apply(state.params, p, activation,
+                                        problem, hard_ic, t_range[1])[0]
 
                 res = autodiff.pde_residual(
                     u_point, cand, problem.v, problem.D,
@@ -415,10 +483,14 @@ class PINN:
                     return s / n
 
                 def _update(_):
-                    gp, gi, gb = (_term_grad(0), _term_grad(1),
-                                  _term_grad(2))
+                    gp, gb = _term_grad(0), _term_grad(2)
                     top = _absmax(gp)
-                    li_hat = top / (_absmean(gi) + 1e-12)
+                    if hard_ic:
+                        # IC term is identically zero (its gradient too):
+                        # annealing lam_ic would divide by ~0. Keep it.
+                        li_hat = state.lam_ic
+                    else:
+                        li_hat = top / (_absmean(_term_grad(1)) + 1e-12)
                     lb_hat = top / (_absmean(gb) + 1e-12)
                     return (0.9 * state.lam_ic + 0.1 * li_hat,
                             0.9 * state.lam_bc + 0.1 * lb_hat)
@@ -503,7 +575,8 @@ class PINN:
         return opt, jax.jit(train_impl)
 
     def _train_fn(self, batch_sizes, mini_batch_size, length,
-                  adaptive_oversample, adaptive_weights_every=0):
+                  adaptive_oversample, adaptive_weights_every=0,
+                  causal_eps=0.0, causal_bins=32):
         """Jitted ``length``-epoch trainer, cached globally per
         configuration (the problem, lambda weights and early stopping
         parameters are traced arguments): rebuilding per call or per model
@@ -514,6 +587,7 @@ class PINN:
             tuple(sorted(batch_sizes.items())), mini_batch_size, length,
             float(adaptive_oversample), int(adaptive_weights_every),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
+            self.hard_ic, float(causal_eps), int(causal_bins),
         )
         if cache_key not in _TRAIN_FN_CACHE:
             _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
@@ -521,6 +595,9 @@ class PINN:
                 self.xy_ranges, self.t_range, self.dtype,
                 adaptive_oversample=float(adaptive_oversample),
                 adaptive_weights_every=int(adaptive_weights_every),
+                hard_ic=self.hard_ic,
+                causal_eps=float(causal_eps),
+                causal_bins=int(causal_bins),
             )
         return _TRAIN_FN_CACHE[cache_key]
 
@@ -528,7 +605,7 @@ class PINN:
               early_stopping_patience=0, early_stopping_min_delta=1e-6,
               mini_batch_size=None, restore_best_weights=True,
               warm_start=False, scan_chunk=None, adaptive_oversample=0.0,
-              adaptive_weights_every=0):
+              adaptive_weights_every=0, causal_eps=0.0, causal_bins=32):
         """Train with LHS collocation (pinn.py:148-245 semantics).
 
         ``adaptive_oversample=r`` (> 1, an accuracy lever beyond the
@@ -545,6 +622,13 @@ class PINN:
         max|grad L_pde| / mean|grad L_i| under a 0.9/0.1 moving average,
         balancing the per-term gradient scales. The passed
         ``lambda_weights`` seed the initial ratios (lam_i0 = l_i / l_pde).
+
+        ``causal_eps=e`` (> 0) switches the PDE term to causal weighting
+        (Wang, Sankaran & Perdikaris 2022; see :func:`composite_loss`):
+        collocation residuals are binned by t into ``causal_bins`` bins
+        and later bins are down-weighted by exp(-e * cumulative earlier
+        loss), forcing the solution to propagate forward from the initial
+        data instead of settling on a wrong near-steady late-time fit.
 
         ``warm_start=True`` continues from the previous ``train`` call's
         optimizer/scheduler state instead of re-creating them — the
@@ -635,7 +719,8 @@ class PINN:
             length = min(chunk, remaining)
             _, train_fn = self._train_fn(batch_sizes, mini_batch_size,
                                          length, adaptive_oversample,
-                                         adaptive_weights_every)
+                                         adaptive_weights_every,
+                                         causal_eps, causal_bins)
             final_state, losses_c, frozen_c = train_fn(
                 final_state, xyt_ic, ic_target, self.problem,
                 lambdas_traced, es_patience_t, es_delta_t,
@@ -698,7 +783,7 @@ class PINN:
             tuple(sorted(lambda_weights.items())), float(lr), int(epochs),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
             jax.tree_util.tree_structure(self.problem),
-            self.fourier_features,
+            self.fourier_features, self.hard_ic,
         )
         if cache_key not in _PARALLEL_TRAIN_FN_CACHE:
             _PARALLEL_TRAIN_FN_CACHE[cache_key] = (
@@ -708,6 +793,7 @@ class PINN:
                     activation=self.activation, epochs=int(epochs),
                     dtype=self.dtype,
                     fourier_features=self.fourier_features,
+                    hard_ic=self.hard_ic,
                 )
             )
         trainer, info = _PARALLEL_TRAIN_FN_CACHE[cache_key]

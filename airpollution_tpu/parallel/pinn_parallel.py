@@ -119,8 +119,23 @@ def forward_tp(params, x, activation="adaptive_tanh"):
     return h @ last["W"] + last["b"]
 
 
+def _apply_tp(params, x, activation, problem=None, hard_ic=False,
+              t_final=1.0):
+    """Tensor-parallel solution ansatz (models/pinn.ansatz_apply
+    semantics over forward_tp): raw MLP, or hard-IC
+    u0(x, y) + (t/T) * NN(x, y, t)."""
+    out = forward_tp(params, x, activation)
+    if not hard_ic:
+        return out
+    # Keep the network dtype (problem closed forms are f64 under x64).
+    u0 = problem.initial_condition_fn(x[..., :2]).astype(out.dtype)
+    ramp = (x[..., 2] / t_final).astype(out.dtype)
+    return u0[..., None] + ramp[..., None] * out
+
+
 def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
-                problem, lambda_weights, activation, totals):
+                problem, lambda_weights, activation, totals,
+                hard_ic=False, t_final=1.0):
     """Global composite loss computed on-device (psum over 'dp').
 
     ``totals`` are the *global* batch sizes; every device returns the same
@@ -129,17 +144,23 @@ def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
     n_pde_total, n_ic_total, n_bc_total = totals
 
     def u_fn(p):
-        return forward_tp(params, p[None, :], activation)[0, 0]
+        return _apply_tp(params, p[None, :], activation, problem, hard_ic,
+                         t_final)[0, 0]
 
     source = problem.source_term(xyt_pde)
     res = autodiff.pde_residual(u_fn, xyt_pde, problem.v, problem.D, source)
     pde_loss = jax.lax.psum(jnp.sum(jnp.square(res)), "dp") / n_pde_total
 
-    ic_pred = forward_tp(params, xyt_ic, activation)
-    ic_loss = jax.lax.psum(
-        jnp.sum(jnp.square(ic_pred - ic_target)), "dp"
-    ) / n_ic_total
-    bc_pred = forward_tp(params, xyt_bc, activation)
+    if hard_ic:
+        # IC satisfied exactly by the ansatz — the term is identically 0.
+        ic_loss = jnp.zeros((), pde_loss.dtype)
+    else:
+        ic_pred = forward_tp(params, xyt_ic, activation)
+        ic_loss = jax.lax.psum(
+            jnp.sum(jnp.square(ic_pred - ic_target)), "dp"
+        ) / n_ic_total
+    bc_pred = _apply_tp(params, xyt_bc, activation, problem, hard_ic,
+                        t_final)
     bc_loss = jax.lax.psum(
         jnp.sum(jnp.square(bc_pred - bc_target)), "dp"
     ) / n_bc_total
@@ -203,6 +224,7 @@ def build_parallel_trainer(
     epochs: int = 1,
     dtype=jnp.float32,
     fourier_features: int = 0,
+    hard_ic: bool = False,
 ):
     """Build a jitted multi-epoch training function over a ('dp','tp') mesh.
 
@@ -242,6 +264,7 @@ def build_parallel_trainer(
     loss_fn = partial(
         _loss_local, lambda_weights=dict(lambda_weights),
         activation=activation, totals=totals,
+        hard_ic=hard_ic, t_final=t_range[1],
     )
 
     def device_train(state, xyt_ic, ic_target, key, problem):

@@ -8,6 +8,7 @@ this framework adds over the reference:
 - fourier:  random Fourier feature embedding (fourier_features=64)
 - rad:      residual-based adaptive collocation (adaptive_oversample=3)
 - adaptive: grad-norm self-adaptive loss weights (every 100 epochs)
+- hardic:   hard initial-condition ansatz u0 + (t/T) NN (exact IC)
 
 Writes results_snapshot/pinn_accuracy_levers.csv with rel-L2/max errors at
 t=T on the mesh-64 midpoints and epochs/s. Run on TPU in the background
@@ -55,6 +56,30 @@ def main(argv=None):
         "adaptive": {"aw": 100},
         "fourier+rad": {"ff": 64, "rad": 3.0},
         "all": {"ff": 64, "rad": 3.0, "aw": 100},
+        "hardic": {"hic": True},
+        "fourier+hardic": {"ff": 64, "hic": True},
+        "fourier+rad+hardic": {"ff": 64, "rad": 3.0, "hic": True},
+        "causal": {"ce": 1.0},
+        "fourier+causal": {"ff": 64, "ce": 1.0},
+        "fourier+causal10": {"ff": 64, "ce": 10.0},
+        "fourier+causal+hardic": {"ff": 64, "ce": 1.0, "hic": True},
+        "fourier+causal+wide": {"ff": 64, "ce": 1.0,
+                                "layers": [3] + [64] * 4 + [1],
+                                "lr": 1e-3},
+        "fourier+wide": {"ff": 64, "layers": [3] + [64] * 4 + [1],
+                         "lr": 1e-3},
+        "fourier+wide128": {"ff": 128, "layers": [3] + [128] * 4 + [1],
+                            "lr": 1e-3},
+        "fourier+wide-long": {"ff": 64, "layers": [3] + [64] * 4 + [1],
+                              "lr": 1e-3, "epochs": 16000, "patience": 2000},
+        "fourier+causal+wide-long": {"ff": 64, "ce": 1.0,
+                                     "layers": [3] + [64] * 4 + [1],
+                                     "lr": 1e-3, "epochs": 16000,
+                                     "patience": 2000},
+        "fourier+rad+wide-long": {"ff": 64, "rad": 3.0,
+                                  "layers": [3] + [64] * 4 + [1],
+                                  "lr": 1e-3, "epochs": 16000,
+                                  "patience": 2000},
         # Untuned-weights pair: the annealing scheme's intended use case.
         "base-flat-lambdas": {"lambdas": flat},
         "adaptive-flat-lambdas": {"aw": 100, "lambdas": flat},
@@ -69,17 +94,21 @@ def main(argv=None):
     rows = []
     for name, cfg in variants.items():
         lams = cfg.get("lambdas", lambdas)
+        net = cfg.get("layers", layers)
+        lr = cfg.get("lr", 1e-4)
 
         def build():
-            return PINN(layers, problem, domain, activation="tanh",
+            return PINN(net, problem, domain, activation="tanh",
                         seed=1234, fourier_features=cfg.get("ff", 0),
-                        fourier_scale=1.0)
+                        fourier_scale=1.0, hard_ic=cfg.get("hic", False))
 
         def run(model, epochs):
             return model.train(
-                batch, epochs, 1e-4, lams,
+                batch, epochs, lr, lams,
                 adaptive_oversample=cfg.get("rad", 0.0),
                 adaptive_weights_every=cfg.get("aw", 0),
+                causal_eps=cfg.get("ce", 0.0),
+                early_stopping_patience=cfg.get("patience", 0),
             )
 
         # Warm-up on a throwaway model: compiles the chunk-length trainer
@@ -90,7 +119,7 @@ def main(argv=None):
 
         model = build()
         t0 = time.time()
-        h = run(model, args.epochs)
+        h = run(model, cfg.get("epochs", args.epochs))
         wall = time.time() - t0
         rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
         row = {

@@ -345,3 +345,71 @@ def test_pinn_area_weighted_errors():
     assert np.isfinite([rel_w, l2_w, max_w]).all()
     assert rel_w > 0 and l2_w > 0
     np.testing.assert_allclose(max_w, max_u, rtol=1e-6)
+
+
+def test_hard_ic_ansatz_exact_at_t0_and_trains():
+    """hard_ic: u(x,y,0) equals the initial condition EXACTLY (no IC
+    penalty needed), the IC loss reported during training is identically
+    zero, and training still reduces the total loss."""
+    from airpollution_tpu.models.pinn import ansatz_apply
+
+    domain, problem = Domain(), Problem()
+    model = PINN([3, 12, 12, 1], problem, domain, activation="tanh",
+                 seed=3, hard_ic=True)
+    rng = np.random.default_rng(1)
+    xy = jnp.asarray(rng.uniform(-10, 10, (64, 2)), model.dtype)
+    xyt0 = jnp.concatenate([xy, jnp.zeros((64, 1), model.dtype)], axis=1)
+    # The closed form computes in f64 under x64; the ansatz casts to the
+    # network dtype, so compare after the same cast (plume tails are
+    # denormal at the domain corners and flush to 0 in f32).
+    u0 = np.asarray(problem.initial_condition_fn(xy), np.float32)
+    # atol: XLA flushes f32 denormals to zero, numpy's cast keeps them.
+    np.testing.assert_allclose(
+        np.asarray(model.forward(xyt0)).ravel(), u0, rtol=1e-6, atol=1.2e-38
+    )
+    # Point-form and batch-form of the ansatz agree.
+    p = jnp.asarray([0.3, -0.2, 0.7], model.dtype)
+    single = ansatz_apply(model.params, p, "tanh", problem, True, domain.T)
+    batch = ansatz_apply(model.params, p[None], "tanh", problem, True,
+                         domain.T)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(batch[0]))
+
+    h = model.train({"pde": 256, "ic": 64, "bc": 64}, 60, 1e-3,
+                    {"pde": 2.0, "ic": 10.0, "bc": 10.0})
+    assert h["ic_loss"][-1] == 0.0
+    assert h["total_loss"][-1] < h["total_loss"][0]
+
+
+def test_causal_weighting_limits_and_training():
+    """causal_eps -> 0 recovers the plain residual mean (up to the ragged
+    tail dropped by even binning), weights are decreasing in accumulated
+    loss, and training with causal_eps runs and reduces the loss."""
+    from airpollution_tpu.models.pinn import composite_loss
+
+    domain, problem = Domain(), Problem()
+    model = PINN([3, 10, 1], problem, domain, activation="tanh", seed=7)
+    rng = np.random.default_rng(2)
+    n = 8 * 32  # divisible by the default 32 bins: no dropped tail
+    xyt = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-10, 10, (n, 2)), rng.uniform(0, domain.T, (n, 1))],
+            axis=1,
+        ), model.dtype,
+    )
+    xyt_ic = jnp.concatenate([xyt[:16, :2], jnp.zeros((16, 1))], axis=1)
+    ic_t = problem.initial_condition_fn(xyt_ic[:, :2]).reshape(-1, 1)
+    xyt_bc = xyt[:16]
+    bc_t = problem.boundary_fn(xyt_bc).reshape(-1, 1)
+    lam = {k: jnp.asarray(1.0) for k in ("pde", "ic", "bc")}
+    args = (model.params, problem, xyt, xyt_ic, ic_t, xyt_bc, bc_t, lam,
+            None, "tanh")
+    _, (pde_plain, _, _) = composite_loss(*args)
+    _, (pde_causal_tiny, _, _) = composite_loss(*args, causal_eps=1e-12)
+    np.testing.assert_allclose(float(pde_causal_tiny), float(pde_plain),
+                               rtol=1e-5)
+    _, (pde_causal, _, _) = composite_loss(*args, causal_eps=10.0)
+    assert float(pde_causal) < float(pde_plain)  # later bins down-weighted
+
+    h = model.train({"pde": 256, "ic": 64, "bc": 64}, 60, 1e-3,
+                    {"pde": 2.0, "ic": 10.0, "bc": 10.0}, causal_eps=1.0)
+    assert h["total_loss"][-1] < h["total_loss"][0]
