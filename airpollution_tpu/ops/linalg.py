@@ -87,16 +87,21 @@ def bicgstab(
     maxiter: int = 1000,
     precond: Optional[Callable] = None,
     dot: Callable = jnp.vdot,
+    norm: Callable = jnp.linalg.norm,
 ) -> SolveResult:
     """Preconditioned BiCGStab for general (nonsymmetric) systems.
 
     Standard van der Vorst formulation with right preconditioning folded
     into the search directions; breakdown guards divide-by-zero through
     ``jnp.where`` so the loop stays mask-friendly under jit.
+
+    ``dot``/``norm`` are injectable so shard_map callers can pass
+    globally-reduced (psum) versions and run the identical algorithm on
+    device-local shards (parallel/stencil_shard.py).
     """
     M = precond or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    bnorm = jnp.linalg.norm(b)
+    bnorm = norm(b)
     target = jnp.maximum(tol * bnorm, atol)
     eps = jnp.asarray(1e-30, dtype=b.dtype)
 
@@ -115,7 +120,7 @@ def bicgstab(
 
     def cond(state):
         _, r, *_, k = state
-        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+        return (norm(r) > target) & (k < maxiter)
 
     def body(state):
         x, r, p, v, rho, alpha, omega, k = state
@@ -138,7 +143,7 @@ def bicgstab(
         return (x, r, p, v, rho_new, alpha, omega, k + 1)
 
     x, r, *_, k = jax.lax.while_loop(cond, body, state)
-    return SolveResult(x=x, iterations=k, residual_norm=jnp.linalg.norm(r))
+    return SolveResult(x=x, iterations=k, residual_norm=norm(r))
 
 
 def gmres(

@@ -20,15 +20,23 @@ for structured meshes, built on two observations:
    per iteration. The spectral interval is estimated once on the
    replicated operator before sharding (ops/linalg.power_bounds).
 
-Scope (mirrors the fused kernel, ops/pallas_solver.py): zero-source
-problems (both built-in ones), backward Euler or Crank-Nicolson,
-final-state-only output, fixed iteration count. Dirichlet rows are kept
-at zero throughout (the Krylov-invariant formulation of the fused kernel:
-the RHS is masked, so identity rows never need to be applied) and the
-boundary lift happens on the reassembled vector outside the shard_map.
+Scope: any structured-mesh problem — source terms evaluate on sharded
+coordinate canvases inside the shard_map (run_time_loop semantics:
+``b += dt * s(t_new)``, masked); backward Euler or Crank-Nicolson;
+``snapshot_every=k`` strided trajectories (one stacked output per k-step
+scan chunk, reassembled and boundary-lifted outside, matching the serial
+``solutions[::k]`` contract); fixed-iteration Chebyshev (zero
+collectives beyond the halos) or ``solver_method="bicgstab"`` — the
+SAME linalg.bicgstab the serial path runs, with psum-reduced dot/norm
+injected, costing 4 scalar psums per iteration but giving residual-based
+early exit where Chebyshev's fixed count is wasteful. Dirichlet rows are
+kept at zero throughout (the Krylov-invariant formulation of the fused
+kernel: the RHS is masked, so identity rows never need to be applied)
+and the boundary lift happens on the reassembled vectors outside the
+shard_map.
 
-Validated on the virtual 8-device CPU mesh against the serial Chebyshev
-scan path (tests/test_parallel.py).
+Validated on the virtual 8-device CPU mesh against the serial scan path
+(tests/test_parallel.py), including sources + strided snapshots.
 """
 
 from __future__ import annotations
@@ -127,19 +135,34 @@ def _family_masks(n, c, r_loc, row0, dtype):
 
 
 def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
-                      iters=8, axis="mp", extrapolate=False):
-    """Jitted halo-exchange solve: (ops, u0) -> (1, n_seg) final state.
+                      iters=8, axis="mp", extrapolate=False,
+                      snapshot_every=None, solver_method="chebyshev",
+                      tol=1e-8, maxiter=200):
+    """Jitted halo-exchange solve over a structured mesh.
 
-    Requires a structured mesh (uniform operator) and a zero-source
-    problem. The entire nt-1 step loop (scan + Chebyshev inner loop) runs
-    inside one ``shard_map``; per inner iteration the only communication
-    is two 1-row ppermutes.
+    Returns ``solve(ops, u0)`` producing ``(1, n_seg)`` (final state), or
+    — with ``snapshot_every=k`` — the strided trajectory
+    ``((nt-1)/k + 1, n_seg)`` including the initial state, matching the
+    serial scan path's ``solutions[::k]`` (run_time_loop semantics:
+    snapshots carry the boundary lift, row 0 is ``u0`` as given).
+
+    Source terms are supported: midpoint-coordinate canvases are sharded
+    alongside the state and ``b += dt * mask(s(x, y, t_new))`` per step
+    (crbe.py:391-394 semantics via models/crbe.run_time_loop).
+
+    ``solver_method="bicgstab"`` runs linalg.bicgstab with psum-reduced
+    dot/norm (4 scalar psums per iteration, residual early exit);
+    ``"chebyshev"`` (default) keeps the inner loop collective-free.
+
+    The entire nt-1 step loop runs inside one ``shard_map``; per matvec
+    the only communication is two 1-row ppermutes.
     """
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("halo solver requires a structured mesh")
-    if not getattr(problem, "zero_source", False):
-        raise ValueError("halo solver requires a zero-source problem")
+    if solver_method not in ("chebyshev", "bicgstab"):
+        raise ValueError(f"unknown solver_method {solver_method!r}")
+    has_source = not getattr(problem, "zero_source", False)
     pattern = stencil_mod.get_pattern(md)
     spec = uniform_mod.build_uniform_spec(pattern)
     n, c = spec.n, spec.c
@@ -149,25 +172,38 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     perm = jnp.asarray(pattern.perm)
     inv = jnp.asarray(pattern.inv_perm)
     n_steps = md.nt - 1
+    if snapshot_every is not None and (
+        snapshot_every < 1 or n_steps % snapshot_every
+    ):
+        raise ValueError("snapshot_every must be a positive divisor "
+                         "of nt-1")
+
+    def _pad_rows(can3):
+        return jnp.pad(can3, ((0, 0), (0, n_rows - n), (0, 0)))
 
     def solve(ops: GlobalOperators, u0):
         consts = uniform_mod.extract_constants(spec, ops.system.vals)
         mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
         idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
-        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
-        bounds = linalg.power_bounds(
-            sys_matvec, jnp.zeros_like(u0),
-            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
-        )
-        lo, hi = bounds
-        theta = 0.5 * (hi + lo)
-        delta = 0.5 * (hi - lo)
-        sigma = theta / delta
+        if solver_method == "chebyshev":
+            sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+            lo, hi = linalg.power_bounds(
+                sys_matvec, jnp.zeros_like(u0),
+                scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+            )
+            theta = 0.5 * (hi + lo)
+            delta = 0.5 * (hi - lo)
+            sigma = theta / delta
 
-        u0_can = jnp.stack(to_canvases(spec, u0[perm]))  # (3, n, n), FULL
-        u0_can = jnp.pad(u0_can, ((0, 0), (0, n_rows - n), (0, 0)))
+        u0_can = _pad_rows(jnp.stack(to_canvases(spec, u0[perm])))
+        # Midpoint coordinates in canvas layout, sharded like the state
+        # (only read when the problem has a source term; the pair costs
+        # two state-sized arrays).
+        mid = jnp.asarray(md.midpoints, u0.dtype)
+        x_can = _pad_rows(jnp.stack(to_canvases(spec, mid[perm, 0])))
+        y_can = _pad_rows(jnp.stack(to_canvases(spec, mid[perm, 1])))
 
-        def device_solve(u0_loc):
+        def device_solve(u0_loc, x_loc, y_loc):
             dev = jax.lax.axis_index(axis)
             row0 = dev * r_loc
             masks = _family_masks(n, c, r_loc, row0, u0_loc.dtype)
@@ -194,7 +230,13 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                 )
                 return x
 
-            def step(carry, _):
+            def pdot(a, b):
+                return jax.lax.psum(jnp.sum(a * b), axis)
+
+            def pnorm(v):
+                return jnp.sqrt(pdot(v, v))
+
+            def step(carry, t):
                 u, up = carry
                 # RHS in the Krylov-invariant (no identity rows) form of
                 # the fused kernel: BE b = m*mask(u); CN adds the
@@ -204,31 +246,70 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                     b = 2.0 * mass3 * (mask3 * u) - mv(u)
                 else:
                     b = mass3 * (mask3 * u)
+                if has_source:
+                    xyt = jnp.stack(
+                        [x_loc, y_loc, jnp.full_like(x_loc, t)], axis=-1
+                    )
+                    b = b + dt * mask3 * problem.source_term(xyt)
                 guess = (2.0 * u - up) if extrapolate else u
                 x0 = mask3 * guess
-                r0 = b - mv(x0)
-                u_new = chebyshev_solve(r0, x0)
+                if solver_method == "chebyshev":
+                    r0 = b - mv(x0)
+                    u_new = chebyshev_solve(r0, x0)
+                else:
+                    u_new = linalg.bicgstab(
+                        mv, b, x0=x0, tol=tol, maxiter=maxiter,
+                        precond=lambda v: id3 * v, dot=pdot, norm=pnorm,
+                    ).x
                 return (u_new, u), None
 
-            (u_fin, _), _ = jax.lax.scan(
-                step, (u0_loc, u0_loc), None, length=n_steps
-            )
-            return u_fin
+            ts = dt * jnp.arange(1, n_steps + 1, dtype=u0_loc.dtype)
+            if snapshot_every is None:
+                (u_fin, _), _ = jax.lax.scan(step, (u0_loc, u0_loc), ts)
+                return u_fin
 
+            def chunk(carry, ts_chunk):
+                carry, _ = jax.lax.scan(step, carry, ts_chunk)
+                return carry, carry[0]
+
+            _, snaps = jax.lax.scan(
+                chunk, (u0_loc, u0_loc),
+                ts.reshape(n_steps // snapshot_every, snapshot_every),
+            )
+            return snaps  # (n_snap, 3, r_loc, n)
+
+        out_spec = (P(None, axis, None) if snapshot_every is None
+                    else P(None, None, axis, None))
         fn = jax.shard_map(
             device_solve, mesh=mesh,
-            in_specs=P(None, axis, None),
-            out_specs=P(None, axis, None),
+            in_specs=(P(None, axis, None),) * 3,
+            out_specs=out_spec,
         )
-        u_can = fn(u0_can)[:, :n, :]
-        u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
-        u_hom = u_fam[inv]
-        # Boundary lift at the final time (replicated, outside shard_map).
-        t_final = dt * n_steps
-        t_col = jnp.full((md.midpoints.shape[0], 1), t_final,
-                         dtype=md.midpoints.dtype)
-        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
-        lift = jnp.where(md.boundary_mask, problem.boundary_fn(xyt), 0.0)
-        return (u_hom + lift)[None, :]
+
+        def lift_at(t):
+            t_col = jnp.full((md.midpoints.shape[0], 1), t,
+                             dtype=md.midpoints.dtype)
+            xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+            return jnp.where(md.boundary_mask, problem.boundary_fn(xyt),
+                             0.0)
+
+        if snapshot_every is None:
+            u_can = fn(u0_can, x_can, y_can)[:, :n, :]
+            u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
+            # Boundary lift at the final time (replicated, outside
+            # shard_map).
+            return (u_fam[inv] + lift_at(dt * n_steps))[None, :]
+
+        snaps_can = fn(u0_can, x_can, y_can)[:, :, :n, :]
+        u_fams = jax.vmap(
+            lambda can: from_canvases(spec, can[0], can[1], can[2])
+        )(snaps_can)
+        u_homs = u_fams[:, inv]
+        times = dt * snapshot_every * jnp.arange(
+            1, n_steps // snapshot_every + 1, dtype=u0.dtype
+        )
+        return jnp.concatenate(
+            [u0[None, :], u_homs + jax.vmap(lift_at)(times)], axis=0
+        )
 
     return jax.jit(solve)
