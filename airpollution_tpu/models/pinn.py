@@ -760,6 +760,86 @@ class PINN:
         self.training_time = time.time() - start
         return self.history
 
+    def finetune_lbfgs(self, batch_sizes, steps, lambda_weights,
+                       memory_size=20, mini_batch_size=None):
+        """Full-batch L-BFGS polish after Adam (standard PINN practice:
+        Adam escapes the early loss landscape, L-BFGS's curvature model
+        drives the smooth full-batch composite loss orders of magnitude
+        further). Collocation/IC/BC sets are sampled ONCE (full-batch —
+        L-BFGS needs a deterministic objective for its line search) and
+        ``steps`` iterations of optax.lbfgs with zoom linesearch run as
+        one jitted ``lax.scan``. Appends to the loss history and updates
+        the parameters in place; returns the history dict."""
+        start = time.time()
+        self.key, k_pde, k_ic, k_bc = jax.random.split(self.key, 4)
+        xyt_pde = sampling.lhs_sampling(
+            k_pde, batch_sizes["pde"], self.xy_ranges, self.t_range,
+            self.dtype,
+        )
+        xy_ic = sampling.lhs_sampling(k_ic, batch_sizes["ic"],
+                                      self.xy_ranges, dtype=self.dtype)
+        xyt_ic = jnp.concatenate(
+            [xy_ic, jnp.zeros((batch_sizes["ic"], 1), self.dtype)], axis=1
+        )
+        ic_target = jnp.asarray(
+            self.problem.initial_condition_fn(xy_ic), self.dtype
+        ).reshape(-1, 1)
+        xyt_bc = sampling.sample_boundary_points(
+            k_bc, batch_sizes["bc"], self.xy_ranges, self.t_range,
+            self.dtype,
+        )
+        bc_target = jnp.asarray(
+            self.problem.boundary_fn(xyt_bc), self.dtype
+        ).reshape(-1, 1)
+        lambdas = {k: jnp.asarray(float(v), self.dtype)
+                   for k, v in lambda_weights.items()}
+
+        def loss(params, problem):
+            total, aux = composite_loss(
+                params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
+                bc_target, lambdas, mini_batch_size, self.activation,
+                hard_ic=self.hard_ic, t_final=self.domain.T,
+            )
+            return total, aux
+
+        opt = optax.lbfgs(
+            memory_size=memory_size,
+            linesearch=optax.scale_by_zoom_linesearch(
+                max_linesearch_steps=32
+            ),
+        )
+
+        @jax.jit
+        def run(params, problem):
+            def total_of(p):
+                return loss(p, problem)[0]
+
+            vg = optax.value_and_grad_from_state(total_of)
+
+            def body(carry, _):
+                params, opt_state = carry
+                value, grad = vg(params, state=opt_state)
+                updates, opt_state = opt.update(
+                    grad, opt_state, params, value=value, grad=grad,
+                    value_fn=total_of,
+                )
+                params = optax.apply_updates(params, updates)
+                total, aux = loss(params, problem)
+                return (params, opt_state), jnp.stack([total, *aux])
+
+            (params, _), losses = jax.lax.scan(
+                body, (params, opt.init(params)), None, length=steps
+            )
+            return params, losses
+
+        self.params, losses = run(self.params, self.problem)
+        losses = np.asarray(losses)
+        for i, k in enumerate(("total_loss", "pde_loss", "ic_loss",
+                               "bc_loss")):
+            self.history[k].extend(losses[:, i].tolist())
+        self.training_time = time.time() - start
+        return self.history
+
     def train_parallel(self, mesh, batch_sizes, epochs, lr, lambda_weights):
         """Multi-chip training over a ('dp','tp') device mesh.
 

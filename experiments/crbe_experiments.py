@@ -40,6 +40,11 @@ def main(argv=None):
     parser.add_argument("--time_scheme_order", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default="",
                         help="Write a jax.profiler trace of the solves here")
+    parser.add_argument("--mesh_kind", type=str, default="structured",
+                        choices=["structured", "unstructured"],
+                        help="unstructured = jittered-Delaunay meshes (the "
+                             "reference's gmsh mesh family, crbe.py:14-44); "
+                             "results go to a _unstructured-suffixed CSV")
     args = parser.parse_args(argv)
 
     np.random.seed(common.SEED)
@@ -63,7 +68,16 @@ def main(argv=None):
         print(f"Training for mesh size = {mesh_size} ...")
         start_time = time.time()
 
-        mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)
+        if args.mesh_kind == "unstructured":
+            from airpollution_tpu.mesh.structured import (
+                create_unstructured_mesh,
+            )
+
+            mesh = create_unstructured_mesh(
+                mesh_size, domain_size=common.DOMAIN_SIZE, seed=common.SEED
+            )
+        else:
+            mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)
         mesh_data = apt.MeshData(mesh, domain, nt=args.n_steps, dtype=dtype)
         solver = CRBESolver(
             domain, problem, mesh_data, cr_element,
@@ -108,8 +122,19 @@ def main(argv=None):
         print("-" * 40)
 
     df_crbe = pd.DataFrame(crbe_results)
-    df_crbe.to_csv(f"{exp_dir}/df_crbe_training_results.csv")
+    suffix = "_unstructured" if args.mesh_kind == "unstructured" else ""
+    df_crbe.to_csv(f"{exp_dir}/df_crbe_training_results{suffix}.csv")
     print(df_crbe)
+    if len(df_crbe) > 1:
+        # Empirical convergence rates, the reference's convention
+        # (utils/data_visualization.py:62-82: guide lines (ms/4)^-rate
+        # against rel_l2_error / max_error, i.e. h ~ 1/ms): slope of
+        # log error vs log h. Reference empirical values on its gmsh
+        # meshes: O(h^1.37) L2, O(h^0.98) Linf.
+        h = np.log(1.0 / df_crbe["mesh_size"].to_numpy())
+        for col, label in (("rel_l2_error", "L2"), ("max_error", "Linf")):
+            rate = np.polyfit(h, np.log(df_crbe[col].to_numpy()), 1)[0]
+            print(f"empirical {label} convergence rate: O(h^{rate:.2f})")
     return df_crbe
 
 

@@ -54,6 +54,14 @@ def main(argv=None):
                         help="RAD collocation oversampling ratio (>1 = on)")
     parser.add_argument("--adaptive_weights_every", type=int, default=0,
                         help="Grad-norm adaptive loss weights period (0 = off)")
+    parser.add_argument("--seed", type=int, default=common.SEED,
+                        help="Init/collocation PRNG seed (the reference's "
+                             "fixed seed by default; override to re-run a "
+                             "diverged configuration on a fresh stream)")
+    parser.add_argument("--seed_overrides", type=str, default="",
+                        help="Per-mesh seed overrides 'ms:seed,ms:seed' — "
+                             "for re-running single diverged rows without "
+                             "touching the rest of the parity sweep")
     args = parser.parse_args(argv)
 
     unknown = set(args.mesh_sizes) - set(common.MESH_SIZES)
@@ -76,6 +84,10 @@ def main(argv=None):
         else [args.epochs] * len(common.MESH_SIZES)
     )
 
+    seed_overrides = dict(
+        (int(p.split(":")[0]), int(p.split(":")[1]))
+        for p in args.seed_overrides.split(",") if p
+    )
     pinn_results = []
     result_history = {}
     for i, mesh_size in enumerate(common.MESH_SIZES):
@@ -91,7 +103,7 @@ def main(argv=None):
         batch_sizes = common.collocation_budget(mesh_data.number_of_segments)
 
         model = PINN(layers, problem, domain, activation=args.activation,
-                     seed=common.SEED,
+                     seed=seed_overrides.get(mesh_size, args.seed),
                      fourier_features=args.fourier_features,
                      fourier_scale=args.fourier_scale)
         print(f"Training for mesh size {mesh_size} ...")

@@ -80,6 +80,34 @@ def main(argv=None):
                                   "layers": [3] + [64] * 4 + [1],
                                   "lr": 1e-3, "epochs": 16000,
                                   "patience": 2000},
+        "fourier+causal+wide128-long": {"ff": 128, "ce": 1.0,
+                                        "layers": [3] + [128] * 4 + [1],
+                                        "lr": 1e-3, "epochs": 32000,
+                                        "patience": 4000},
+        "fourier+causal+wide-xlong": {"ff": 64, "ce": 1.0,
+                                      "layers": [3] + [64] * 4 + [1],
+                                      "lr": 1e-3, "epochs": 64000,
+                                      "patience": 8000},
+        "fourier+causal+rad+wide-long": {"ff": 64, "ce": 1.0, "rad": 3.0,
+                                         "layers": [3] + [64] * 4 + [1],
+                                         "lr": 1e-3, "epochs": 16000,
+                                         "patience": 2000},
+        "fourier+causal+wide+lbfgs": {"ff": 64, "ce": 1.0,
+                                      "layers": [3] + [64] * 4 + [1],
+                                      "lr": 1e-3, "epochs": 16000,
+                                      "patience": 2000, "lbfgs": 1000},
+        # min_delta matters: the default 1e-6 exceeds these runs' final
+        # losses (~2e-7), so "patience" fires as soon as the easy phase
+        # ends and the long schedules never actually run long.
+        "fourier+causal+wide-64k": {"ff": 64, "ce": 1.0,
+                                    "layers": [3] + [64] * 4 + [1],
+                                    "lr": 1e-3, "epochs": 64000,
+                                    "patience": 8000, "min_delta": 1e-9,
+                                    "lbfgs": 1000},
+        "fourier+wide+lbfgs": {"ff": 64,
+                               "layers": [3] + [64] * 4 + [1],
+                               "lr": 1e-3, "epochs": 16000,
+                               "patience": 2000, "lbfgs": 1000},
         # Untuned-weights pair: the annealing scheme's intended use case.
         "base-flat-lambdas": {"lambdas": flat},
         "adaptive-flat-lambdas": {"aw": 100, "lambdas": flat},
@@ -109,6 +137,7 @@ def main(argv=None):
                 adaptive_weights_every=cfg.get("aw", 0),
                 causal_eps=cfg.get("ce", 0.0),
                 early_stopping_patience=cfg.get("patience", 0),
+                early_stopping_min_delta=cfg.get("min_delta", 1e-6),
             )
 
         # Warm-up on a throwaway model: compiles the chunk-length trainer
@@ -120,6 +149,8 @@ def main(argv=None):
         model = build()
         t0 = time.time()
         h = run(model, cfg.get("epochs", args.epochs))
+        if cfg.get("lbfgs"):
+            h = model.finetune_lbfgs(batch, cfg["lbfgs"], lams)
         wall = time.time() - t0
         rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
         row = {
