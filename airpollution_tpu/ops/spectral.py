@@ -23,6 +23,18 @@ Jacobi iteration counts grow 3.0 -> 7.3 from 256^2 to 1024^2 as dt D/h^2
 leaves the mass-dominated regime (DESIGN.md section 6), which this
 preconditioner is built to flatten. Dirichlet and wrap-around rows are
 where it is only approximate; BiCGStab absorbs that.
+
+STATUS — mathematically validated, NOT wall-clock competitive on TPU
+(``preconditioner="spectral"`` is opt-in and deliberately not the
+default): it cuts BiCGStab to ~1.2 iterations/step (measured) but XLA's
+TPU FFT costs ~10 stencil matvecs per application, so it LOSES
+wall-clock to Jacobi at every measured size (512^2: 503 vs 2,121
+steps/s on the scan path). Large-mesh wall-clock is instead served by
+the HBM stripe kernel (ops/pallas_hbm.py), whose fixed-iteration
+Chebyshev inside a fused sweep sidesteps the iteration-growth question
+entirely; this module remains the right starting point only if a
+Pallas-native FFT (or a hardware FFT primitive) ever brings the
+transform under ~2 matvecs.
 """
 
 from __future__ import annotations

@@ -81,6 +81,31 @@ def main():
     log(f"timed (best of {len(times)}: {[f'{t:.3f}' for t in times]}): "
         f"{elapsed:.3f}s for {nt - 1} steps -> {steps_per_sec:.1f} steps/s")
 
+    # Crank-Nicolson variant (time_scheme_order=2, same fused kernel —
+    # the in-kernel RHS reconstruction gives it BE's exact VMEM
+    # footprint). Reported on stderr alongside the headline BE number:
+    # the recommended configuration at large meshes (README), where it
+    # measures ~4x BE's accuracy at equal speed (513^2, CLAUDE.md).
+    cn = CRBESolver(
+        domain, problem, md,
+        stiffness_convention="reference",
+        matvec_impl="fused", time_scheme_order=2,
+        solver_method="chebyshev", chebyshev_iters=4,
+        extrapolate_warm_start=True,
+    )
+    t0 = time.time()
+    cn.solve(store_solutions=False, collect_iters=False)
+    log(f"CN warm-up (incl. compile): {time.time() - t0:.1f}s")
+    cn_times = []
+    for _ in range(3):
+        t0 = time.time()
+        cn.solve(store_solutions=False, collect_iters=False)
+        cn_times.append(time.time() - t0)
+    cn_sps = (nt - 1) / min(cn_times)
+    cn_rel, _, _ = cn.compute_errors(problem.analytical_solution)
+    log(f"Crank-Nicolson variant: {cn_sps:.1f} steps/s, "
+        f"rel_l2={cn_rel:.4f} (BE headline above; README recommendation)")
+
     # Correctness guard via the general (scan + stencil SpMV) path —
     # final-state-only output is boundary-lifted, matching the fused path.
     check = CRBESolver(
