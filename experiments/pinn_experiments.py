@@ -54,6 +54,25 @@ def main(argv=None):
                         help="RAD collocation oversampling ratio (>1 = on)")
     parser.add_argument("--adaptive_weights_every", type=int, default=0,
                         help="Grad-norm adaptive loss weights period (0 = off)")
+    parser.add_argument("--causal_eps", type=float, default=0.0,
+                        help="Respect-temporal-causality PDE weighting "
+                             "strength (0 = off)")
+    parser.add_argument("--finetune_lbfgs", type=int, default=0,
+                        help="Full-batch L-BFGS polish steps after Adam "
+                             "(0 = off)")
+    parser.add_argument("--neurons", type=int, default=0,
+                        help="Override the per-size hidden-width schedule "
+                             "(0 = reference schedule [2,4,...,64])")
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="Override the per-size lr schedule (0 = "
+                             "reference schedule)")
+    parser.add_argument("--patience", type=int, default=0,
+                        help="Override the per-size early-stopping patience "
+                             "schedule (0 = reference schedule)")
+    parser.add_argument("--out_suffix", type=str, default="",
+                        help="Suffix for the results CSV (e.g. '_levers' "
+                             "keeps a best-practice sweep separate from the "
+                             "reference-parity table)")
     parser.add_argument("--seed", type=int, default=common.SEED,
                         help="Init/collocation PRNG seed (the reference's "
                              "fixed seed by default; override to re-run a "
@@ -93,10 +112,11 @@ def main(argv=None):
     for i, mesh_size in enumerate(common.MESH_SIZES):
         if mesh_size not in args.mesh_sizes:
             continue
-        layers = [3] + [common.N_NEURONS[i]] * args.width + [1]
+        n_neurons = args.neurons or common.N_NEURONS[i]
+        layers = [3] + [n_neurons] * args.width + [1]
         epochs = epochs_list[i]
-        patience = common.EARLY_STOPPING_PATIENCE_LIST[i]
-        lr = common.LR_LIST[i]
+        patience = args.patience or common.EARLY_STOPPING_PATIENCE_LIST[i]
+        lr = args.lr or common.LR_LIST[i]
 
         mesh = apt.create_mesh(mesh_size, domain_size=common.DOMAIN_SIZE)
         mesh_data = apt.MeshData(mesh, domain, nt=common.N_STEPS)
@@ -116,7 +136,12 @@ def main(argv=None):
                 restore_best_weights=args.restore_best_weights,
                 adaptive_oversample=args.adaptive_oversample,
                 adaptive_weights_every=args.adaptive_weights_every,
+                causal_eps=args.causal_eps,
             )
+            if args.finetune_lbfgs:
+                history = model.finetune_lbfgs(
+                    batch_sizes, args.finetune_lbfgs, common.LAMBDA_WEIGHTS
+                )
         train_time = time.time() - start_time
         result_history[f"mesh_size_{mesh_size}"] = history
 
@@ -162,11 +187,11 @@ def main(argv=None):
         # Incremental checkpoint of the table (pinn_experiments.py:154-155).
         if mesh_size >= 32:
             pd.DataFrame(pinn_results).to_csv(
-                f"{exp_dir}/df_pinn_training_results.csv"
+                f"{exp_dir}/df_pinn_training_results{args.out_suffix}.csv"
             )
 
     df_pinn = pd.DataFrame(pinn_results)
-    df_pinn.to_csv(f"{exp_dir}/df_pinn_training_results.csv")
+    df_pinn.to_csv(f"{exp_dir}/df_pinn_training_results{args.out_suffix}.csv")
     print(df_pinn)
     return df_pinn
 
