@@ -151,7 +151,9 @@ def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype):
     application is ONE multiply (~11 applications per family per step at
     the default iteration count). Columns past the family interior —
     including the 128-multiple lane padding — are zeroed by the
-    ``ci < c`` bounds."""
+    ``ci < c`` bounds. ``ws`` may be negative (a sharded block's lower
+    halo sits above global row 0): the ``gr >= 0``-implying bounds zero
+    those rows."""
     gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
     ci = ls + jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
     rowH = ((gr >= 1) & (gr < c)).astype(dtype)
@@ -165,10 +167,11 @@ def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype):
 
 
 def _step_kernel(
-    consts, *refs,
+    consts, row0_ref, *refs,
     c: int, n_pad: int, S: int, W: int, halo: int,
     n_pad_l: int, SL: int, WL: int, halo_l: int,
     n_iters: int, has_ka: bool, extrapolate: bool,
+    int_start: int = 0, n_stripes: int | None = None,
 ):
     """One full implicit time step, streamed over (row, lane) tiles. The
     outer time loop is a host-side ``lax.scan`` over this call — measured
@@ -185,7 +188,15 @@ def _step_kernel(
 
     Ref layout: inputs u_in [, up_in] (HBM, shape (3, n_pad, n_pad_l));
     outputs u_out [, up_out] (HBM, same); scratch win_u (2, 3, W, WL)
-    [, win_up], r, d (3, W, WL), in_sems, out_sems (DMA, (2, n_states))."""
+    [, win_up], r, d (3, W, WL), in_sems, out_sems (DMA, (2, n_states)).
+
+    Sharded-block mode (parallel/hbm_shard.py): ``int_start`` > 0 marks
+    rows [int_start, int_start + n_stripes*S) of the input as the
+    device's interior — the surrounding ``int_start`` rows are
+    halo-exchanged neighbor state, consumed read-only and left unwritten
+    in the output (the caller refreshes them by ppermute each step).
+    ``row0_ref`` holds the GLOBAL canvas row of input row 0 (negative on
+    the first device), keeping the interior rectangle masks global."""
     n_states = 2 if extrapolate else 1
     u_src = refs[0]
     up_src = refs[1] if extrapolate else None
@@ -200,7 +211,8 @@ def _step_kernel(
     out_sems = refs[k + n_states + 3]
 
     dtype = r_ref.dtype
-    n_stripes = n_pad // S
+    if n_stripes is None:
+        n_stripes = n_pad // S
     n_tiles_l = n_pad_l // SL
     n_tiles = n_stripes * n_tiles_l
 
@@ -220,9 +232,11 @@ def _step_kernel(
         return t // n_tiles_l, jax.lax.rem(t, n_tiles_l)
 
     def ws_of(i):
-        # S, halo, n_pad, W are all multiples of 8; tell Mosaic (it
-        # cannot prove divisibility through the clip).
-        return pl.multiple_of(jnp.clip(i * S - halo, 0, n_pad - W), 8)
+        # S, halo, int_start, n_pad, W are all multiples of 8; tell
+        # Mosaic (it cannot prove divisibility through the clip).
+        return pl.multiple_of(
+            jnp.clip(int_start + i * S - halo, 0, n_pad - W), 8
+        )
 
     def ls_of(j):
         # SL, halo_l, n_pad_l, WL are all multiples of 128 (lane-dim DMA
@@ -254,7 +268,7 @@ def _step_kernel(
 
         def out_dmas(slot, t):
             i, j = ij_of(t)
-            r0 = pl.multiple_of(i * S, 8)
+            r0 = pl.multiple_of(int_start + i * S, 8)
             off = pl.multiple_of(r0 - ws_of(i), 8)
             l0 = pl.multiple_of(j * SL, 128)
             loff = pl.multiple_of(l0 - ls_of(j), 128)
@@ -274,7 +288,7 @@ def _step_kernel(
         def compute(slot, t):
             i, j = ij_of(t)
             ws, ls = ws_of(i), ls_of(j)
-            masks = _stripe_masks(c, ws, W, ls, WL, dtype)
+            masks = _stripe_masks(c, row0_ref[0] + ws, W, ls, WL, dtype)
             mH, mV, mD = masks
 
             def matvec(xH, xV, xD):
@@ -442,6 +456,7 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
         jnp.stack([jnp.asarray(b, dtype) for b in bounds]),
     ]
     packed = jnp.concatenate(parts)
+    row0 = jnp.zeros((1,), jnp.int32)  # global row of canvas row 0
 
     n_states = 2 if extrapolate else 1
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -464,7 +479,7 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
             jax.ShapeDtypeStruct((3, n_pad, n_pad_l), dtype)
             for _ in range(n_states)
         ),
-        in_specs=[smem] + [hbm] * n_states,
+        in_specs=[smem, smem] + [hbm] * n_states,
         out_specs=tuple(hbm for _ in range(n_states)),
         scratch_shapes=scratch,
         compiler_params=_vmem_limit(W, WL, extrapolate),
@@ -473,13 +488,13 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
 
     if extrapolate:
         def step(carry, _):
-            out = step_call(packed, *carry)
+            out = step_call(packed, row0, *carry)
             return (out[0], out[1]), None
 
         (u, _), _ = jax.lax.scan(step, (u, u), None, length=n_steps)
     else:
         def step(carry, _):
-            (out,) = step_call(packed, carry)
+            (out,) = step_call(packed, row0, carry)
             return out, None
 
         u, _ = jax.lax.scan(step, u, None, length=n_steps)

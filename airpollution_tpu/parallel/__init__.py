@@ -15,6 +15,8 @@ from airpollution_tpu.parallel.fem_shard import (
     sharded_matvec,
 )
 from airpollution_tpu.parallel.sweep import crbe_diffusion_sweep
+from airpollution_tpu.parallel.stencil_shard import build_halo_solver
+from airpollution_tpu.parallel.hbm_shard import build_hbm_halo_solver
 
 __all__ = [
     "dp_tp_split", "make_mesh",
@@ -22,4 +24,5 @@ __all__ = [
     "init_parallel_state", "tp_param_specs",
     "build_sharded_solver", "pad_operators", "sharded_matvec",
     "crbe_diffusion_sweep",
+    "build_halo_solver", "build_hbm_halo_solver",
 ]

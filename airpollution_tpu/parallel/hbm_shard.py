@@ -1,0 +1,260 @@
+"""Distributed HBM stripe solver: the fused Pallas kernel over a device
+mesh.
+
+parallel/stencil_shard.py scales the SCAN path out (XLA-level canvas ops,
+two 1-row ppermutes per matvec). This module scales out the framework's
+fastest large-mesh engine instead — the HBM-tiled stripe kernel
+(ops/pallas_hbm.py), which fuses a WHOLE implicit time step (RHS, warm
+start, k Chebyshev iterations) into one sweep of VMEM-resident row
+stripes with 2-canvas-per-step HBM traffic.
+
+Design (one step, per device):
+
+1. The canvas rows are block-sharded: device d owns rows
+   [d*local, (d+1)*local). Each device's carried state is the EXTENDED
+   block (3, local + 2*halo, lanes) — its interior plus a halo of
+   ``halo = roundup8(n_iters + 2 (+1 CN))`` rows of neighbor state on
+   each side, exactly the per-STEP domain of dependence of the stripe
+   kernel (one row per matvec application).
+2. Halo refresh: two ``jax.lax.ppermute`` of an (n_states, 3, halo,
+   lanes) slab — my first/last ``halo`` interior rows to my neighbors —
+   then two in-place ``.at[].set()`` writes into the carry. ppermute's
+   zero-fill at the chain ends reproduces the zero-state-outside-interior
+   invariant of the serial kernel, so edge devices need no special case.
+3. One ``_step_kernel`` launch in sharded-block mode: ``int_start =
+   halo`` marks the interior, and the global-row scalar ``row0 =
+   d*local - halo`` keeps the interior rectangle masks (Dirichlet rows,
+   canvas padding) in GLOBAL coordinates. The kernel writes only the
+   interior rows; the stale output halos are refreshed by the next
+   step's ppermute before anything reads them.
+
+Per step per device this moves 2 slabs of ``halo`` rows over ICI
+(~``2 * n_states * 3 * halo * n * 4`` bytes — ~1 MB at 4097^2) and runs
+the unmodified single-chip stripe sweep over ``local`` rows: weak
+scaling is limited only by the slab exchange, and there are NO other
+collectives (Chebyshev's scalar recurrence is data-independent; the
+spectral interval comes from one replicated power_bounds before
+sharding).
+
+Chebyshev/zero-source/final-state-or-strided-snapshots — the serial
+stripe kernel's own contract (sources and residual-based BiCGStab live
+on the halo-exchange scan path, stencil_shard.py). Validated against the
+serial solver on the 8-device CPU mesh in interpret mode
+(tests/test_hbm_shard.py); multi-chip TPU hardware is not available in
+this environment.
+
+Counterpart: the reference's whole solve loop (crbe.py:406-433) — which
+is single-process scipy and cannot distribute at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from airpollution_tpu.models.crbe import GlobalOperators
+from airpollution_tpu.ops import linalg
+from airpollution_tpu.ops import stencil as stencil_mod
+from airpollution_tpu.ops import uniform as uniform_mod
+from airpollution_tpu.ops import pallas_hbm
+from airpollution_tpu.ops.pallas_solver import from_canvases, to_canvases
+
+
+def _halo_from_above(slab, axis):
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(d, d - 1) for d in range(1, n_dev)]
+    return jax.lax.ppermute(slab, axis, perm)
+
+
+def _halo_from_below(slab, axis):
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(d, d + 1) for d in range(n_dev - 1)]
+    return jax.lax.ppermute(slab, axis, perm)
+
+
+def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
+                          iters=8, axis="mp", extrapolate=False,
+                          snapshot_every=None, stripe_rows=None,
+                          interpret=False):
+    """Jitted distributed stripe-kernel solve over a structured mesh.
+
+    Same contract as parallel/stencil_shard.build_halo_solver restricted
+    to the stripe kernel's scope: returns ``solve(ops, u0)`` producing
+    ``(1, n_seg)`` (final state, boundary-lifted) or — with
+    ``snapshot_every=k`` — the strided ``((nt-1)/k + 1, n_seg)``
+    trajectory matching the serial ``solutions[::k]``. ``order=2`` is
+    Crank-Nicolson via the in-kernel RHS identity; ``extrapolate`` the
+    second-order warm start. Zero-source problems only (the kernel
+    rebuilds its RHS from the state alone; for sources use
+    build_halo_solver).
+    """
+    md = mesh_data
+    if getattr(md, "structured_n", None) is None:
+        raise ValueError("hbm halo solver requires a structured mesh")
+    if not getattr(problem, "zero_source", False):
+        raise ValueError(
+            "the stripe kernel is zero-source only; use "
+            "stencil_shard.build_halo_solver for problems with sources"
+        )
+    pattern = stencil_mod.get_pattern(md)
+    spec = uniform_mod.build_uniform_spec(pattern)
+    n, c = spec.n, spec.c
+    n_dev = mesh.shape[axis]
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    n_steps = md.nt - 1
+    if snapshot_every is not None and (
+        snapshot_every < 1 or n_steps % snapshot_every
+    ):
+        raise ValueError("snapshot_every must be a positive divisor "
+                         "of nt-1")
+
+    use_ka = order == 2
+    depth = iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    if stripe_rows is None:
+        S, _ = pallas_hbm.choose_tile(n, extrapolate, halo)
+    else:
+        S = stripe_rows
+    if S % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    # Interior block: a multiple of S, at least halo rows (the slab
+    # exchange reads each neighbor's first/last `halo` INTERIOR rows).
+    local = -(-max(-(-n // n_dev), halo) // S) * S
+    n_pad = local * n_dev
+    n_lane = -(-n // 128) * 128
+    ext_rows = local + 2 * halo
+    W = S + 2 * halo  # local >= S, so the window never clamps
+    n_states = 2 if extrapolate else 1
+
+    def _build_step_call(dtype):
+        kernel = partial(
+            pallas_hbm._step_kernel, c=c, n_pad=ext_rows, S=S, W=W,
+            halo=halo, n_pad_l=n_lane, SL=n_lane, WL=n_lane, halo_l=0,
+            n_iters=iters, has_ka=use_ka, extrapolate=extrapolate,
+            int_start=halo, n_stripes=local // S,
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch = [pltpu.VMEM((2, 3, W, n_lane), dtype)] * n_states
+        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2
+        scratch += [pltpu.SemaphoreType.DMA((2, n_states))] * 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((3, ext_rows, n_lane), dtype)
+                for _ in range(n_states)
+            ),
+            in_specs=[smem, smem] + [hbm] * n_states,
+            out_specs=tuple(hbm for _ in range(n_states)),
+            scratch_shapes=scratch,
+            compiler_params=pallas_hbm._vmem_limit(
+                W, n_lane, extrapolate
+            ),
+            interpret=interpret,
+        )
+
+    def solve(ops: GlobalOperators, u0):
+        dtype = u0.dtype
+        step_call = _build_step_call(dtype)
+        consts = uniform_mod.extract_constants(spec, ops.system.vals)
+        mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
+        idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
+        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+        bounds = linalg.power_bounds(
+            sys_matvec, jnp.zeros_like(u0),
+            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+        )
+        packed = jnp.concatenate([
+            jnp.asarray(consts, dtype),
+            jnp.asarray(mass_c, dtype),
+            jnp.asarray(idiag_c, dtype),
+            jnp.stack([jnp.asarray(b, dtype) for b in bounds]),
+        ])
+
+        u0_can = jnp.stack(to_canvases(spec, u0[perm]))  # (3, n, n)
+        u0_can = jnp.pad(
+            u0_can, ((0, 0), (0, n_pad - n), (0, n_lane - n))
+        )
+
+        def device_solve(u0_loc):
+            dev = jax.lax.axis_index(axis)
+            row0 = (dev * local - halo).astype(jnp.int32)[None]
+            ext0 = jnp.pad(u0_loc, ((0, 0), (halo, halo), (0, 0)))
+            carry0 = (ext0,) * n_states
+
+            def step(carry, _):
+                # Refresh halos: one slab each way for ALL carried
+                # states (the extrapolated warm start reads u_prev in
+                # the halo too).
+                stk = jnp.stack(carry)  # (n_states, 3, ext_rows, lanes)
+                dn = _halo_from_below(
+                    stk[:, :, local:local + halo], axis
+                )
+                up = _halo_from_above(
+                    stk[:, :, halo:2 * halo], axis
+                )
+                stk = stk.at[:, :, :halo].set(dn)
+                stk = stk.at[:, :, halo + local:].set(up)
+                outs = step_call(
+                    packed, row0, *(stk[s] for s in range(n_states))
+                )
+                return tuple(outs), None
+
+            if snapshot_every is None:
+                carry, _ = jax.lax.scan(step, carry0, None,
+                                        length=n_steps)
+                return carry[0][:, halo:halo + local]
+
+            def chunk(carry, _):
+                carry, _ = jax.lax.scan(step, carry, None,
+                                        length=snapshot_every)
+                return carry, carry[0][:, halo:halo + local]
+
+            _, snaps = jax.lax.scan(
+                chunk, carry0, None, length=n_steps // snapshot_every
+            )
+            return snaps  # (n_snap, 3, local, lanes)
+
+        out_spec = (P(None, axis, None) if snapshot_every is None
+                    else P(None, None, axis, None))
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation, so shard_map's collective-safety check
+        # cannot see through it (the kernel is per-device-pure; all
+        # cross-device traffic is the explicit ppermutes above).
+        fn = jax.shard_map(
+            device_solve, mesh=mesh,
+            in_specs=(P(None, axis, None),),
+            out_specs=out_spec, check_vma=False,
+        )
+
+        def lift_at(t):
+            t_col = jnp.full((md.midpoints.shape[0], 1), t,
+                             dtype=md.midpoints.dtype)
+            xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+            return jnp.where(md.boundary_mask, problem.boundary_fn(xyt),
+                             0.0)
+
+        if snapshot_every is None:
+            u_can = fn(u0_can)[:, :n, :n]
+            u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
+            return (u_fam[inv] + lift_at(dt * n_steps))[None, :]
+
+        snaps_can = fn(u0_can)[:, :, :n, :n]
+        u_fams = jax.vmap(
+            lambda can: from_canvases(spec, can[0], can[1], can[2])
+        )(snaps_can)
+        u_homs = u_fams[:, inv]
+        times = dt * snapshot_every * jnp.arange(
+            1, n_steps // snapshot_every + 1, dtype=u0.dtype
+        )
+        return jnp.concatenate(
+            [u0[None, :], u_homs + jax.vmap(lift_at)(times)], axis=0
+        )
+
+    return jax.jit(solve)

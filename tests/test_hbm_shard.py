@@ -1,0 +1,87 @@
+"""Distributed HBM stripe solver (parallel/hbm_shard.py) vs the serial
+solver.
+
+The sharded stripe kernel must reproduce the serial uniform-operator
+Chebyshev solve exactly: same algorithm, the canvas rows block-sharded
+over the 8-device CPU mesh with per-step halo-slab ppermutes. Stripe
+rows are forced small so every device runs a real multi-stripe sweep and
+the halo slabs cross device boundaries mid-canvas.
+"""
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.kernels
+
+
+import numpy as np
+import pytest
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.parallel.device_mesh import make_mesh
+from airpollution_tpu.parallel.hbm_shard import build_hbm_halo_solver
+
+Domain, Problem, MeshData = apt.Domain, apt.Problem, apt.MeshData
+create_mesh = apt.create_mesh
+
+
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (1, True),
+                                               (2, True)])
+def test_hbm_shard_matches_serial(order, extrapolate):
+    """Final state equals the serial uniform-operator Chebyshev solve
+    (BE, BE+extrapolated warm start, CN+extrapolation)."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=16)
+    serial = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                        time_scheme_order=order,
+                        extrapolate_warm_start=extrapolate,
+                        solver_method="chebyshev", chebyshev_iters=14)
+    u_serial = np.asarray(serial.solve(store_solutions=False))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_hbm_halo_solver(mesh, md, problem, serial.dt,
+                                   order=order, iters=14,
+                                   extrapolate=extrapolate,
+                                   stripe_rows=8, interpret=True)
+    u_shard = np.asarray(solver(serial._require_ops(),
+                                serial.set_initial_condition()))
+    np.testing.assert_allclose(u_shard, u_serial, atol=2e-6)
+
+
+def test_hbm_shard_strided_trajectory_matches_serial():
+    """snapshot_every=k reproduces the serial scan path's
+    ``solutions[::k]`` (boundary lift and initial row included)."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13)
+    serial = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                        solver_method="chebyshev", chebyshev_iters=14)
+    sols = np.asarray(serial.solve(store_solutions=True))  # (13, n)
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_hbm_halo_solver(mesh, md, problem, serial.dt,
+                                   order=1, iters=14, snapshot_every=4,
+                                   stripe_rows=8, interpret=True)
+    traj = np.asarray(solver(serial._require_ops(),
+                             serial.set_initial_condition()))
+    assert traj.shape == (4, md.number_of_segments)
+    np.testing.assert_allclose(traj, sols[::4], atol=2e-6)
+
+
+def test_hbm_shard_guards():
+    from airpollution_tpu.mesh.structured import create_unstructured_mesh
+
+    domain, problem = Domain(), Problem()
+    mesh = make_mesh({"mp": 8})
+    md_u = MeshData(create_unstructured_mesh(8, 20.0), domain, nt=8)
+    with pytest.raises(ValueError, match="structured"):
+        build_hbm_halo_solver(mesh, md_u, problem, 1.0)
+
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    with pytest.raises(ValueError, match="divisor"):
+        build_hbm_halo_solver(mesh, md, problem, 1.0, snapshot_every=3)
+
+    class Sourced(Problem):
+        zero_source = False
+
+    with pytest.raises(ValueError, match="zero-source"):
+        build_hbm_halo_solver(mesh, md, Sourced(), 1.0)
