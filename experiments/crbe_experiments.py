@@ -123,6 +123,8 @@ def main(argv=None):
 
     df_crbe = pd.DataFrame(crbe_results)
     suffix = "_unstructured" if args.mesh_kind == "unstructured" else ""
+    if args.time_scheme_order == 2:
+        suffix += "_cn"
     df_crbe.to_csv(f"{exp_dir}/df_crbe_training_results{suffix}.csv")
     print(df_crbe)
     if len(df_crbe) > 1:

@@ -62,8 +62,12 @@ def main():
 
     log("== solver-level scaling past the VMEM envelope ==")
     rows = []
+    # 4097 runs the BALANCED config (nt=4001, k=8: dt must scale with h
+    # or the answer is temporal-error-limited and conditioning needs
+    # k>=20 — CLAUDE.md); the rest use the fixed nt=1001 ladder.
     for ms, nt, iters, asm in [(513, 1001, 6, "auto"), (769, 1001, 8, "auto"),
-                          (1025, 1001, 8, "auto"), (2049, 1001, 10, "patch")]:
+                          (1025, 1001, 8, "auto"), (2049, 1001, 10, "patch"),
+                          (4097, 4001, 8, "patch")]:
         _, sps = run(ms, nt, "fused_hbm", iters, warm_reps=3, assembly=asm)
         rows.append(dict(ms=ms, nt=nt, k=iters, assembly=asm,
                          solver_steps_per_sec=round(sps, 1)))
