@@ -125,7 +125,12 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
         raise ValueError("stripe_rows must be a multiple of 8")
     # Interior block: a multiple of S, at least halo rows (the slab
     # exchange reads each neighbor's first/last `halo` INTERIOR rows).
-    local = -(-max(-(-n // n_dev), halo) // S) * S
+    # When the per-device share is smaller than the configured stripe,
+    # shrink the stripe to the share instead of padding the share up to
+    # the stripe (at 513²/8 devices: 72-row blocks, not 128-row ones).
+    local0 = -(-max(-(-n // n_dev), halo) // 8) * 8
+    S = min(S, local0)
+    local = -(-local0 // S) * S
     n_pad = local * n_dev
     n_lane = -(-n // 128) * 128
     ext_rows = local + 2 * halo
