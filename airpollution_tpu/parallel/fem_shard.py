@@ -7,6 +7,14 @@ computes its row block of ``A @ x`` and an ``all_gather`` over ICI reforms
 the full vector, so BiCGStab's scalar recurrences run bit-identically on
 every device (psum-free dot products on replicated vectors). The entire
 time loop (``lax.scan`` + inner BiCGStab) runs inside one ``shard_map``.
+
+Scope: this is the GENERAL-mesh tier — correct for any ELL operator
+(unstructured meshes included) but the all_gather moves the full O(N)
+vector per matvec per device, so it is memory-relief, not weak scaling.
+On structured meshes use the halo-exchange tiers instead:
+``stencil_shard.build_halo_solver`` (two 1-row ppermutes per matvec) or
+``hbm_shard.build_hbm_halo_solver`` (two halo-SLAB ppermutes per whole
+step, the fused stripe kernel on-device) — both O(halo·n) communication.
 """
 
 from __future__ import annotations
