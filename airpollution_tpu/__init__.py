@@ -12,6 +12,14 @@ assembly with segment-sum scatter, ELL SpMV + iterative solves under
 ``lax.scan``, fully on-device PINN training, and shard_map parallel sweeps.
 """
 
+from airpollution_tpu.utils.compile_cache import enable_compilation_cache
+
+# Persistent XLA compilation cache, on by default (APT_COMPILATION_CACHE=0
+# to opt out): first-touch compiles of the fused programs cost minutes on
+# the remote-compile backend, and the on-disk cache makes every later
+# process load them in seconds (utils/compile_cache.py).
+enable_compilation_cache()
+
 from airpollution_tpu.problems import (
     AdDifProblem,
     Domain,

@@ -1,5 +1,6 @@
 """Utilities: profiling, memory tracking, configuration."""
 
+from airpollution_tpu.utils.compile_cache import enable_compilation_cache
 from airpollution_tpu.utils.profiling import (
     Timer,
     get_cpu_memory_mb,
@@ -10,6 +11,7 @@ from airpollution_tpu.utils.profiling import (
 
 __all__ = [
     "Timer",
+    "enable_compilation_cache",
     "get_cpu_memory_mb",
     "get_device_memory_mb",
     "memory_delta",
