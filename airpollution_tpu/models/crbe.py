@@ -791,12 +791,13 @@ class CRBESolver:
                             interpret=interpret,
                         )
 
-                def lift_at(t):
-                    t_col = jnp.full((midpoints_a.shape[0], 1), t,
-                                     dtype=midpoints_a.dtype)
-                    xyt = jnp.concatenate([midpoints_a, t_col], axis=1)
-                    return jnp.where(bmask_a,
-                                     self.problem.boundary_fn(xyt), 0.0)
+                # Shared boundary-lift contract (ops/lifting.py — same
+                # helper as the sharded solvers, so the conventions
+                # cannot drift apart).
+                from airpollution_tpu.ops import lifting
+
+                lift_at = lifting.make_lift(self.problem, midpoints_a,
+                                            bmask_a)
 
                 if strided:
                     # Strided snapshots: chunks of snapshot_every steps,
@@ -933,8 +934,13 @@ class CRBESolver:
         matvecs once; a silent divergence costs a wrong answer.
 
         ``warn=False`` computes/caches the factor without the user-facing
-        warning (for the large-mesh auto-fallback probe)."""
+        warning (for the large-mesh auto-fallback probe). A later
+        ``warn=True`` call reuses the cached factor but still emits the
+        warning — the probe must not permanently silence it."""
         if getattr(self, "_cheb_checked", False):
+            if warn and not getattr(self, "_cheb_warn_evaluated", False):
+                self._cheb_warn_evaluated = True
+                self._warn_cheb_factor()
             return
         import warnings
 
@@ -990,15 +996,28 @@ class CRBESolver:
         self._cheb_checked = True
         factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
         self._cheb_factor = factor
-        if warn and not (factor < 0.97):
+        self._cheb_skew = float(beta)
+        self._cheb_warn_evaluated = bool(warn)
+        if warn:
+            self._warn_cheb_factor()
+
+    def _warn_cheb_factor(self):
+        """User-facing divergence warning from the cached applicability
+        factor (no-op when the factor is comfortably inside the
+        convergence ellipse)."""
+        import warnings
+
+        factor = self._cheb_factor
+        lo, hi = self._cheb_bounds
+        if not (factor < 0.97):
             warnings.warn(
                 f"Chebyshev worst-case convergence factor {factor:.3f} is "
                 f"close to or above 1 (threshold 0.97) for this operator "
                 f"(advection-dominated regime: "
-                f"interval [{float(lo):.3f}, {float(hi):.3f}], skew "
-                f"{float(beta):.3f}) — the solve may converge slowly or "
-                f"diverge; use solver_method='bicgstab'.",
-                stacklevel=3,
+                f"interval [{lo:.3f}, {hi:.3f}], skew "
+                f"{self._cheb_skew:.3f}) — the solve may converge slowly "
+                f"or diverge; use solver_method='bicgstab'.",
+                stacklevel=4,
             )
 
     def _apply_large_mesh_solver_policy(self, ops):

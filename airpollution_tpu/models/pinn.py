@@ -648,6 +648,16 @@ class PINN:
         disables chunking (single scan of ``epochs``).
         """
         epochs = int(epochs)
+        if causal_eps and batch_sizes["pde"] < int(causal_bins):
+            # per_bin = n_pde // causal_bins would be 0: the per-bin mean
+            # over an empty axis is NaN and poisons every loss/gradient
+            # with no diagnostic.
+            raise ValueError(
+                f"causal_eps needs at least causal_bins="
+                f"{int(causal_bins)} PDE collocation points per epoch "
+                f"(got {batch_sizes['pde']}); lower causal_bins or "
+                f"disable causal weighting"
+            )
         if scan_chunk is None:
             chunk = min(epochs, _DEFAULT_SCAN_CHUNK) or epochs
         elif int(scan_chunk) <= 0:
@@ -837,7 +847,9 @@ class PINN:
         for i, k in enumerate(("total_loss", "pde_loss", "ic_loss",
                                "bc_loss")):
             self.history[k].extend(losses[:, i].tolist())
-        self.training_time = time.time() - start
+        # Accumulate: the polish extends a train() run, and consumers
+        # (cli.py train_time_s) read the TOTAL training cost.
+        self.training_time += time.time() - start
         return self.history
 
     def train_parallel(self, mesh, batch_sizes, epochs, lr, lambda_weights):

@@ -58,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from airpollution_tpu.models.crbe import GlobalOperators
+from airpollution_tpu.ops import lifting
 from airpollution_tpu.ops import linalg
 from airpollution_tpu.ops import stencil as stencil_mod
 from airpollution_tpu.ops import uniform as uniform_mod
@@ -75,6 +76,34 @@ def _halo_from_below(slab, axis):
     n_dev = jax.lax.axis_size(axis)
     perm = [(d, d + 1) for d in range(n_dev - 1)]
     return jax.lax.ppermute(slab, axis, perm)
+
+
+def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None):
+    """(stripe height S, per-device interior rows) for an n-row canvas.
+
+    The interior block is a multiple of S and at least ``halo`` rows (the
+    slab exchange reads each neighbor's first/last ``halo`` INTERIOR
+    rows). With auto stripes, shrink the stripe toward the per-device
+    share instead of padding the share up to a stripe multiple: keep the
+    stripe COUNT implied by the single-chip tile choice, then size the
+    stripes to cover the share with < 8 rows of padding each (513²/8
+    devices: one 72-row stripe, not a 128-row one; 1025²/8: two 72-row
+    stripes, not two 128-row ones — the pad-up alternative sweeps ~1.9×
+    the needed rows).
+    """
+    if stripe_rows is None:
+        S, _ = pallas_hbm.choose_tile(n, extrapolate, halo)
+    else:
+        S = stripe_rows
+    local0 = -(-max(-(-n // n_dev), halo) // 8) * 8
+    if stripe_rows is None:
+        n_stripes = max(1, -(-local0 // S))
+        per_stripe = -(-local0 // n_stripes)
+        S = -(-per_stripe // 8) * 8
+    else:
+        S = min(S, local0)
+    local = -(-local0 // S) * S
+    return S, local
 
 
 def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
@@ -117,20 +146,9 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     use_ka = order == 2
     depth = iters + 1 + (1 if use_ka else 0)
     halo = -(-(depth + 1) // 8) * 8
-    if stripe_rows is None:
-        S, _ = pallas_hbm.choose_tile(n, extrapolate, halo)
-    else:
-        S = stripe_rows
-    if S % 8:
+    if stripe_rows is not None and stripe_rows % 8:
         raise ValueError("stripe_rows must be a multiple of 8")
-    # Interior block: a multiple of S, at least halo rows (the slab
-    # exchange reads each neighbor's first/last `halo` INTERIOR rows).
-    # When the per-device share is smaller than the configured stripe,
-    # shrink the stripe to the share instead of padding the share up to
-    # the stripe (at 513²/8 devices: 72-row blocks, not 128-row ones).
-    local0 = -(-max(-(-n // n_dev), halo) // 8) * 8
-    S = min(S, local0)
-    local = -(-local0 // S) * S
+    S, local = _block_layout(n, n_dev, halo, extrapolate, stripe_rows)
     n_pad = local * n_dev
     n_lane = -(-n // 128) * 128
     ext_rows = local + 2 * halo
@@ -164,7 +182,12 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             interpret=interpret,
         )
 
-    def solve(ops: GlobalOperators, u0):
+    def solve_impl(ops: GlobalOperators, u0, aux):
+        # aux carries the O(N) per-mesh arrays as jit ARGUMENTS — closing
+        # over them would bake them into the compile payload, which broke
+        # the remote-compile transport at 4097² on the serial path
+        # (models/crbe.py _solve_aux; CLAUDE.md).
+        perm, inv, midpoints, boundary_mask = aux
         dtype = u0.dtype
         step_call = _build_step_call(dtype)
         consts = uniform_mod.extract_constants(spec, ops.system.vals)
@@ -238,28 +261,27 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             out_specs=out_spec, check_vma=False,
         )
 
-        def lift_at(t):
-            t_col = jnp.full((md.midpoints.shape[0], 1), t,
-                             dtype=md.midpoints.dtype)
-            xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
-            return jnp.where(md.boundary_mask, problem.boundary_fn(xyt),
-                             0.0)
+        lift_at = lifting.make_lift(problem, midpoints, boundary_mask)
 
         if snapshot_every is None:
             u_can = fn(u0_can)[:, :n, :n]
             u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
-            return (u_fam[inv] + lift_at(dt * n_steps))[None, :]
+            return lifting.lifted_final_state(lift_at, u_fam[inv], dt,
+                                              n_steps)
 
         snaps_can = fn(u0_can)[:, :, :n, :n]
         u_fams = jax.vmap(
             lambda can: from_canvases(spec, can[0], can[1], can[2])
         )(snaps_can)
-        u_homs = u_fams[:, inv]
-        times = dt * snapshot_every * jnp.arange(
-            1, n_steps // snapshot_every + 1, dtype=u0.dtype
-        )
-        return jnp.concatenate(
-            [u0[None, :], u_homs + jax.vmap(lift_at)(times)], axis=0
+        return lifting.strided_trajectory(
+            lift_at, u0, u_fams[:, inv], dt, snapshot_every, n_steps
         )
 
-    return jax.jit(solve)
+    jitted = jax.jit(solve_impl)
+    aux = (perm, inv, jnp.asarray(md.midpoints),
+           jnp.asarray(md.boundary_mask))
+
+    def solve(ops: GlobalOperators, u0):
+        return jitted(ops, u0, aux)
+
+    return solve

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from airpollution_tpu.models.crbe import GlobalOperators
+from airpollution_tpu.ops import lifting
 from airpollution_tpu.ops import linalg
 from airpollution_tpu.ops import stencil as stencil_mod
 from airpollution_tpu.ops import uniform as uniform_mod
@@ -181,7 +182,11 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     def _pad_rows(can3):
         return jnp.pad(can3, ((0, 0), (0, n_rows - n), (0, 0)))
 
-    def solve(ops: GlobalOperators, u0):
+    def solve_impl(ops: GlobalOperators, u0, aux):
+        # aux threads the O(N) per-mesh arrays through jit as ARGUMENTS —
+        # closure constants become compile payload, which broke the
+        # remote-compile transport at 4097² (models/crbe.py _solve_aux).
+        perm, inv, midpoints, boundary_mask = aux
         consts = uniform_mod.extract_constants(spec, ops.system.vals)
         mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
         idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
@@ -199,7 +204,7 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
         # Midpoint coordinates in canvas layout, sharded like the state
         # (only read when the problem has a source term; the pair costs
         # two state-sized arrays).
-        mid = jnp.asarray(md.midpoints, u0.dtype)
+        mid = jnp.asarray(midpoints, u0.dtype)
         x_can = _pad_rows(jnp.stack(to_canvases(spec, mid[perm, 0])))
         y_can = _pad_rows(jnp.stack(to_canvases(spec, mid[perm, 1])))
 
@@ -286,30 +291,30 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             out_specs=out_spec,
         )
 
-        def lift_at(t):
-            t_col = jnp.full((md.midpoints.shape[0], 1), t,
-                             dtype=md.midpoints.dtype)
-            xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
-            return jnp.where(md.boundary_mask, problem.boundary_fn(xyt),
-                             0.0)
+        # Boundary lift (replicated, outside shard_map) + trajectory
+        # assembly shared with the serial and stripe solvers
+        # (ops/lifting.py).
+        lift_at = lifting.make_lift(problem, midpoints, boundary_mask)
 
         if snapshot_every is None:
             u_can = fn(u0_can, x_can, y_can)[:, :n, :]
             u_fam = from_canvases(spec, u_can[0], u_can[1], u_can[2])
-            # Boundary lift at the final time (replicated, outside
-            # shard_map).
-            return (u_fam[inv] + lift_at(dt * n_steps))[None, :]
+            return lifting.lifted_final_state(lift_at, u_fam[inv], dt,
+                                              n_steps)
 
         snaps_can = fn(u0_can, x_can, y_can)[:, :, :n, :]
         u_fams = jax.vmap(
             lambda can: from_canvases(spec, can[0], can[1], can[2])
         )(snaps_can)
-        u_homs = u_fams[:, inv]
-        times = dt * snapshot_every * jnp.arange(
-            1, n_steps // snapshot_every + 1, dtype=u0.dtype
-        )
-        return jnp.concatenate(
-            [u0[None, :], u_homs + jax.vmap(lift_at)(times)], axis=0
+        return lifting.strided_trajectory(
+            lift_at, u0, u_fams[:, inv], dt, snapshot_every, n_steps
         )
 
-    return jax.jit(solve)
+    jitted = jax.jit(solve_impl)
+    aux = (perm, inv, jnp.asarray(md.midpoints),
+           jnp.asarray(md.boundary_mask))
+
+    def solve(ops: GlobalOperators, u0):
+        return jitted(ops, u0, aux)
+
+    return solve

@@ -82,3 +82,29 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
     _enabled_dir = cache_dir
     return cache_dir
+
+
+def sync_platform() -> None:
+    """Re-evaluate the CPU guard after a platform switch.
+
+    The package ``__init__`` auto-enables at import time, when the
+    platform may still be the default (non-CPU) one; a driver that then
+    pins JAX to CPU (``experiments/common.configure_platform``, or a
+    manual ``jax.config.update("jax_platforms", "cpu")``) would
+    otherwise keep persisting XLA:CPU AOT executables. Call this after
+    any platform change; it turns the auto-enabled cache off on
+    CPU-only platforms while leaving an explicit
+    ``APT_COMPILATION_CACHE_DIR`` opt-in alone.
+    """
+    global _enabled_dir
+    if (_enabled_dir is None
+            or os.environ.get("APT_COMPILATION_CACHE_DIR")
+            or not _cpu_only()):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        return
+    _enabled_dir = None

@@ -48,6 +48,13 @@ def configure_platform():
     plat = os.environ.get("APT_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+        # The package import auto-enabled the persistent compilation
+        # cache under the default (non-CPU) platform; on a switch to CPU
+        # the guard must be re-evaluated (XLA:CPU AOT loader hazard —
+        # utils/compile_cache.py docstring).
+        from airpollution_tpu.utils import compile_cache
+
+        compile_cache.sync_platform()
 
 
 def print_device():

@@ -111,6 +111,28 @@ def main(argv=None):
         # Untuned-weights pair: the annealing scheme's intended use case.
         "base-flat-lambdas": {"lambdas": flat},
         "adaptive-flat-lambdas": {"aw": 100, "lambdas": flat},
+        # E6 --search_levers best trial (optuna_pinn_results_64.csv #11):
+        # plain wide net, lr 2.19e-3, lambda_pde 10 / lambda_ic_bc 0.14 —
+        # the loss-weight ratio matters more than any single lever at a
+        # fixed budget.
+        "hpo-tuned": {"layers": [3] + [64] * 4 + [1], "lr": 2.19e-3,
+                      "lambdas": {"pde": 10.0, "ic": 0.14, "bc": 0.14}},
+        "hpo-tuned-64k": {"layers": [3] + [64] * 4 + [1], "lr": 2.19e-3,
+                          "lambdas": {"pde": 10.0, "ic": 0.14, "bc": 0.14},
+                          "epochs": 64000, "patience": 8000,
+                          "min_delta": 1e-9, "lbfgs": 1000},
+        "hpo-tuned+fourier+causal-64k": {
+            "ff": 64, "ce": 1.0,
+            "layers": [3] + [64] * 4 + [1], "lr": 2.19e-3,
+            "lambdas": {"pde": 10.0, "ic": 0.14, "bc": 0.14},
+            "epochs": 64000, "patience": 8000, "min_delta": 1e-9,
+            "lbfgs": 1000},
+        "hpo-tuned+fourier+causal+wide128-64k": {
+            "ff": 128, "ce": 1.0,
+            "layers": [3] + [128] * 4 + [1], "lr": 1e-3,
+            "lambdas": {"pde": 10.0, "ic": 0.14, "bc": 0.14},
+            "epochs": 64000, "patience": 8000, "min_delta": 1e-9,
+            "lbfgs": 1000},
     }
 
     if args.variants:

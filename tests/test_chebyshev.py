@@ -165,3 +165,28 @@ def test_chebyshev_warns_in_advection_dominated_regime():
         warnings.simplefilter("always")
         s2.solve(store_solutions=False)
     assert not any("diverge" in str(x.message) for x in w)
+
+
+def test_warn_survives_silent_policy_probe():
+    """A warn=False applicability probe (the large-mesh policy) must not
+    permanently silence the user-facing divergence warning."""
+    import warnings
+
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(6, 20.0), domain, nt=4)
+    s = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                   solver_method="chebyshev", chebyshev_iters=10)
+    ops = s._require_ops()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._check_chebyshev_applicable(ops, warn=False)
+    assert not any("diverge" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._check_chebyshev_applicable(ops, warn=True)
+    assert any("diverge" in str(x.message) for x in w)
+    # ... and only once: a later warn=True reuses the evaluated state.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._check_chebyshev_applicable(ops, warn=True)
+    assert not any("diverge" in str(x.message) for x in w)

@@ -42,6 +42,32 @@ def test_auto_enable_skips_cpu_only_platform(restore_cache_config,
     assert compile_cache.enable_compilation_cache() is None
 
 
+def test_sync_platform_disables_auto_cache_on_cpu(tmp_path,
+                                                  restore_cache_config,
+                                                  monkeypatch):
+    # Simulate: auto-enabled under the non-CPU default platform, then the
+    # driver switches to CPU (experiments/common.configure_platform).
+    monkeypatch.delenv("APT_COMPILATION_CACHE_DIR", raising=False)
+    target = str(tmp_path / "xla")
+    compile_cache._enabled_dir = target
+    jax.config.update("jax_compilation_cache_dir", target)
+    compile_cache.sync_platform()
+    assert compile_cache._enabled_dir is None
+    assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_sync_platform_keeps_explicit_env_opt_in(tmp_path,
+                                                 restore_cache_config,
+                                                 monkeypatch):
+    target = str(tmp_path / "xla")
+    monkeypatch.setenv("APT_COMPILATION_CACHE_DIR", target)
+    compile_cache._enabled_dir = target
+    jax.config.update("jax_compilation_cache_dir", target)
+    compile_cache.sync_platform()
+    assert compile_cache._enabled_dir == target
+    assert jax.config.jax_compilation_cache_dir == target
+
+
 def test_env_dir_opts_in_on_cpu(tmp_path, restore_cache_config,
                                 monkeypatch):
     # ... while an explicit directory (env or argument) opts in anywhere.

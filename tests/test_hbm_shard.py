@@ -85,3 +85,38 @@ def test_hbm_shard_guards():
 
     with pytest.raises(ValueError, match="zero-source"):
         build_hbm_halo_solver(mesh, md, Sourced(), 1.0)
+
+
+def test_block_layout_shrinks_stripe_to_share():
+    """Auto stripes cover the per-device share with < 8 pad rows each
+    instead of rounding the share up to a full-stripe multiple."""
+    from airpollution_tpu.parallel.hbm_shard import _block_layout
+
+    # 513-row canvas / 8 devices: share 72 -> one 72-row stripe (the old
+    # behavior padded to a 128-row stripe).
+    S, local = _block_layout(513, 8, halo=16, extrapolate=False)
+    assert (S, local) == (72, 72)
+
+    # 1025 rows / 8 devices: share 129 -> local0 136; two 72-row stripes
+    # (144 rows, 6% pad) instead of two 128-row ones (256 rows, 1.9x).
+    S, local = _block_layout(1025, 8, halo=16, extrapolate=False)
+    assert S == 72 and local == 144
+
+    # Always: local covers the share, is a multiple of S, pads < 8 rows
+    # per stripe, and is at least the halo.
+    for n in (129, 257, 513, 1025, 2049):
+        for n_dev in (2, 4, 8):
+            for halo in (8, 16, 24):
+                S, local = _block_layout(n, n_dev, halo, False)
+                local0 = -(-max(-(-n // n_dev), halo) // 8) * 8
+                assert local >= local0 and local % S == 0
+                assert local - local0 < 8 * (local // S)
+                assert S % 8 == 0 and local >= halo
+
+    # Explicit stripe_rows: honored, but never larger than the share.
+    S, local = _block_layout(513, 8, halo=16, extrapolate=False,
+                             stripe_rows=8)
+    assert (S, local) == (8, 72)
+    S, local = _block_layout(513, 8, halo=16, extrapolate=False,
+                             stripe_rows=128)
+    assert (S, local) == (72, 72)

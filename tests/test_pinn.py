@@ -413,3 +413,17 @@ def test_causal_weighting_limits_and_training():
     h = model.train({"pde": 256, "ic": 64, "bc": 64}, 60, 1e-3,
                     {"pde": 2.0, "ic": 10.0, "bc": 10.0}, causal_eps=1.0)
     assert h["total_loss"][-1] < h["total_loss"][0]
+
+
+def test_causal_rejects_fewer_points_than_bins():
+    """per_bin = n_pde // causal_bins == 0 would turn every loss into a
+    silent NaN (mean over an empty axis); train() must refuse eagerly."""
+    domain, problem = Domain(), Problem()
+    model = PINN([3, 8, 1], problem, domain, activation="tanh", seed=0)
+    batch = {"pde": 16, "ic": 4, "bc": 4}
+    lam = {"pde": 1.0, "ic": 1.0, "bc": 1.0}
+    with pytest.raises(ValueError, match="causal"):
+        model.train(batch, 2, 1e-3, lam, causal_eps=1.0)
+    # Lowering the bin count to the batch makes the same config valid.
+    h = model.train(batch, 2, 1e-3, lam, causal_eps=1.0, causal_bins=16)
+    assert np.isfinite(h["total_loss"]).all()
