@@ -207,6 +207,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # Re-evaluate the compilation-cache CPU guard (the package import
+        # auto-enabled it under the default platform).
+        from airpollution_tpu.utils import compile_cache
+
+        compile_cache.sync_platform()
     args = build_parser().parse_args(argv)
     args.fn(args)
 
