@@ -152,8 +152,13 @@ def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype):
     the default iteration count). Columns past the family interior —
     including the 128-multiple lane padding — are zeroed by the
     ``ci < c`` bounds. ``ws`` may be negative (a sharded block's lower
-    halo sits above global row 0): the ``gr >= 0``-implying bounds zero
-    those rows."""
+    halo sits above global row 0): those rows arrive zero-filled
+    (ppermute chain end), and although the V/D row bounds (``gr < c``)
+    do not zero them, nothing computed there can reach the interior —
+    the only upward-pulling stencil terms (``roll(x, 1, 0)``) feed the
+    H family, whose global row 0 is masked (``gr >= 1``), so negative
+    rows are written by the in-window iterations but never read by an
+    unmasked interior row and never DMA'd back."""
     gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
     ci = ls + jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
     rowH = ((gr >= 1) & (gr < c)).astype(dtype)
