@@ -120,7 +120,29 @@ def solve_snapshots(problem, mesh_data, *, indices=None,
 # compile through the remote TPU tunnel, so repeated fits (multi-start,
 # sweeps, warm-up-then-time) must reuse it. Keyed by the caller-supplied
 # ``cache_key`` plus everything that changes the traced program.
-_FIT_STEP_CACHE: dict = {}
+_FIT_STEP_CACHE: "OrderedDict" = None  # initialized below
+_FIT_STEP_CACHE_MAX = 8
+
+
+def _fit_cache_get(key, make):
+    """Bounded LRU over compiled fit steps. The key embeds
+    ``id(mesh_data)``, which can never be reproduced once the caller
+    drops the mesh — an unbounded dict would pin every dead mesh's
+    arrays and executable forever (a sweep over growing meshes leaks
+    monotonically); evicting beyond the last few entries caps that."""
+    global _FIT_STEP_CACHE
+    if _FIT_STEP_CACHE is None:
+        from collections import OrderedDict
+
+        _FIT_STEP_CACHE = OrderedDict()
+    cache = _FIT_STEP_CACHE
+    if key in cache:
+        cache.move_to_end(key)
+        return cache[key]
+    cache[key] = fn = make()
+    while len(cache) > _FIT_STEP_CACHE_MAX:
+        cache.popitem(last=False)
+    return fn
 
 
 def fit_parameters(observed, mesh_data, make_problem, init_params,
@@ -174,9 +196,7 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
             float(tol), int(maxiter), float(lr),
             jax.tree_util.tree_structure(init_params),
         )
-        if full_key not in _FIT_STEP_CACHE:
-            _FIT_STEP_CACHE[full_key] = jax.jit(train_step)
-        step_fn = _FIT_STEP_CACHE[full_key]
+        step_fn = _fit_cache_get(full_key, lambda: jax.jit(train_step))
     else:
         step_fn = jax.jit(train_step)
 

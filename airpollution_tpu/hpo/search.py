@@ -79,6 +79,31 @@ class TPESampler:
         z = float(cands[int(np.argmax(score))])
         return float(np.exp(z)) if log else z
 
+    def suggest_categorical(self, rng, name, choices):
+        """Smoothed good/bad frequency ratio over the choice set (the
+        categorical arm of optuna's TPE: candidates drawn from the
+        Laplace-smoothed "good" distribution, ranked by density ratio)."""
+
+        def counts(group):
+            c = np.ones(len(choices))  # Laplace prior
+            for t in group:
+                v = t.params.get(name)
+                for i, ch in enumerate(choices):
+                    if v == ch:
+                        c[i] += 1
+                        break
+            return c
+
+        cg = counts(self.good)
+        cb = counts(self.bad)
+        if cg.sum() == len(choices) or cb.sum() == len(choices):
+            return None  # no history for this parameter in one group
+        p_good = cg / cg.sum()
+        p_bad = cb / cb.sum()
+        idx = rng.choice(len(choices), self.n_candidates, p=p_good)
+        best = int(idx[int(np.argmax((p_good / p_bad)[idx]))])
+        return choices[best]
+
 
 class Trial:
     def __init__(self, number: int, rng: np.random.Generator,
@@ -109,12 +134,28 @@ class Trial:
         return out
 
     def suggest_int(self, name: str, low: int, high: int) -> int:
-        out = int(self._rng.integers(low, high + 1))
+        # The continuous TPE over [low, high], rounded — optuna treats
+        # ints as discretized floats; plain random would never leave the
+        # startup phase for integer parameters.
+        out = None
+        if self._sampler is not None:
+            z = self._sampler.suggest(self._rng, name, float(low),
+                                      float(high), log=False)
+            if z is not None:
+                out = int(np.clip(round(z), low, high))
+        if out is None:
+            out = int(self._rng.integers(low, high + 1))
         self.params[name] = out
         return out
 
     def suggest_categorical(self, name: str, choices):
-        out = choices[int(self._rng.integers(0, len(choices)))]
+        out = None
+        if self._sampler is not None:
+            out = self._sampler.suggest_categorical(
+                self._rng, name, list(choices)
+            )
+        if out is None:
+            out = choices[int(self._rng.integers(0, len(choices)))]
         self.params[name] = out
         return out
 

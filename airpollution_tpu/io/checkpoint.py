@@ -26,14 +26,30 @@ def _flatten_with_paths(tree):
     return flat, treedef
 
 
+def _atomic_write_text(path: str, text: str) -> None:
+    """Write-then-rename so a crash mid-write never truncates ``path``
+    (json.dump over an existing file truncates FIRST — a kill there
+    corrupts the checkpoint the recovery loop depends on)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 def save_pytree(path: str, tree) -> None:
-    """Save any pytree of arrays as a .npz plus a structure descriptor."""
+    """Save any pytree of arrays as a .npz plus a structure descriptor.
+
+    Both files are written atomically (tmp + rename); a crash between
+    the two renames leaves a mismatched pair, which ``load_pytree``'s
+    structure guard rejects with ValueError instead of loading garbage.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat, treedef = _flatten_with_paths(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
-    np.savez(path, **arrays)
-    with open(path + ".tree", "w") as f:
-        f.write(str(treedef))
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to bare names
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+    _atomic_write_text(path + ".tree", str(treedef))
 
 
 def load_pytree(path: str, like):
@@ -51,6 +67,15 @@ def load_pytree(path: str, like):
                 f"checkpoint structure mismatch: {path} was saved with a "
                 "different pytree structure than the target"
             )
+    n_saved = len([k for k in data.files if k.startswith("leaf_")])
+    if n_saved != len(flat_like):
+        # ValueError (not a raw NpzFile KeyError) so callers that migrate
+        # legacy layouts — _load_carry_with_migration — can catch it even
+        # when the .tree descriptor file is missing.
+        raise ValueError(
+            f"checkpoint leaf count mismatch: {path} holds {n_saved} "
+            f"leaves but the target expects {len(flat_like)}"
+        )
     leaves = [data[f"leaf_{i}"] for i in range(len(flat_like))]
     for i, (saved, target) in enumerate(zip(leaves, flat_like)):
         if tuple(saved.shape) != tuple(np.shape(target)):
@@ -62,8 +87,15 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_pinn(ckpt_dir: str, model, step: int | None = None) -> str:
-    """Checkpoint a PINN: params + training carry + metadata."""
+def save_pinn(ckpt_dir: str, model, step: int | None = None, *,
+              epoch: int | None = None) -> str:
+    """Checkpoint a PINN: params + training carry + metadata.
+
+    ``step`` selects the file tag (None -> the rolling "latest" set);
+    ``epoch`` records the resume point in the metadata independently of
+    the tag, so the recovery loop can write it in the SAME atomic meta
+    write instead of patching the file afterwards.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     tag = f"step_{step}" if step is not None else "latest"
     path = os.path.join(ckpt_dir, f"pinn_{tag}.npz")
@@ -74,11 +106,11 @@ def save_pinn(ckpt_dir: str, model, step: int | None = None) -> str:
     meta = {
         "layers": model.layers,
         "activation": model.activation,
-        "step": step,
+        "step": epoch if epoch is not None else step,
         "history_len": len(model.history["total_loss"]),
     }
-    with open(os.path.join(ckpt_dir, f"meta_{tag}.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_text(os.path.join(ckpt_dir, f"meta_{tag}.json"),
+                       json.dumps(meta))
     return path
 
 
@@ -177,13 +209,9 @@ def train_with_checkpoints(model, batch_sizes, epochs, lr, lambda_weights,
             warm_start=(done > 0), **train_kwargs,
         )
         done += chunk
-        save_pinn(ckpt_dir, model, step=None)
-        meta_path = os.path.join(ckpt_dir, "meta_latest.json")
-        with open(meta_path) as f:
-            m = json.load(f)
-        m["step"] = done
-        with open(meta_path, "w") as f:
-            json.dump(m, f)
+        # One atomic save records the resume point with the weights —
+        # no read-modify-write window for a crash to land in.
+        save_pinn(ckpt_dir, model, step=None, epoch=done)
     return model.history
 
 

@@ -38,20 +38,45 @@ def vertex_average(points, segments, midpoint_values):
     return vertex_values / np.maximum(count, 1)
 
 
+def _solution_row(solver, time_index):
+    """Map a FULL-resolution step index onto the stored trajectory row.
+
+    Solvers built with ``snapshot_every=k`` store ``(nt-1)/k + 1`` rows;
+    indexing them with the raw step index would silently plot the wrong
+    state (JAX clamps out-of-bounds indices instead of raising) — the
+    same strided-trajectory pitfall fixed in diagnostics/analysis.py.
+    """
+    md = solver.mesh_data
+    if time_index is None:
+        time_index = md.nt - 1
+    stride = getattr(solver, "snapshot_every", None) or 1
+    if time_index % stride:
+        raise ValueError(
+            f"time_index {time_index} is not a stored snapshot: this "
+            f"solver stores every {stride}-th step (snapshot_every)"
+        )
+    row = time_index // stride
+    n_rows = len(solver.solutions)
+    if not 0 <= row < n_rows:
+        raise ValueError(
+            f"time_index {time_index} (row {row}) is outside the stored "
+            f"trajectory of {n_rows} rows"
+        )
+    return row, time_index, time_index * solver.dt
+
+
 def plot_solution_on_midpoints(solver, analytical_sol_fn=None,
                                time_index=None, save_dir="results"):
     """Numerical / analytical / error panels on the midpoint triangulation
     (crbe.py:485-552)."""
     plt, mtri = _mpl()
     md = solver.mesh_data
-    if time_index is None:
-        time_index = md.nt - 1
-    t = time_index * solver.dt
+    row, time_index, t = _solution_row(solver, time_index)
     os.makedirs(save_dir, exist_ok=True)
 
     midpoints = np.asarray(md.midpoints)
     t2s = np.asarray(md.triangle_to_segments)
-    u_num = np.asarray(solver.solutions[time_index])
+    u_num = np.asarray(solver.solutions[row])
     triang = mtri.Triangulation(midpoints[:, 0], midpoints[:, 1], t2s)
 
     if analytical_sol_fn is not None:
@@ -87,15 +112,13 @@ def plot_interpolated_solution(solver, analytical_sol_fn=None,
     """Vertex-averaged solution plot, PNG + PDF (crbe.py:572-660)."""
     plt, mtri = _mpl()
     md = solver.mesh_data
-    if time_index is None:
-        time_index = md.nt - 1
-    t = time_index * solver.dt
+    row, time_index, t = _solution_row(solver, time_index)
     os.makedirs(save_dir, exist_ok=True)
 
     points = np.asarray(md.points)
     triangles = np.asarray(md.triangles)
     vertex_values = vertex_average(
-        points, md.segments, solver.solutions[time_index]
+        points, md.segments, solver.solutions[row]
     )
     triang = mtri.Triangulation(points[:, 0], points[:, 1], triangles)
 
@@ -132,7 +155,10 @@ def plot_error_evolution(solver, errors, save_dir="results"):
     """Semilogy L2/Linf error curves over time (crbe.py:554-570)."""
     plt, _ = _mpl()
     os.makedirs(save_dir, exist_ok=True)
-    time_values = np.linspace(0, solver.domain.T, solver.mesh_data.nt)
+    # Size the time axis to the error curves themselves: strided
+    # (snapshot_every>1) trajectories yield fewer rows than nt.
+    n_rows = len(errors["l2_errors"])
+    time_values = np.linspace(0, solver.domain.T, n_rows)
     fig = plt.figure(figsize=(10, 6))
     plt.semilogy(time_values, errors["l2_errors"], "b-", label="L2 Error")
     plt.semilogy(time_values, errors["linf_errors"], "r-", label="L∞ Error")

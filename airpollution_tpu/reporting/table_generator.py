@@ -177,31 +177,41 @@ def generate_latex_tables(df_crbe, df_pinn, memory_data=None,
     )
 
     # Table 6: method characteristics at mesh 64 (table_generator.py:190-214).
-    idx64 = list(mesh_sizes).index(64) if 64 in mesh_sizes else -2
+    # Partial sweeps without a mesh-64 row fall back to the LARGEST mesh
+    # present and say so in the row labels — silently reporting another
+    # mesh's numbers under a "mesh=64" caption would publish wrong data.
+    sizes = list(mesh_sizes)
+    if 64 in sizes:
+        idx64, ms_label = sizes.index(64), 64
+    else:
+        idx64 = int(np.argmax(sizes))
+        ms_label = sizes[idx64]
     eff_c = (df_crbe["rel_l2_error"].iloc[idx64]
              * df_crbe["train_time"].iloc[idx64])
     eff_p = (df_pinn["rel_l2_error"].iloc[idx64]
              * df_pinn["train_time"].iloc[idx64])
     if memory_data is not None:
         mem_row = (
-            f"Memory Usage (MB for mesh=64) &"
+            f"Memory Usage (MB for mesh={ms_label}) &"
             f" ${memory_data['cr_memory_mb'].iloc[idx64]:.2f}$ &"
             f" ${memory_data['pinn_memory_mb'].iloc[idx64]:.2f}$ \\\\\n"
         )
     else:
-        mem_row = "Memory Usage (MB for mesh=64) & $-$ & $-$ \\\\\n"
+        mem_row = (f"Memory Usage (MB for mesh={ms_label}) & $-$ &"
+                   " $-$ \\\\\n")
     header = "Characteristic & CR-BE & PINN \\\\\n\\midrule\n\\midrule\n"
     rows = [
         f"Accuracy (Best $L^2$ Error) &"
         f" {format_sci(df_crbe['rel_l2_error'].min())} &"
         f" {format_sci(df_pinn['rel_l2_error'].min())} \\\\\n",
-        f"Computational Efficiency (Time for mesh=64) &"
+        f"Computational Efficiency (Time for mesh={ms_label}) &"
         f" ${df_crbe['train_time'].iloc[idx64]:.2f}$ s &"
         f" ${df_pinn['train_time'].iloc[idx64]:.2f}$ s \\\\\n",
         mem_row,
         f"Convergence Rate ($L^2$) & ${crbe_l2_rate:.4f}$ &"
         f" ${pinn_l2_rate:.4f}$ \\\\\n",
-        f"Error/Cost Ratio (mesh=64) & ${eff_c:.4f}$ & ${eff_p:.4f}$ \\\\\n",
+        f"Error/Cost Ratio (mesh={ms_label}) & ${eff_c:.4f}$ &"
+        f" ${eff_p:.4f}$ \\\\\n",
     ]
     tables["method_characteristics"] = _tabular(
         "Quantitative evidence for method characteristics",
@@ -252,8 +262,16 @@ def generate_latex_tables(df_crbe, df_pinn, memory_data=None,
             " (PINN) \\\\\n\\midrule\n"
         )
         rows = []
-        for i in range(min(len(df_c), len(df_p))):
-            r1, r2 = df_c.iloc[i], df_p.iloc[i]
+        # Pair the methods BY BUDGET, not by row position: if one
+        # method's run list differs (a failed/skipped budget), positional
+        # pairing would print CRBE's budget next to PINN numbers from a
+        # different budget. Budgets present for only one method are
+        # dropped (nothing to compare).
+        budgets = [b for b in df_c["time_budget"]
+                   if b in set(df_p["time_budget"])]
+        for budget in budgets:
+            r1 = df_c[df_c["time_budget"] == budget].iloc[0]
+            r2 = df_p[df_p["time_budget"] == budget].iloc[0]
             rows.append(
                 f"{r1['time_budget']} & {format_sci(r1['rel_l2_error'])} &"
                 f" {format_sci(r2['rel_l2_error'])} &"

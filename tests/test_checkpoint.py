@@ -142,3 +142,36 @@ def test_legacy_carry_checkpoint_migration(tmp_path):
         np.asarray(jax.tree.leaves(model.params)[0]),
     )
     assert float(model2._carry_state.lam_ic) == lam_before
+
+
+def test_load_pytree_missing_tree_wrong_count_raises_valueerror(tmp_path):
+    """Leaf-count mismatch must be ValueError even when the .tree
+    descriptor is missing — _load_carry_with_migration catches ValueError
+    to migrate legacy carries (a raw NpzFile KeyError would crash
+    resume)."""
+    import numpy as np
+    import pytest
+    from airpollution_tpu.io.checkpoint import load_pytree, save_pytree
+
+    import os
+
+    path = str(tmp_path / "ck.npz")
+    save_pytree(path, {"a": np.zeros(3)})
+    os.remove(path + ".tree")
+    with pytest.raises(ValueError, match="leaf count"):
+        load_pytree(path, {"a": np.zeros(3), "b": np.zeros(2),
+                           "c": np.zeros(1)})
+
+
+def test_save_pinn_epoch_records_resume_point(tmp_path):
+    """save_pinn(epoch=N) writes the resume epoch in the same (atomic)
+    meta write as the weights — no post-hoc patch window."""
+    from airpollution_tpu.io.checkpoint import read_meta, save_pinn
+    from airpollution_tpu.models.pinn import PINN
+    from airpollution_tpu.problems import Domain, Problem
+
+    model = PINN([3, 4, 1], Problem(), Domain(), activation="tanh", seed=0)
+    save_pinn(str(tmp_path), model, step=None, epoch=1500)
+    meta = read_meta(str(tmp_path))
+    assert meta["step"] == 1500
+    assert not list(tmp_path.glob("*.tmp*"))  # atomic renames completed

@@ -95,3 +95,25 @@ def test_tpe_beats_random_on_log_quadratic():
     assert study.best_trial.value < 0.5
     # TPE-phase proposals cluster: their median beats random-phase median.
     assert np.median(tpe_phase) < np.median(startup)
+
+
+def test_tpe_concentrates_int_and_categorical():
+    """After startup, integer and categorical parameters must be guided
+    by the sampler (not pure random): on an objective that sharply
+    prefers one (int, choice) cell, post-startup trials concentrate."""
+    study = create_study(direction="minimize", seed=3)
+
+    def objective(trial):
+        k = trial.suggest_int("k", 0, 9)
+        c = trial.suggest_categorical("c", ["bad1", "good", "bad2"])
+        return abs(k - 7) + (0.0 if c == "good" else 5.0)
+
+    study.optimize(objective, n_trials=60)
+    late = [t for t in study.trials if t.number >= 30]
+    good_c = sum(t.params["c"] == "good" for t in late)
+    near_k = sum(abs(t.params["k"] - 7) <= 2 for t in late)
+    # Random would give ~10/30 for the categorical and ~15/30 for the
+    # int window; require clear concentration beyond both.
+    assert good_c >= 18, good_c
+    assert near_k >= 20, near_k
+    assert study.best_trial.params["c"] == "good"

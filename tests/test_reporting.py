@@ -97,3 +97,43 @@ def test_missing_optional_inputs_skip_tables():
     assert "parameter_sensitivity" not in tables
     assert "fixed_runtime" not in tables
     assert len(tables) == 6
+
+
+def test_fixed_runtime_rows_pair_by_budget():
+    """Mismatched per-method budget sets must pair BY BUDGET (and drop
+    unshared budgets), not by row position."""
+    df_crbe, df_pinn, _, runtime = _fake_results()
+    # CRBE ran {30,60,120,180}; PINN only {60,120,180,300}.
+    runtime = runtime.copy()
+    runtime.loc[
+        (runtime["method"] == "PINN") & (runtime["time_budget"] == 30),
+        "time_budget",
+    ] = 300
+    pinn_err_60 = float(runtime[
+        (runtime["method"] == "PINN") & (runtime["time_budget"] == 60)
+    ]["rel_l2_error"].iloc[0])
+    tables = generate_latex_tables(df_crbe, df_pinn,
+                                   df_fixed_runtime=runtime)
+    body = tables["fixed_runtime"]
+    data_rows = [r for r in body.splitlines()
+                 if r.strip() and r.strip()[0].isdigit()]
+    budgets = [int(r.split("&")[0]) for r in data_rows]
+    assert budgets == [60, 120, 180]  # 30 and 300 unshared -> dropped
+    from airpollution_tpu.reporting.table_generator import format_sci
+
+    assert format_sci(pinn_err_60) in data_rows[0]
+
+
+def test_table6_falls_back_with_honest_label():
+    """Without a mesh-64 row, table 6 reports the largest mesh present
+    and labels the rows with that size (never 'mesh=64' over other
+    data)."""
+    df_crbe, df_pinn, _, _ = _fake_results()
+    keep = df_crbe["mesh_size"] != 64
+    tables = generate_latex_tables(df_crbe[keep].reset_index(drop=True),
+                                   df_pinn[keep].reset_index(drop=True))
+    body = tables["method_characteristics"]
+    assert "mesh=64" not in body
+    assert "mesh=128" in body
+    t128 = float(df_crbe[df_crbe["mesh_size"] == 128]["train_time"].iloc[0])
+    assert f"${t128:.2f}$" in body
