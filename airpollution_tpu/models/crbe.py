@@ -1037,9 +1037,16 @@ class CRBESolver:
         - Otherwise (advection-dominated spectrum) keep BiCGStab but floor
           the tolerance at the f32 rounding level ``sqrt(N)*eps/4`` so the
           stopping test is reachable.
+
+        The rationale is a float32 rounding wall, so the policy only
+        applies when the solve actually runs in float32 (the mesh dtype);
+        an x64 solve at the same size can legitimately reach much tighter
+        tolerances and is left untouched.
         """
         import warnings
 
+        if self.mesh_data.midpoints.dtype != jnp.float32:
+            return
         n = self.mesh_data.number_of_segments
         try:
             self._check_chebyshev_applicable(ops, warn=False)

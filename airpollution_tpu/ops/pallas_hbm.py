@@ -421,9 +421,12 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
     homogeneous state in family layout (boundary lift is the caller's).
     The mesh-size ceiling is HBM, not VMEM.
 
-    Tiling is (stripe_rows x stripe_lanes) with stripe_lanes=None picking
-    the redundancy-minimizing shape (full-lane 1D stripes through ~2049^2,
-    2D tiles with a 128-lane halo beyond — judge finding W3)."""
+    Tiling is (stripe_rows x stripe_lanes); with both None, choose_tile
+    picks the redundancy-minimizing shape — full-lane tall stripes at
+    EVERY size (2D lane tiling was measured and rejected: 147 vs 195
+    steps/s at 4097^2, results_snapshot/hbm_ab.csv; lane-bound sizes get
+    a raised VMEM window budget instead). Pass stripe_lanes explicitly
+    to force 2D tiles for experiments."""
     if n_steps == 0:
         return u0_fam
     n, c = spec.n, spec.c

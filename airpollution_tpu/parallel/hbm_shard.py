@@ -64,18 +64,12 @@ from airpollution_tpu.ops import stencil as stencil_mod
 from airpollution_tpu.ops import uniform as uniform_mod
 from airpollution_tpu.ops import pallas_hbm
 from airpollution_tpu.ops.pallas_solver import from_canvases, to_canvases
-
-
-def _halo_from_above(slab, axis):
-    n_dev = jax.lax.axis_size(axis)
-    perm = [(d, d - 1) for d in range(1, n_dev)]
-    return jax.lax.ppermute(slab, axis, perm)
-
-
-def _halo_from_below(slab, axis):
-    n_dev = jax.lax.axis_size(axis)
-    perm = [(d, d + 1) for d in range(n_dev - 1)]
-    return jax.lax.ppermute(slab, axis, perm)
+# Shared chain-end ppermute semantics (zero-fill at the ends) — the same
+# helpers the scan-path halo solver's correctness argument rests on.
+from airpollution_tpu.parallel.stencil_shard import (
+    _halo_from_above,
+    _halo_from_below,
+)
 
 
 def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None):
@@ -182,7 +176,7 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             interpret=interpret,
         )
 
-    def solve_impl(ops: GlobalOperators, u0, aux):
+    def solve_impl(ops: GlobalOperators, u0, aux, bounds):
         # aux carries the O(N) per-mesh arrays as jit ARGUMENTS — closing
         # over them would bake them into the compile payload, which broke
         # the remote-compile transport at 4097² on the serial path
@@ -193,11 +187,6 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
         consts = uniform_mod.extract_constants(spec, ops.system.vals)
         mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
         idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
-        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
-        bounds = linalg.power_bounds(
-            sys_matvec, jnp.zeros_like(u0),
-            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
-        )
         packed = jnp.concatenate([
             jnp.asarray(consts, dtype),
             jnp.asarray(mass_c, dtype),
@@ -281,7 +270,26 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     aux = (perm, inv, jnp.asarray(md.midpoints),
            jnp.asarray(md.boundary_mask))
 
+    @jax.jit
+    def _bounds_fn(ops: GlobalOperators, u0):
+        # Chebyshev interval of the Jacobi-scaled system operator.
+        # Computed EAGERLY once per operator set and fed to the solve as
+        # an argument: tracing power_bounds inside solve_impl would
+        # re-run its ~100 matvecs on every compiled solve() invocation
+        # (the serial path caches these the same way — CLAUDE.md).
+        consts = uniform_mod.extract_constants(spec, ops.system.vals)
+        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+        return linalg.power_bounds(
+            sys_matvec, jnp.zeros_like(u0),
+            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+        )
+
+    cache = {"ops": None, "bounds": None}
+
     def solve(ops: GlobalOperators, u0):
-        return jitted(ops, u0, aux)
+        if cache["ops"] is not ops:
+            cache["ops"] = ops
+            cache["bounds"] = _bounds_fn(ops, u0)
+        return jitted(ops, u0, aux, cache["bounds"])
 
     return solve

@@ -38,6 +38,7 @@ _DEFAULT_DIR = os.path.join(
 )
 
 _enabled_dir: str | None = None
+_explicit = False  # opted in via path arg or APT_COMPILATION_CACHE_DIR
 
 
 def _cpu_only() -> bool:
@@ -64,10 +65,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     fails (old JAX, read-only filesystem, ...) — callers never have to
     handle errors; a missing cache only costs compile time.
     """
-    global _enabled_dir
+    global _enabled_dir, _explicit
     if os.environ.get("APT_COMPILATION_CACHE", "1") == "0":
         return None
     if _enabled_dir is not None and path in (None, _enabled_dir):
+        _explicit = _explicit or path is not None
         return _enabled_dir
     explicit = path or os.environ.get("APT_COMPILATION_CACHE_DIR")
     if explicit is None and _cpu_only():
@@ -81,6 +83,7 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     except Exception:
         return None
     _enabled_dir = cache_dir
+    _explicit = path is not None or explicit is not None
     return cache_dir
 
 
@@ -93,11 +96,13 @@ def sync_platform() -> None:
     manual ``jax.config.update("jax_platforms", "cpu")``) would
     otherwise keep persisting XLA:CPU AOT executables. Call this after
     any platform change; it turns the auto-enabled cache off on
-    CPU-only platforms while leaving an explicit
-    ``APT_COMPILATION_CACHE_DIR`` opt-in alone.
+    CPU-only platforms while leaving any explicit opt-in alone —
+    either an ``enable_compilation_cache(path)`` call or
+    ``APT_COMPILATION_CACHE_DIR`` in the environment.
     """
     global _enabled_dir
     if (_enabled_dir is None
+            or _explicit
             or os.environ.get("APT_COMPILATION_CACHE_DIR")
             or not _cpu_only()):
         return

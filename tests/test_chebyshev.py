@@ -167,6 +167,41 @@ def test_chebyshev_warns_in_advection_dominated_regime():
     assert not any("diverge" in str(x.message) for x in w)
 
 
+def test_large_mesh_policy_is_float32_only():
+    """The >6M-DOF auto solver policy exists because of a FLOAT32
+    residual-rounding wall; an x64 solve at the same size can reach
+    tight tolerances and must be left untouched (invoked directly —
+    building a 6M-DOF mesh in tests is not practical)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    domain, problem = Domain(), Problem()
+
+    # f32 (the production dtype): the diffusion-dominated spectrum passes
+    # the applicability check, so the policy switches to Chebyshev.
+    md = MeshData(create_mesh(16, 20.0), domain, nt=65)
+    s = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                   solver_method="bicgstab", solver_tol=1e-10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._apply_large_mesh_solver_policy(s._require_ops())
+    assert s.solver_method == "chebyshev"
+    assert any("auto-switching" in str(x.message) for x in w)
+
+    # f64: no float32 wall — the policy is a no-op.
+    md64 = MeshData(create_mesh(16, 20.0), domain, nt=65,
+                    dtype=jnp.float64)
+    s64 = CRBESolver(domain, problem, md64, matvec_impl="uniform",
+                     solver_method="bicgstab", solver_tol=1e-10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s64._apply_large_mesh_solver_policy(s64._require_ops())
+    assert s64.solver_method == "bicgstab"
+    assert s64.solver_tol == 1e-10
+    assert not w
+
+
 def test_warn_survives_silent_policy_probe():
     """A warn=False applicability probe (the large-mesh policy) must not
     permanently silence the user-facing divergence warning."""

@@ -9,9 +9,11 @@ from airpollution_tpu.utils import compile_cache
 @pytest.fixture
 def restore_cache_config():
     prev_dir = compile_cache._enabled_dir
+    prev_explicit = compile_cache._explicit
     prev_cfg = jax.config.jax_compilation_cache_dir
     yield
     compile_cache._enabled_dir = prev_dir
+    compile_cache._explicit = prev_explicit
     jax.config.update("jax_compilation_cache_dir", prev_cfg)
 
 
@@ -50,10 +52,27 @@ def test_sync_platform_disables_auto_cache_on_cpu(tmp_path,
     monkeypatch.delenv("APT_COMPILATION_CACHE_DIR", raising=False)
     target = str(tmp_path / "xla")
     compile_cache._enabled_dir = target
+    compile_cache._explicit = False
     jax.config.update("jax_compilation_cache_dir", target)
     compile_cache.sync_platform()
     assert compile_cache._enabled_dir is None
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_sync_platform_keeps_explicit_path_opt_in(tmp_path,
+                                                  restore_cache_config,
+                                                  monkeypatch):
+    # An explicit enable_compilation_cache(path) call is an opt-in
+    # "regardless of platform" (module contract) — sync_platform must
+    # not silently discard it even with the env var unset.
+    monkeypatch.delenv("APT_COMPILATION_CACHE_DIR", raising=False)
+    target = str(tmp_path / "xla")
+    compile_cache._enabled_dir = None
+    compile_cache._explicit = False
+    assert compile_cache.enable_compilation_cache(target) == target
+    compile_cache.sync_platform()
+    assert compile_cache._enabled_dir == target
+    assert jax.config.jax_compilation_cache_dir == target
 
 
 def test_sync_platform_keeps_explicit_env_opt_in(tmp_path,

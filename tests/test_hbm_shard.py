@@ -67,6 +67,34 @@ def test_hbm_shard_strided_trajectory_matches_serial():
     np.testing.assert_allclose(traj, sols[::4], atol=2e-6)
 
 
+def test_hbm_shard_real_boundary_crossing():
+    """2 devices on a 48-row canvas: the per-device interior (24 rows)
+    exceeds the halo (8 rows for iters=6), so the halo slabs carry REAL
+    neighbor state across the mid-canvas device boundary — unlike the
+    mesh-12/8-device cases above, where halo >= canvas means device 0
+    owns every real row and the exchange only moves zeros. A swapped
+    up/dn ppermute or an off-by-halo slice passes those tests but not
+    this one (the plume straddles the boundary; mutation-checked: a
+    swapped exchange scores max diff 2.7e-2 vs the 2e-6 tolerance).
+    nt=33 keeps dt in the
+    diffusion-dominated (convergent-Chebyshev) regime — at nt=9 the
+    factor-1.17 iteration amplifies f32 reduction-order noise to ~5e-6
+    and the comparison measures the regime, not the exchange."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(48, 20.0), domain, nt=33)
+    serial = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                        solver_method="chebyshev", chebyshev_iters=6)
+    u_serial = np.asarray(serial.solve(store_solutions=False))
+
+    mesh = make_mesh({"mp": 2})
+    solver = build_hbm_halo_solver(mesh, md, problem, serial.dt,
+                                   order=1, iters=6,
+                                   stripe_rows=8, interpret=True)
+    u_shard = np.asarray(solver(serial._require_ops(),
+                                serial.set_initial_condition()))
+    np.testing.assert_allclose(u_shard, u_serial, atol=2e-6)
+
+
 def test_hbm_shard_guards():
     from airpollution_tpu.mesh.structured import create_unstructured_mesh
 
