@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from experiments.common import configure_platform
+
+configure_platform()  # APT_PLATFORM=cpu for dev-loop smokes
+
 import airpollution_tpu as apt
 from airpollution_tpu.models.pinn import PINN
 
@@ -133,6 +137,41 @@ def main(argv=None):
             "lambdas": {"pde": 10.0, "ic": 0.14, "bc": 0.14},
             "epochs": 64000, "patience": 8000, "min_delta": 1e-9,
             "lbfgs": 1000},
+        # Round-2 screening around the 0.407 winner (fourier+causal+wide):
+        # fourier_scale, activation, depth, and collocation-batch levers at
+        # a 16k-epoch budget; winners get promoted to the 64k schedule.
+        "fcw-scale0.5-16k": {"ff": 64, "ce": 1.0, "scale": 0.5,
+                             "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                             "epochs": 16000, "patience": 2000,
+                             "min_delta": 1e-9},
+        "fcw-scale2-16k": {"ff": 64, "ce": 1.0, "scale": 2.0,
+                           "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                           "epochs": 16000, "patience": 2000,
+                           "min_delta": 1e-9},
+        "fcw-scale4-16k": {"ff": 64, "ce": 1.0, "scale": 4.0,
+                           "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                           "epochs": 16000, "patience": 2000,
+                           "min_delta": 1e-9},
+        "fcw-sine-16k": {"ff": 64, "ce": 1.0, "act": "sine",
+                         "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                         "epochs": 16000, "patience": 2000,
+                         "min_delta": 1e-9},
+        "sine-wide-16k": {"ce": 1.0, "act": "sine",
+                          "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                          "epochs": 16000, "patience": 2000,
+                          "min_delta": 1e-9},
+        "fcw-deep6-16k": {"ff": 64, "ce": 1.0,
+                          "layers": [3] + [64] * 6 + [1], "lr": 1e-3,
+                          "epochs": 16000, "patience": 2000,
+                          "min_delta": 1e-9},
+        "fcw-batch2x-16k": {"ff": 64, "ce": 1.0, "batch_mult": 2,
+                            "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                            "epochs": 16000, "patience": 2000,
+                            "min_delta": 1e-9},
+        "fcw-batch4x-16k": {"ff": 64, "ce": 1.0, "batch_mult": 4,
+                            "layers": [3] + [64] * 4 + [1], "lr": 1e-3,
+                            "epochs": 16000, "patience": 2000,
+                            "min_delta": 1e-9},
     }
 
     if args.variants:
@@ -146,15 +185,19 @@ def main(argv=None):
         lams = cfg.get("lambdas", lambdas)
         net = cfg.get("layers", layers)
         lr = cfg.get("lr", 1e-4)
+        bm = cfg.get("batch_mult", 1)
+        batch_v = {k: v * bm for k, v in batch.items()}
 
         def build():
-            return PINN(net, problem, domain, activation="tanh",
+            return PINN(net, problem, domain,
+                        activation=cfg.get("act", "tanh"),
                         seed=1234, fourier_features=cfg.get("ff", 0),
-                        fourier_scale=1.0, hard_ic=cfg.get("hic", False))
+                        fourier_scale=cfg.get("scale", 1.0),
+                        hard_ic=cfg.get("hic", False))
 
         def run(model, epochs):
             return model.train(
-                batch, epochs, lr, lams,
+                batch_v, epochs, lr, lams,
                 adaptive_oversample=cfg.get("rad", 0.0),
                 adaptive_weights_every=cfg.get("aw", 0),
                 causal_eps=cfg.get("ce", 0.0),
@@ -172,7 +215,7 @@ def main(argv=None):
         t0 = time.time()
         h = run(model, cfg.get("epochs", args.epochs))
         if cfg.get("lbfgs"):
-            h = model.finetune_lbfgs(batch, cfg["lbfgs"], lams)
+            h = model.finetune_lbfgs(batch_v, cfg["lbfgs"], lams)
         wall = time.time() - t0
         rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
         row = {
