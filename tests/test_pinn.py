@@ -330,6 +330,34 @@ def test_adaptive_weights_move_toward_grad_balance():
     assert float(off._carry_state.lam_bc) == pytest.approx(5.0)
 
 
+def test_finetune_lbfgs_polish_reduces_loss():
+    """finetune_lbfgs (the Adam->L-BFGS polish behind the headline
+    accuracy result): runs the requested number of steps, extends the
+    history, REDUCES the full-batch composite loss, and leaves the
+    model's errors finite."""
+    model = PINN([3, 8, 1], Problem(), Domain(), activation="tanh",
+                 seed=31)
+    lams = {"pde": 1.0, "ic": 1.0, "bc": 1.0}
+    batch = {"pde": 64, "ic": 16, "bc": 16}
+    model.train(batch, 20, 1e-3, lams)
+    n_hist = len(model.history["total_loss"])
+    t_before = model.training_time
+
+    h = model.finetune_lbfgs(batch, 15, lams)
+    assert h is model.history
+    assert len(h["total_loss"]) == n_hist + 15
+    assert np.isfinite(np.asarray(h["total_loss"][-15:])).all()
+    # The polish optimizes ITS OWN freshly drawn full batch; compare
+    # across its iterations, not against the Adam tail on other draws.
+    assert h["total_loss"][-1] < h["total_loss"][-15]
+    assert model.training_time > t_before
+
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=8)
+    rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
+    assert np.isfinite([rel, l2, mx]).all()
+
+
 def test_pinn_area_weighted_errors():
     """compute_fem_errors mirrors the CRBE area-weighted variant: finite,
     positive, and consistent with the unweighted norms' max error."""
