@@ -138,7 +138,7 @@ def mlp_apply(params, x, activation="adaptive_tanh"):
 
 
 def ansatz_apply(params, xyt, activation, problem=None, hard_ic=False,
-                 t_final=1.0):
+                 t_final=1.0, forward=None):
     """Solution ansatz: the raw MLP, or the hard-initial-condition form
 
         u(x, y, t) = u0(x, y) + (t / T) * NN(x, y, t)
@@ -150,8 +150,13 @@ def ansatz_apply(params, xyt, activation, problem=None, hard_ic=False,
     source on the Gaussian-plume problem: the network only learns the
     deviation from the initial state, and the IC loss term vanishes
     identically. ``xyt`` is (..., 3) in (x, y, t) order or a single
-    (3,) point; output shape matches ``mlp_apply``."""
-    out = mlp_apply(params, xyt, activation)
+    (3,) point; output shape matches ``mlp_apply``.
+
+    ``forward`` injects the network application (default ``mlp_apply``;
+    the tensor-parallel path passes its psum-reducing forward) so the
+    ansatz — ramp normalization, dtype handling — has exactly ONE
+    definition across serial and sharded training."""
+    out = (forward or mlp_apply)(params, xyt, activation)
     if not hard_ic:
         return out
     # Keep the network dtype: problem closed forms compute in f64 under

@@ -38,7 +38,11 @@ sharding).
 
 Chebyshev/zero-source/final-state-or-strided-snapshots — the serial
 stripe kernel's own contract (sources and residual-based BiCGStab live
-on the halo-exchange scan path, stencil_shard.py). Validated against the
+on the halo-exchange scan path, stencil_shard.py). Operator scalars come
+either off assembled GlobalOperators or (``assembly="patch"``, auto past
+6M DOFs like the serial path) from a congruent patch mesh with no global
+operator at all — the compiled program only ever sees a 23-scalar pack
+plus the sharded state. Validated against the
 serial solver on the 8-device CPU mesh in interpret mode
 (tests/test_hbm_shard.py); multi-chip TPU hardware is not available in
 this environment.
@@ -103,7 +107,8 @@ def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None):
 def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                           iters=8, axis="mp", extrapolate=False,
                           snapshot_every=None, stripe_rows=None,
-                          interpret=False):
+                          interpret=False, assembly="auto",
+                          stiffness_convention="correct"):
     """Jitted distributed stripe-kernel solve over a structured mesh.
 
     Same contract as parallel/stencil_shard.build_halo_solver restricted
@@ -115,6 +120,13 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     second-order warm start. Zero-source problems only (the kernel
     rebuilds its RHS from the state alone; for sources use
     build_halo_solver).
+
+    ``assembly``: ``"full"`` reads the 21 operator scalars off assembled
+    ``GlobalOperators``; ``"patch"`` extracts them from a tiny congruent
+    patch mesh (ops/uniform.patch_constants — no global operator at all,
+    ``solve(None, u0)``); ``"auto"`` (default) switches to patch past
+    6M DOFs, mirroring models/crbe — the sizes this solver targets are
+    exactly where global assembly OOMs (24 GB at 2049^2, CLAUDE.md).
     """
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
@@ -124,12 +136,22 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             "the stripe kernel is zero-source only; use "
             "stencil_shard.build_halo_solver for problems with sources"
         )
-    pattern = stencil_mod.get_pattern(md)
-    spec = uniform_mod.build_uniform_spec(pattern)
+    if assembly not in ("auto", "full", "patch"):
+        raise ValueError(f"unknown assembly {assembly!r}")
+    use_patch = assembly == "patch" or (
+        assembly == "auto" and md.number_of_segments > 6_000_000
+    )
+    if use_patch:
+        spec = uniform_mod.make_spec_lite(md.structured_n)
+        perm_np, inv_np = stencil_mod.get_family_perm(md)
+        perm, inv = jnp.asarray(perm_np), jnp.asarray(inv_np)
+    else:
+        pattern = stencil_mod.get_pattern(md)
+        spec = uniform_mod.build_uniform_spec(pattern)
+        perm = jnp.asarray(pattern.perm)
+        inv = jnp.asarray(pattern.inv_perm)
     n, c = spec.n, spec.c
     n_dev = mesh.shape[axis]
-    perm = jnp.asarray(pattern.perm)
-    inv = jnp.asarray(pattern.inv_perm)
     n_steps = md.nt - 1
     if snapshot_every is not None and (
         snapshot_every < 1 or n_steps % snapshot_every
@@ -176,23 +198,18 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             interpret=interpret,
         )
 
-    def solve_impl(ops: GlobalOperators, u0, aux, bounds):
+    def solve_impl(u0, aux, packed):
         # aux carries the O(N) per-mesh arrays as jit ARGUMENTS — closing
         # over them would bake them into the compile payload, which broke
         # the remote-compile transport at 4097² on the serial path
-        # (models/crbe.py _solve_aux; CLAUDE.md).
+        # (models/crbe.py _solve_aux; CLAUDE.md). packed is the 23-scalar
+        # operator description (15 system + 3 mass + 3 inv-diag + 2
+        # Chebyshev bounds), extracted EAGERLY per operator set — the
+        # compiled program never sees the GlobalOperators at all.
         perm, inv, midpoints, boundary_mask = aux
         dtype = u0.dtype
         step_call = _build_step_call(dtype)
-        consts = uniform_mod.extract_constants(spec, ops.system.vals)
-        mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
-        idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
-        packed = jnp.concatenate([
-            jnp.asarray(consts, dtype),
-            jnp.asarray(mass_c, dtype),
-            jnp.asarray(idiag_c, dtype),
-            jnp.stack([jnp.asarray(b, dtype) for b in bounds]),
-        ])
+        packed = jnp.asarray(packed, dtype)
 
         u0_can = jnp.stack(to_canvases(spec, u0[perm]))  # (3, n, n)
         u0_can = jnp.pad(
@@ -270,26 +287,73 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     aux = (perm, inv, jnp.asarray(md.midpoints),
            jnp.asarray(md.boundary_mask))
 
+    def _pack(consts, mass_c, idiag_c, bounds):
+        return jnp.concatenate([
+            jnp.ravel(jnp.asarray(consts)),
+            jnp.ravel(jnp.asarray(mass_c)),
+            jnp.ravel(jnp.asarray(idiag_c)),
+            jnp.stack([jnp.asarray(b) for b in bounds]),
+        ])
+
     @jax.jit
-    def _bounds_fn(ops: GlobalOperators, u0):
-        # Chebyshev interval of the Jacobi-scaled system operator.
-        # Computed EAGERLY once per operator set and fed to the solve as
-        # an argument: tracing power_bounds inside solve_impl would
-        # re-run its ~100 matvecs on every compiled solve() invocation
-        # (the serial path caches these the same way — CLAUDE.md).
+    def _packed_fn(ops: GlobalOperators, u0, perm):
+        # The 23-scalar operator description, computed EAGERLY once per
+        # operator set and fed to the solve as an argument: tracing
+        # power_bounds inside solve_impl would re-run its ~100 matvecs
+        # on every compiled solve() invocation (the serial path caches
+        # these the same way — CLAUDE.md). perm is an ARGUMENT for the
+        # same reason aux is in solve_impl: an O(N) closure constant
+        # becomes compile payload.
         consts = uniform_mod.extract_constants(spec, ops.system.vals)
+        mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
+        idiag_c = 1.0 / uniform_mod.family_constants(spec,
+                                                     ops.system_diag)
         sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
-        return linalg.power_bounds(
+        bounds = linalg.power_bounds(
             sys_matvec, jnp.zeros_like(u0),
             scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
         )
+        return _pack(consts, mass_c, idiag_c, bounds)
 
-    cache = {"ops": None, "bounds": None}
+    if use_patch:
+        # Patch assembly: the same 23 scalars from a congruent patch
+        # mesh (O(1) setup/memory) — solve(None, u0). The boundary-aware
+        # Jacobi-scaled spectrum needs one synthesized O(N) diag vector,
+        # built once here (not inside any jit).
+        xs = md.points[:, 0]
+        half_width = float(jnp.max(xs) - jnp.min(xs)) / 2.0
+        sys_c, _ka_c, mass_c, diag_c = uniform_mod.patch_constants(
+            md.structured_n, half_width, problem, dt, order,
+            stiffness_convention, dtype=md.midpoints.dtype,
+        )
+        bmask_fam = jnp.asarray(md.boundary_mask)[perm]
+
+        @jax.jit
+        def _patch_bounds(diag_fam):
+            return linalg.power_bounds(
+                partial(uniform_mod.uniform_matvec, spec, sys_c),
+                jnp.zeros_like(diag_fam),
+                scale=1.0 / jnp.sqrt(diag_fam),
+            )
+
+        bounds = _patch_bounds(
+            uniform_mod.family_diag_vector(spec, diag_c, bmask_fam)
+        )
+        patch_packed = _pack(sys_c, mass_c, 1.0 / diag_c, bounds)
+
+        def solve(ops, u0):
+            # ops accepted for interface parity with the full path; the
+            # patch route never reads it (pass None).
+            return jitted(u0, aux, patch_packed)
+
+        return solve
+
+    cache = {"ops": None, "packed": None}
 
     def solve(ops: GlobalOperators, u0):
         if cache["ops"] is not ops:
             cache["ops"] = ops
-            cache["bounds"] = _bounds_fn(ops, u0)
-        return jitted(ops, u0, aux, cache["bounds"])
+            cache["packed"] = _packed_fn(ops, u0, perm)
+        return jitted(u0, aux, cache["packed"])
 
     return solve

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from airpollution_tpu.models.pinn import init_mlp_params
+from airpollution_tpu.models.pinn import ansatz_apply, init_mlp_params
 from airpollution_tpu.ops import autodiff, sampling
 
 _ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
@@ -121,16 +121,12 @@ def forward_tp(params, x, activation="adaptive_tanh"):
 
 def _apply_tp(params, x, activation, problem=None, hard_ic=False,
               t_final=1.0):
-    """Tensor-parallel solution ansatz (models/pinn.ansatz_apply
-    semantics over forward_tp): raw MLP, or hard-IC
-    u0(x, y) + (t/T) * NN(x, y, t)."""
-    out = forward_tp(params, x, activation)
-    if not hard_ic:
-        return out
-    # Keep the network dtype (problem closed forms are f64 under x64).
-    u0 = problem.initial_condition_fn(x[..., :2]).astype(out.dtype)
-    ramp = (x[..., 2] / t_final).astype(out.dtype)
-    return u0[..., None] + ramp[..., None] * out
+    """Tensor-parallel solution ansatz: models/pinn.ansatz_apply (the
+    ONE hard-IC definition) with this module's psum-reducing forward
+    injected — a second copy of the ansatz would silently desynchronize
+    serial and sharded hard-IC training on any convention change."""
+    return ansatz_apply(params, x, activation, problem, hard_ic,
+                        t_final, forward=forward_tp)
 
 
 def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,

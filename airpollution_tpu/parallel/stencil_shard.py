@@ -182,7 +182,7 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     def _pad_rows(can3):
         return jnp.pad(can3, ((0, 0), (0, n_rows - n), (0, 0)))
 
-    def solve_impl(ops: GlobalOperators, u0, aux):
+    def solve_impl(ops: GlobalOperators, u0, aux, bounds):
         # aux threads the O(N) per-mesh arrays through jit as ARGUMENTS —
         # closure constants become compile payload, which broke the
         # remote-compile transport at 4097² (models/crbe.py _solve_aux).
@@ -191,11 +191,7 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
         mass_c = uniform_mod.family_constants(spec, ops.mass_diag)
         idiag_c = 1.0 / uniform_mod.family_constants(spec, ops.system_diag)
         if solver_method == "chebyshev":
-            sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
-            lo, hi = linalg.power_bounds(
-                sys_matvec, jnp.zeros_like(u0),
-                scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
-            )
+            lo, hi = bounds
             theta = 0.5 * (hi + lo)
             delta = 0.5 * (hi - lo)
             sigma = theta / delta
@@ -314,7 +310,28 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     aux = (perm, inv, jnp.asarray(md.midpoints),
            jnp.asarray(md.boundary_mask))
 
+    @jax.jit
+    def _bounds_fn(ops: GlobalOperators, u0, perm):
+        # Chebyshev interval, computed EAGERLY once per operator set and
+        # fed to the solve as an argument — tracing power_bounds inside
+        # the jitted solve re-runs its ~100 matvecs every invocation
+        # (the serial path and hbm_shard cache these the same way). perm
+        # is an argument: an O(N) closure constant is compile payload.
+        consts = uniform_mod.extract_constants(spec, ops.system.vals)
+        sys_matvec = partial(uniform_mod.uniform_matvec, spec, consts)
+        return linalg.power_bounds(
+            sys_matvec, jnp.zeros_like(u0),
+            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+        )
+
+    cache = {"ops": None, "bounds": None}
+
     def solve(ops: GlobalOperators, u0):
-        return jitted(ops, u0, aux)
+        if solver_method == "chebyshev" and cache["ops"] is not ops:
+            cache["ops"] = ops
+            cache["bounds"] = _bounds_fn(ops, u0, perm)
+        bounds = (cache["bounds"] if cache["bounds"] is not None
+                  else (jnp.zeros((), u0.dtype),) * 2)
+        return jitted(ops, u0, aux, bounds)
 
     return solve

@@ -49,6 +49,18 @@ def _solution_row(solver, time_index):
     md = solver.mesh_data
     if time_index is None:
         time_index = md.nt - 1
+    n_rows = len(solver.solutions)
+    if n_rows == 1:
+        # store_solutions=False: the single stored row IS the final
+        # state — plottable at (and only at) the final step index.
+        if time_index != md.nt - 1:
+            raise ValueError(
+                f"time_index {time_index} requested but this solver "
+                f"stored only the final state (store_solutions=False); "
+                f"re-solve with store_solutions=True for intermediate "
+                f"steps"
+            )
+        return 0, time_index, time_index * solver.dt
     stride = getattr(solver, "snapshot_every", None) or 1
     if time_index % stride:
         raise ValueError(
@@ -56,7 +68,6 @@ def _solution_row(solver, time_index):
             f"solver stores every {stride}-th step (snapshot_every)"
         )
     row = time_index // stride
-    n_rows = len(solver.solutions)
     if not 0 <= row < n_rows:
         raise ValueError(
             f"time_index {time_index} (row {row}) is outside the stored "

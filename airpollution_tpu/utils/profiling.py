@@ -53,7 +53,14 @@ def get_device_memory_mb() -> float:
     for arr in arrays:
         try:
             if dev in arr.devices():
-                total += arr.nbytes
+                # Per-device residency: sum THIS device's shards, not the
+                # global nbytes — a sharded/replicated array (8-device
+                # mesh runs) would otherwise be counted at full size on
+                # every device (up to n_dev x overreport).
+                total += sum(
+                    s.data.nbytes for s in arr.addressable_shards
+                    if s.device == dev
+                )
         except Exception:
             failures += 1
     if arrays and failures == len(arrays):

@@ -95,6 +95,24 @@ def test_hbm_shard_real_boundary_crossing():
     np.testing.assert_allclose(u_shard, u_serial, atol=2e-6)
 
 
+def test_hbm_shard_patch_assembly_matches_full():
+    """assembly='patch' (the >6M-DOF route: no GlobalOperators at all,
+    solve(None, u0)) reproduces the full-assembly distributed solve —
+    same kernel, operator scalars from the congruent patch mesh."""
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=16)
+    serial = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                        solver_method="chebyshev", chebyshev_iters=14)
+    u_serial = np.asarray(serial.solve(store_solutions=False))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_hbm_halo_solver(mesh, md, problem, serial.dt,
+                                   order=1, iters=14, stripe_rows=8,
+                                   assembly="patch", interpret=True)
+    u_patch = np.asarray(solver(None, serial.set_initial_condition()))
+    np.testing.assert_allclose(u_patch, u_serial, atol=2e-6)
+
+
 def test_hbm_shard_guards():
     from airpollution_tpu.mesh.structured import create_unstructured_mesh
 

@@ -47,6 +47,54 @@ def test_vertex_average_matches_loop():
     np.testing.assert_allclose(got, expect, atol=1e-12)
 
 
+def test_final_state_only_solver_is_plottable(tmp_path):
+    """store_solutions=False keeps only the final state; plotting it at
+    the (default) final step index must work — the single stored row IS
+    the final state — while intermediate indices raise with a pointer
+    to store_solutions=True."""
+    import pytest
+
+    domain, problem = Domain(), Problem()
+    md = MeshData(create_mesh(6, 20.0), domain, nt=4)
+    solver = CRBESolver(domain, problem, md)
+    solver.solve(store_solutions=False)
+    d = str(tmp_path)
+    solver.plot_solution(problem.analytical_solution, save_dir=d)
+    assert any(f.startswith("solution_t3") for f in os.listdir(d))
+    with pytest.raises(ValueError, match="store_solutions"):
+        solver.plot_solution(problem.analytical_solution, time_index=1,
+                             save_dir=d)
+
+
+def test_device_memory_counts_per_device_shards():
+    """A sharded array contributes only its local shard bytes to each
+    device's total; a replicated one its full size (per device) — not
+    n_dev x the global size (review finding, round 2)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import gc
+
+    from airpollution_tpu.utils.profiling import get_device_memory_mb
+
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    nbytes = 8 * 4096 * 4
+    src = jnp.ones((8, 4096), jnp.float32)
+    sharded = jax.device_put(src, NamedSharding(mesh, P("x")))
+    del src
+    gc.collect()  # drop the full-size single-device temporary
+    with_sharded = get_device_memory_mb()
+    del sharded
+    gc.collect()
+    base = get_device_memory_mb()
+    # Device 0 held exactly its 1/8th shard of the sharded array — the
+    # old accounting charged the full global nbytes to every device.
+    np.testing.assert_allclose(
+        with_sharded - base, nbytes / 8 / 1e6, rtol=0.05
+    )
+
+
 def test_solver_and_pinn_plots_write_files(tmp_path):
     domain, problem = Domain(), Problem()
     md = MeshData(create_mesh(6, 20.0), domain, nt=4)
