@@ -17,10 +17,12 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(float(out))
 
 
+@pytest.mark.kernels  # the dryrun runs interpret-mode stripe kernels
 def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.kernels
 def test_dryrun_multichip_odd_device_count():
     # Odd counts fall back to pure data parallelism (tp=1).
     __graft_entry__.dryrun_multichip(5)
