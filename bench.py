@@ -27,14 +27,43 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main():
+def _wait_for_backend(attempts: int = 6, delay_s: float = 180.0):
+    """Wait out tunnel outages before touching the backend in-process.
+
+    The shared axon tunnel drops for minutes-to-hours at a time
+    (observed 2026-08-17/18), and a down tunnel either fast-fails OR
+    HANGS the first jax.devices() call — so probe from a timeout-bounded
+    subprocess and only initialize this process's backend once a probe
+    succeeds. On persistent failure, fall through and let the final
+    in-process call (and the driver's own timeout) decide."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        log(f"backend unavailable (probe {i + 1}/{attempts}); "
+            f"retrying in {delay_s:.0f}s")
+        if i < attempts - 1:
+            time.sleep(delay_s)
     import jax
+
+    return jax.devices()
+
+
+def main():
     import numpy as np
 
     import airpollution_tpu as apt
     from airpollution_tpu.models.crbe import CRBESolver
 
-    dev = jax.devices()[0]
+    dev = _wait_for_backend()[0]
     log(f"device: {dev} ({dev.platform})")
 
     ms, nt = 257, 1001  # 256x256 cells, 1000 backward-Euler steps
