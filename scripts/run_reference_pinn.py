@@ -102,6 +102,13 @@ def main():
                     default=[4, 8, 16, 32, 64])
     ap.add_argument("--out", default="results_snapshot/reference_pinn_errors.csv")
     ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--epochs-cap", type=int, default=None,
+                    help="Cap the trained epochs below the per-mesh "
+                         "schedule (wall-clock bound: ms=128's scheduled "
+                         "16000 epochs is ~12h on this single core). "
+                         "epochs_scheduled still records the schedule; "
+                         "the measured error is an upper bound on the "
+                         "fully-scheduled config's.")
     args = ap.parse_args()
 
     torch.set_num_threads(args.threads)
@@ -135,7 +142,9 @@ def main():
         print(f"[reference-pinn] ms={ms}: layers={layers} epochs={epochs} "
               f"lr={lr} n_col={n_col}", flush=True)
         t0 = time.time()
-        history = model.train(batch_sizes, epochs, lr, LAMBDA,
+        train_epochs = (min(epochs, args.epochs_cap)
+                        if args.epochs_cap else epochs)
+        history = model.train(batch_sizes, train_epochs, lr, LAMBDA,
                               early_stopping_patience=patience)
         train_time = time.time() - t0
         epochs_run = len(history["total_loss"])
