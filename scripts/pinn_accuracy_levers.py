@@ -228,12 +228,21 @@ def main(argv=None):
         }
         rows.append(row)
         print(row, file=sys.stderr, flush=True)
+        # Flush the merged table after EVERY variant: a tunnel drop
+        # mid-sweep (observed: multi-hour axon outages) must not lose
+        # the variants already measured.
+        _write_merged(args.out, rows)
 
-    # Merge with any existing table (key: variant + mesh size) so partial
-    # reruns never clobber rows they did not measure.
+    print(f"saved {args.out}", file=sys.stderr, flush=True)
+    return rows
+
+
+def _write_merged(out_path, rows):
+    """Merge ``rows`` into any existing table (key: variant + mesh size)
+    so partial reruns never clobber rows they did not measure."""
     by_key = {}
-    if os.path.exists(args.out):
-        with open(args.out, newline="") as f:
+    if os.path.exists(out_path):
+        with open(out_path, newline="") as f:
             for old in csv.DictReader(f):
                 # Pre-mesh_size-column rows were all measured at mesh 64.
                 by_key[(old["variant"], old.get("mesh_size") or "64")] = old
@@ -241,13 +250,13 @@ def main(argv=None):
         by_key[(row["variant"], str(row["mesh_size"]))] = row
     merged = list(by_key.values())
     fieldnames = list(dict.fromkeys(k for r in merged for k in r))
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w", newline="") as f:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fieldnames, restval="")
         w.writeheader()
         w.writerows(merged)
-    print(f"saved {args.out}", file=sys.stderr, flush=True)
-    return rows
+    os.replace(tmp, out_path)
 
 
 if __name__ == "__main__":
