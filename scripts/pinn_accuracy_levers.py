@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--variants", type=str, nargs="*", default=None,
                     help="Subset of variant names to run (default: all)")
     ap.add_argument("--out", default="results_snapshot/pinn_accuracy_levers.csv")
+    ap.add_argument("--skip_existing", action="store_true",
+                    help="Skip variants already in --out at this mesh "
+                         "size (cheap resume after a tunnel drop)")
     args = ap.parse_args(argv)
 
     domain, problem = apt.Domain(), apt.Problem()
@@ -179,6 +182,16 @@ def main(argv=None):
         if unknown:
             raise SystemExit(f"unknown variants {sorted(unknown)}")
         variants = {k: v for k, v in variants.items() if k in args.variants}
+
+    if args.skip_existing and os.path.exists(args.out):
+        with open(args.out, newline="") as f:
+            done = {(r["variant"], r.get("mesh_size") or "64")
+                    for r in csv.DictReader(f)}
+        skipped = [k for k in variants
+                   if (k, str(args.mesh_size)) in done]
+        if skipped:
+            print(f"skip_existing: {skipped}", file=sys.stderr, flush=True)
+        variants = {k: v for k, v in variants.items() if k not in skipped}
 
     rows = []
     for name, cfg in variants.items():
