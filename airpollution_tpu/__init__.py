@@ -23,6 +23,7 @@ enable_compilation_cache()
 from airpollution_tpu.problems import (
     AdDifProblem,
     Domain,
+    GaussianSourceProblem,
     Problem,
     SquarePulseProblem,
 )
@@ -33,6 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AdDifProblem",
     "Domain",
+    "GaussianSourceProblem",
     "Problem",
     "SquarePulseProblem",
     "Mesh",

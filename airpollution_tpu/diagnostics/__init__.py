@@ -4,7 +4,9 @@ plus differentiable-solve inverse problems (parameter estimation)."""
 from airpollution_tpu.diagnostics.inverse import (
     fit_diffusion,
     fit_parameters,
+    fit_source,
     solve_final_state,
+    solve_snapshots,
 )
 from airpollution_tpu.diagnostics.analysis import (
     ComprehensiveAnalysis,
@@ -21,7 +23,9 @@ __all__ = [
     "ComprehensiveAnalysis",
     "fit_diffusion",
     "fit_parameters",
+    "fit_source",
     "solve_final_state",
+    "solve_snapshots",
     "center_of_mass_over_time",
     "concentration_profiles",
     "evaluate_pinn_on_grid",

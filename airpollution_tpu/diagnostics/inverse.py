@@ -146,7 +146,8 @@ def _fit_cache_get(key, make):
 
 
 def fit_parameters(observed, mesh_data, make_problem, init_params,
-                   *, snapshot_indices=None, steps: int = 100,
+                   *, snapshot_indices=None, sensor_indices=None,
+                   steps: int = 100,
                    lr: float = 0.1, time_scheme_order: int = 1,
                    tol: float = 1e-9, maxiter: int = 200, cache_key=None):
     """Gradient-descent fit of physical parameters to observations.
@@ -158,6 +159,14 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
     given. Minimizes the mean squared misfit with Adam. Returns
     ``(params, losses)``.
 
+    ``sensor_indices`` restricts observations to a sparse set of DOF
+    midpoints (a monitoring-station network): the misfit is computed on
+    ``predicted[..., sensor_indices]`` and ``observed`` must carry the
+    sensor axis as its last dimension — ``(len(sensor_indices),)`` or
+    ``(len(snapshot_indices), len(sensor_indices))``. The observation
+    gather sits inside the traced program, so its transpose (a scatter)
+    rides the same adjoint solve.
+
     Pass a hashable ``cache_key`` identifying ``make_problem`` (e.g. a
     string) to reuse the compiled forward+adjoint step across calls with
     the same mesh, options and parameter structure — compiles are minutes
@@ -167,18 +176,25 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
     observed = jnp.asarray(observed)
     idx = tuple(int(i) for i in snapshot_indices) \
         if snapshot_indices is not None else None
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
 
     def predict(params):
         p = make_problem(params)
         if idx is None:
-            return solve_final_state(
+            pred = solve_final_state(
                 p, mesh_data, time_scheme_order=time_scheme_order,
                 tol=tol, maxiter=maxiter,
             )
-        return solve_snapshots(
-            p, mesh_data, indices=list(idx),
-            time_scheme_order=time_scheme_order, tol=tol, maxiter=maxiter,
-        )
+        else:
+            pred = solve_snapshots(
+                p, mesh_data, indices=list(idx),
+                time_scheme_order=time_scheme_order, tol=tol,
+                maxiter=maxiter,
+            )
+        if sens is not None:
+            pred = pred[..., jnp.asarray(sens)]
+        return pred
 
     opt = optax.adam(lr)
 
@@ -192,7 +208,7 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
 
     if cache_key is not None:
         full_key = (
-            cache_key, id(mesh_data), idx, int(time_scheme_order),
+            cache_key, id(mesh_data), idx, sens, int(time_scheme_order),
             float(tol), int(maxiter), float(lr),
             jax.tree_util.tree_structure(init_params),
         )
@@ -226,3 +242,58 @@ def fit_diffusion(observed_final, mesh_data, *, D0: float = 1.0,
         **kwargs,
     )
     return float(jnp.exp(params["log_d"])), losses
+
+
+def fit_source(observed, mesh_data, *, snapshot_indices=None,
+               sensor_indices=None, v=(1.0, 0.5), D: float = 0.1,
+               sigma_s: float = 1.0, q0: float = 1.0,
+               xy0=(0.0, 0.0), fit_transport: bool = False,
+               steps: int = 200, lr: float = 0.1, **kwargs):
+    """Emission-source identification: recover the rate ``q`` and location
+    ``(xs, ys)`` of a :class:`~airpollution_tpu.problems.
+    GaussianSourceProblem` from concentration observations.
+
+    The production use case: a monitoring network reports time-stamped
+    concentrations (``sensor_indices`` + ``snapshot_indices``) and the
+    transport parameters are known from meteorology (``v``, ``D``); the fit
+    localizes the emitter and quantifies its rate by differentiating
+    through the full CRBE solve — the source enters the RHS of every
+    implicit step (models/crbe.py rhs), so d(misfit)/d(q, xs, ys) is the
+    exact discrete adjoint. ``q`` is optimized in log space (positivity);
+    pass ``fit_transport=True`` to jointly estimate (D, v) as well.
+
+    Returns ``(result_dict, losses)`` with keys ``q``, ``xs``, ``ys``
+    (plus ``D``, ``v`` when ``fit_transport``).
+    """
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    v = jnp.asarray(v, dtype=jnp.result_type(float))
+
+    def make_problem(params):
+        common = dict(q=jnp.exp(params["log_q"]), xs=params["xy"][0],
+                      ys=params["xy"][1], sigma_s=sigma_s)
+        if fit_transport:
+            return GaussianSourceProblem(
+                v=params["v"], D=jnp.exp(params["log_d"]), **common)
+        return GaussianSourceProblem(v=v, D=D, **common)
+
+    init = {"log_q": jnp.log(jnp.asarray(q0, v.dtype)),
+            "xy": jnp.asarray(xy0, v.dtype)}
+    if fit_transport:
+        init["log_d"] = jnp.log(jnp.asarray(D, v.dtype))
+        init["v"] = v
+    key = ("fit_source", bool(fit_transport), float(sigma_s),
+           None if fit_transport else (tuple(float(x) for x in v),
+                                       float(D)))
+    params, losses = fit_parameters(
+        observed, mesh_data, make_problem, init,
+        snapshot_indices=snapshot_indices, sensor_indices=sensor_indices,
+        steps=steps, lr=lr, cache_key=kwargs.pop("cache_key", key),
+        **kwargs,
+    )
+    result = {"q": float(jnp.exp(params["log_q"])),
+              "xs": float(params["xy"][0]), "ys": float(params["xy"][1])}
+    if fit_transport:
+        result["D"] = float(jnp.exp(params["log_d"]))
+        result["v"] = tuple(float(x) for x in params["v"])
+    return result, losses

@@ -210,7 +210,8 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   order, tol, maxiter, store_solutions=True,
                   collect_iters=False, matvec=None, ka_matvec=None,
                   differentiable=False, extrapolate_warm_start=False,
-                  precond=None, solver="bicgstab", chebyshev_iters=8):
+                  precond=None, solver="bicgstab", chebyshev_iters=8,
+                  source_quadrature="mass_lumped"):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -251,6 +252,11 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         precond = linalg.jacobi_preconditioner(ops.system_diag)
     if solver not in ("bicgstab", "chebyshev"):
         raise ValueError(f"unknown solver {solver!r}")
+    if source_quadrature not in ("mass_lumped", "reference"):
+        raise ValueError(
+            f"unknown source_quadrature {source_quadrature!r} "
+            "(expected 'mass_lumped' or 'reference')"
+        )
     if solver == "chebyshev":
         if differentiable:
             raise ValueError(
@@ -264,14 +270,32 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
             scale=1.0 / jnp.sqrt(ops.system_diag),
         )
 
+    def _source_at(t):
+        t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
+        return problem.source_term(jnp.concatenate([midpoints, t_col],
+                                                   axis=1))
+
     def rhs(u, t):
         if order == 1:  # crbe.py:383-384
             b = ops.mass_diag * u
         else:  # crbe.py:385-386
             b = ops.mass_diag * u - (0.5 * dt) * ka_matvec(u)
-        t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
-        xyt = jnp.concatenate([midpoints, t_col], axis=1)
-        b = b + dt * problem.source_term(xyt)  # crbe.py:391-394
+        if source_quadrature == "reference":
+            # Reference defect D10 (crbe.py:391-394, its own "TODO: set
+            # the right xyt"): the raw pointwise source is added to a
+            # mass-scaled RHS — missing the lumped-mass quadrature
+            # weight, so the effective forcing scales like 1/h^2 and
+            # sourced solves do not converge under refinement. Kept only
+            # as a parity switch; invisible for zero-source problems
+            # (the whole reference problem family).
+            b = b + dt * _source_at(t)
+        else:
+            # Correct lumped-mass load vector: integral(s phi_i) ~
+            # mass_diag_i * s(mid_i). BE samples at t^{n+1}; CN uses the
+            # trapezoid average of t^n and t^{n+1} (second order).
+            s = _source_at(t) if order == 1 \
+                else 0.5 * (_source_at(t) + _source_at(t - dt))
+            b = b + dt * ops.mass_diag * s
         return jnp.where(bmask, 0.0, b)  # crbe.py:402
 
     def step(carry, t):
@@ -360,6 +384,7 @@ class CRBESolver:
         chebyshev_iters: int = 8,
         assembly: str = "auto",
         snapshot_every: Optional[int] = None,
+        source_quadrature: str = "mass_lumped",
     ):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -386,6 +411,11 @@ class CRBESolver:
         if assembly not in ("auto", "full", "patch"):
             raise ValueError(f"unknown assembly {assembly}")
         self.assembly = assembly
+        if source_quadrature not in ("mass_lumped", "reference"):
+            raise ValueError(
+                f"unknown source_quadrature {source_quadrature}"
+            )
+        self.source_quadrature = source_quadrature
         if snapshot_every is not None and snapshot_every < 1:
             raise ValueError("snapshot_every must be a positive int")
         self.snapshot_every = snapshot_every
@@ -424,6 +454,7 @@ class CRBESolver:
             self.extrapolate_warm_start, self.preconditioner,
             self.solver_method, self.chebyshev_iters, self.assembly,
             self.snapshot_every, self.stiffness_convention,
+            self.source_quadrature,
         )
 
     # --- assembly ---
@@ -508,19 +539,17 @@ class CRBESolver:
             and self.preconditioner != "spectral"
         )
         if self.matvec_impl in ("fused", "fused_hbm"):
-            # The fused kernels additionally require a zero source (the
-            # general scan path via matvec_impl='uniform' does not) and
-            # the uniform fused operator.
-            eligible = eligible and getattr(
-                self.problem, "zero_source", False
-            ) and self.fused_operator != "canvas"
+            # The fused kernels additionally require the uniform fused
+            # operator (sources are supported: the load is evaluated
+            # in-kernel from iota coordinates, no operator needed).
+            eligible = eligible and self.fused_operator != "canvas"
         if self.assembly == "patch":
             if not eligible:
                 raise ValueError(
                     "assembly='patch' requires a structured mesh, the "
                     "uniform operator (matvec_impl='uniform', 'fused' or "
-                    "'fused_hbm'; fused also needs a zero-source problem "
-                    "and fused_operator != 'canvas') and a "
+                    "'fused_hbm'; fused also needs "
+                    "fused_operator != 'canvas') and a "
                     "non-spectral preconditioner"
                 )
             return True
@@ -568,6 +597,7 @@ class CRBESolver:
             extrapolate_warm_start=self.extrapolate_warm_start,
             solver=self.solver_method,
             chebyshev_iters=self.chebyshev_iters,
+            source_quadrature=self.source_quadrature,
         )
 
         def stride_rows(fn):

@@ -177,6 +177,8 @@ def _step_kernel(
     n_pad_l: int, SL: int, WL: int, halo_l: int,
     n_iters: int, has_ka: bool, extrapolate: bool,
     int_start: int = 0, n_stripes: int | None = None,
+    source_fn=None, source_steady: bool = False,
+    source_lumped: bool = True,
 ):
     """One full implicit time step, streamed over (row, lane) tiles. The
     outer time loop is a host-side ``lax.scan`` over this call — measured
@@ -201,8 +203,20 @@ def _step_kernel(
     halo-exchanged neighbor state, consumed read-only and left unwritten
     in the output (the caller refreshes them by ppermute each step).
     ``row0_ref`` holds the GLOBAL canvas row of input row 0 (negative on
-    the first device), keeping the interior rectangle masks global."""
+    the first device), keeping the interior rectangle masks global.
+
+    Nonzero sources (``source_fn``: elementwise (x, y, t) -> s): the
+    masked load ``dt * m_f * s`` (``source_lumped=False``: ``dt * s``) is
+    evaluated per tile on iota-derived GLOBAL coordinate canvases —
+    family midpoints are affine in (canvas row, lane) — and added to the
+    RHS; zero extra HBM traffic (mirrors
+    ops/pallas_solver._uniform_solver_kernel). The step's t^{n+1}
+    arrives in ``t_ref`` (one extra SMEM input following ``row0_ref``);
+    CN uses the t^n/t^{n+1} trapezoid (one evaluation when
+    ``source_steady``)."""
     n_states = 2 if extrapolate else 1
+    if source_fn is not None:
+        t_ref, refs = refs[0], refs[1:]
     u_src = refs[0]
     up_src = refs[1] if extrapolate else None
     u_dst = refs[n_states]
@@ -232,6 +246,13 @@ def _step_kernel(
     sigma = theta / delta
     mconsts = (mcH, mcV, mcD)
     idconsts = (idH, idV, idD)
+    if source_fn is not None:
+        # Grid origin/spacing/dt packed after the chebyshev interval.
+        s_xmin, s_ymin, s_h = consts[23], consts[24], consts[25]
+        s_dt = consts[26]
+        # Family midpoint offsets in grid units (x, y): see
+        # ops/pallas_solver._uniform_solver_kernel.
+        s_offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
 
     def ij_of(t):
         return t // n_tiles_l, jax.lax.rem(t, n_tiles_l)
@@ -329,6 +350,31 @@ def _step_kernel(
             else:
                 for f in range(3):
                     r_ref[f] = mconsts[f] * (masks[f] * u3[f])
+            if source_fn is not None:
+                # Global window coords: canvas row = row0 + ws + local
+                # row, lane = ls + local lane.
+                gro = (row0_ref[0] + ws).astype(dtype)
+                rif = gro + jax.lax.broadcasted_iota(
+                    jnp.int32, (W, 1), 0).astype(dtype)
+                cif = ls.astype(dtype) + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, WL), 1).astype(dtype)
+
+                def load_at(f, t):
+                    ox, oy = s_offs[f]
+                    x = s_xmin + (cif + ox) * s_h
+                    y = s_ymin + (rif + oy) * s_h
+                    s = source_fn(x + 0.0 * y, y + 0.0 * x, t)
+                    fac = s_dt * mconsts[f] if source_lumped else s_dt
+                    return masks[f] * (fac * s)
+
+                t_new = t_ref[0]
+                for f in range(3):
+                    if source_steady or not has_ka:
+                        r_ref[f] = r_ref[f] + load_at(f, t_new)
+                    else:  # CN trapezoid, time-dependent source
+                        r_ref[f] = r_ref[f] + 0.5 * (
+                            load_at(f, t_new) + load_at(f, t_new - s_dt)
+                        )
             # Warm start (masked); extrapolated = mask(2u - u_prev).
             if extrapolate:
                 for f in range(3):
@@ -410,6 +456,9 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
                             extrapolate: bool = False,
                             stripe_rows: int | None = None,
                             stripe_lanes: int | None = None,
+                            source_fn=None, source_steady: bool = False,
+                            source_lumped: bool = True, grid=None,
+                            t0=0.0, dt=None,
                             interpret: bool = False):
     """Whole time loop with the HBM-tiled stripe kernel (Chebyshev only).
 
@@ -429,6 +478,8 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
     to force 2D tiles for experiments."""
     if n_steps == 0:
         return u0_fam
+    if source_fn is not None and (grid is None or dt is None):
+        raise ValueError("source_fn requires grid=(xmin, ymin, h) and dt")
     n, c = spec.n, spec.c
     dtype = u0_fam.dtype
     # Matvec depth = n_iters + 1 (+1 CN); +1 safety, then rounded up to
@@ -463,6 +514,11 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
         jnp.asarray(inv_diag_consts, dtype),
         jnp.stack([jnp.asarray(b, dtype) for b in bounds]),
     ]
+    if source_fn is not None:
+        parts.append(jnp.stack([
+            jnp.asarray(grid[0], dtype), jnp.asarray(grid[1], dtype),
+            jnp.asarray(grid[2], dtype), jnp.asarray(dt, dtype),
+        ]))
     packed = jnp.concatenate(parts)
     row0 = jnp.zeros((1,), jnp.int32)  # global row of canvas row 0
 
@@ -477,35 +533,49 @@ def fused_solve_uniform_hbm(spec, consts, mass_consts, inv_diag_consts,
         n_pad_l=n_pad_l, SL=SL, WL=WL, halo_l=halo_l,
         n_iters=n_iters, has_ka=use_ka,
         extrapolate=extrapolate,
+        source_fn=source_fn, source_steady=source_steady,
+        source_lumped=source_lumped,
     )
     scratch = [pltpu.VMEM((2, 3, W, WL), dtype)] * n_states
     scratch += [pltpu.VMEM((3, W, WL), dtype)] * 2  # r, d
     scratch += [pltpu.SemaphoreType.DMA((2, n_states))] * 2
+    n_smem = 2 + (1 if source_fn is not None else 0)
     step_call = pl.pallas_call(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((3, n_pad, n_pad_l), dtype)
             for _ in range(n_states)
         ),
-        in_specs=[smem, smem] + [hbm] * n_states,
+        in_specs=[smem] * n_smem + [hbm] * n_states,
         out_specs=tuple(hbm for _ in range(n_states)),
         scratch_shapes=scratch,
         compiler_params=_vmem_limit(W, WL, extrapolate),
         interpret=interpret,
     )
 
+    # Per-step t^{n+1}, fed to the kernel in SMEM when sourced (the step
+    # loop is the host-side scan, so the kernel cannot derive it).
+    ts = None
+    if source_fn is not None:
+        ts = jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * jnp.arange(
+            1, n_steps + 1, dtype=dtype
+        ).reshape(n_steps, 1)
+
+    def pre(t):
+        return (packed, row0) + ((t,) if source_fn is not None else ())
+
     if extrapolate:
-        def step(carry, _):
-            out = step_call(packed, row0, *carry)
+        def step(carry, t):
+            out = step_call(*pre(t), *carry)
             return (out[0], out[1]), None
 
-        (u, _), _ = jax.lax.scan(step, (u, u), None, length=n_steps)
+        (u, _), _ = jax.lax.scan(step, (u, u), ts, length=n_steps)
     else:
-        def step(carry, _):
-            (out,) = step_call(packed, row0, carry)
+        def step(carry, t):
+            (out,) = step_call(*pre(t), carry)
             return out, None
 
-        u, _ = jax.lax.scan(step, u, None, length=n_steps)
+        u, _ = jax.lax.scan(step, u, ts, length=n_steps)
 
     H, V, D = u[0, :n, :n], u[1, :n, :n], u[2, :n, :n]
     return from_canvases(spec, H, V, D)

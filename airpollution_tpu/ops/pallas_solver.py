@@ -228,6 +228,8 @@ def _uniform_solver_kernel(
     consts, *refs,
     n: int, c: int, n_steps: int, n_iters: int, has_ka: bool,
     extrapolate: bool, method: str = "bicgstab",
+    source_fn=None, source_steady: bool = False,
+    source_lumped: bool = True,
 ):
     """Uniform-operator variant (ops/uniform.py): NO coefficient, mass,
     inverse-diagonal or mask canvases — 21 scalars in SMEM plus
@@ -237,19 +239,35 @@ def _uniform_solver_kernel(
     identity term ``(1-mask) u`` is dropped for the same reason (its only
     nonzero rows are Dirichlet rows the masked RHS zeroes anyway).
 
+    Source terms (``source_fn``: an elementwise (x, y, t) -> s callable,
+    e.g. ``problem.source_xy``) are evaluated IN-KERNEL on coordinate
+    canvases built from iotas — family midpoints are affine in the canvas
+    (row, col) indices (row <-> y, col <-> x; H at half-integer x, V at
+    half-integer y, D at both), so the load costs zero extra HBM traffic.
+    The masked lumped-mass load ``dt * m_f * s`` (run_time_loop's
+    corrected-D10 default; ``source_lumped=False`` reproduces the
+    reference's raw ``dt * s``) is added to the RHS each step — BE
+    samples t^{n+1}, CN the t^n/t^{n+1} trapezoid. ``source_steady``
+    hoists the evaluation out of the step loop into 3 scratch canvases.
+
     Ref layout: u0 x3 (aliased to the outputs), outputs u x3, then 18
-    Krylov scratch canvases (+3 previous-state canvases when extrapolate).
+    Krylov scratch canvases (+3 previous-state canvases when extrapolate,
+    +3 hoisted-load canvases when source_steady).
     """
     u0H, u0V, u0D = refs[0:3]
     uH, uV, uD = refs[3:6]
     if method == "chebyshev":
         # Three live vectors: r, d, t (matvec scratch).
         rH, rV, rD, dH, dV, dD, tH, tV, tD = refs[6:15]
-        up3 = refs[15:18] if extrapolate else None
+        k = 15
     else:
         (rH, rV, rD, rhH, rhV, rhD, pH, pV, pD,
          vH, vV, vD, tH, tV, tD, wH, wV, wD) = refs[6:24]
-        up3 = refs[24:27] if extrapolate else None
+        k = 24
+    up3 = refs[k:k + 3] if extrapolate else None
+    k += 3 if extrapolate else 0
+    s3 = refs[k:k + 3] if (source_fn is not None and source_steady) \
+        else None
 
     dtype = uH.dtype
     # Per-family interior rectangles (UniformSpec.interior_rects):
@@ -325,6 +343,43 @@ def _uniform_solver_kernel(
     mconsts = (mcH, mcV, mcD)
     idconsts = (idH_c, idV_c, idD_c)
 
+    if source_fn is not None:
+        # Extra scalars packed after the operator constants (and the
+        # chebyshev interval): grid origin, spacing, dt, chunk start
+        # time. Family midpoint offsets in grid units: H (+1/2, 0),
+        # V (0, +1/2), D (+1/2, +1/2) — verified against mid[perm] in
+        # tests/test_pallas_solver.py.
+        sbase = 23 if method == "chebyshev" else 21
+        xmin, ymin, hh = consts[sbase], consts[sbase + 1], consts[sbase + 2]
+        dt_s, t0_s = consts[sbase + 3], consts[sbase + 4]
+        rif = ri.astype(dtype)
+        cif = ci.astype(dtype)
+        offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))  # (x, y) per family
+
+        def load_at(f, t):
+            ox, oy = offs[f]
+            x = xmin + (cif + ox) * hh   # (1, n)
+            y = ymin + (rif + oy) * hh   # (n, 1)
+            s = source_fn(x + 0.0 * y, y + 0.0 * x, t)
+            fac = dt_s * mconsts[f] if source_lumped else dt_s
+            return masks[f](fac * s)
+
+        if source_steady:
+            for f in range(3):
+                s3[f][:] = load_at(f, t0_s)
+
+        def add_load(f, r_, i):
+            """RHS source load for step i (solving for t^{i+1})."""
+            if source_steady:
+                r_[:] = r_[:] + s3[f][:]
+                return
+            t_new = t0_s + (i + 1).astype(dtype) * dt_s
+            if has_ka:  # CN trapezoid (run_time_loop mass_lumped branch)
+                r_[:] = r_[:] + 0.5 * (load_at(f, t_new)
+                                       + load_at(f, t_new - dt_s))
+            else:  # BE samples t^{n+1}
+                r_[:] = r_[:] + load_at(f, t_new)
+
     uH[:] = u0H[:]
     uV[:] = u0V[:]
     uD[:] = u0D[:]
@@ -332,7 +387,7 @@ def _uniform_solver_kernel(
         for up_, u_ in zip(up3, u3):
             up_[:] = u_[:]
 
-    def step(_, carry):
+    def step(i, carry):
         if has_ka:
             matvec(t3, uH[:], uV[:], uD[:])
             for r_, m_, u_, t_, msk in zip(r3, mconsts, u3, t3, masks):
@@ -340,6 +395,9 @@ def _uniform_solver_kernel(
         else:
             for r_, m_, u_, msk in zip(r3, mconsts, u3, masks):
                 r_[:] = m_ * msk(u_[:])
+        if source_fn is not None:
+            for f, r_ in enumerate(r3):
+                add_load(f, r_, i)
         if extrapolate:
             for u_, up_, msk in zip(u3, up3, masks):
                 guess = 2.0 * u_[:] - up_[:]
@@ -419,6 +477,9 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
                         *, n_steps: int, n_iters: int = 5,
                         use_ka: bool = False, extrapolate: bool = False,
                         method: str = "bicgstab", bounds=None,
+                        source_fn=None, source_steady: bool = False,
+                        source_lumped: bool = True, grid=None,
+                        t0=0.0, dt=None,
                         interpret: bool = False):
     """Whole-loop fused solve with the translation-invariant operator.
 
@@ -429,6 +490,13 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
     matches :func:`fused_solve` — but the only array input is ``u0_fam``
     (aliased into the output), so the VMEM footprint drops from 48 to
     21 canvases (24 with extrapolation): meshes to ~380^2 fit.
+
+    Nonzero sources: pass ``source_fn`` (elementwise (x, y, t) -> s, e.g.
+    ``problem.source_xy``), ``grid = (xmin, ymin, h)`` (vertex-grid origin
+    and spacing), ``dt``, and the chunk start time ``t0``; the load is
+    evaluated in-kernel on iota-derived coordinate canvases (see
+    :func:`_uniform_solver_kernel`). ``source_steady`` hoists it out of
+    the step loop (+3 scratch canvases).
     """
     n, cdim = spec.n, spec.c
     dtype = u0_fam.dtype
@@ -437,6 +505,8 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
         raise ValueError(f"unknown method {method!r}")
     if (method == "chebyshev") != (bounds is not None):
         raise ValueError("bounds must be given exactly for chebyshev")
+    if source_fn is not None and (grid is None or dt is None):
+        raise ValueError("source_fn requires grid=(xmin, ymin, h) and dt")
     parts = [
         jnp.asarray(consts, dtype),
         jnp.asarray(mass_consts, dtype),
@@ -444,15 +514,24 @@ def fused_solve_uniform(spec, consts, mass_consts, inv_diag_consts, u0_fam,
     ]
     if bounds is not None:
         parts.append(jnp.stack([jnp.asarray(b, dtype) for b in bounds]))
+    if source_fn is not None:
+        parts.append(jnp.stack([
+            jnp.asarray(grid[0], dtype), jnp.asarray(grid[1], dtype),
+            jnp.asarray(grid[2], dtype), jnp.asarray(dt, dtype),
+            jnp.asarray(t0, dtype),
+        ]))
     packed = jnp.concatenate(parts)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = partial(_uniform_solver_kernel, n=n, c=cdim, n_steps=n_steps,
                      n_iters=n_iters, has_ka=use_ka, extrapolate=extrapolate,
-                     method=method)
+                     method=method, source_fn=source_fn,
+                     source_steady=source_steady,
+                     source_lumped=source_lumped)
     n_scratch = 9 if method == "chebyshev" else 18
     n_scratch += 3 if extrapolate else 0
+    n_scratch += 3 if (source_fn is not None and source_steady) else 0
     scratch = [pltpu.VMEM((n, n), dtype) for _ in range(n_scratch)]
     outs = pl.pallas_call(
         kernel,

@@ -22,7 +22,8 @@ for structured meshes, built on two observations:
 
 Scope: any structured-mesh problem — source terms evaluate on sharded
 coordinate canvases inside the shard_map (run_time_loop semantics:
-``b += dt * s(t_new)``, masked); backward Euler or Crank-Nicolson;
+lumped-mass load by default, D10-parity switch available);
+backward Euler or Crank-Nicolson;
 ``snapshot_every=k`` strided trajectories (one stacked output per k-step
 scan chunk, reassembled and boundary-lifted outside, matching the serial
 ``solutions[::k]`` contract); fixed-iteration Chebyshev (zero
@@ -138,7 +139,8 @@ def _family_masks(n, c, r_loc, row0, dtype):
 def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                       iters=8, axis="mp", extrapolate=False,
                       snapshot_every=None, solver_method="chebyshev",
-                      tol=1e-8, maxiter=200):
+                      tol=1e-8, maxiter=200,
+                      source_quadrature="mass_lumped"):
     """Jitted halo-exchange solve over a structured mesh.
 
     Returns ``solve(ops, u0)`` producing ``(1, n_seg)`` (final state), or
@@ -148,8 +150,11 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     snapshots carry the boundary lift, row 0 is ``u0`` as given).
 
     Source terms are supported: midpoint-coordinate canvases are sharded
-    alongside the state and ``b += dt * mask(s(x, y, t_new))`` per step
-    (crbe.py:391-394 semantics via models/crbe.run_time_loop).
+    alongside the state and the lumped-mass load ``dt * m * s`` is added
+    per step (``source_quadrature="mass_lumped"``, the corrected-D10
+    default of models/crbe.run_time_loop — BE samples t^{n+1}, CN the
+    trapezoid average; ``"reference"`` reproduces the reference's raw
+    pointwise add, crbe.py:391-394).
 
     ``solver_method="bicgstab"`` runs linalg.bicgstab with psum-reduced
     dot/norm (4 scalar psums per iteration, residual early exit);
@@ -164,6 +169,10 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     if solver_method not in ("chebyshev", "bicgstab"):
         raise ValueError(f"unknown solver_method {solver_method!r}")
     has_source = not getattr(problem, "zero_source", False)
+    if source_quadrature not in ("mass_lumped", "reference"):
+        raise ValueError(
+            f"unknown source_quadrature {source_quadrature!r}"
+        )
     pattern = stencil_mod.get_pattern(md)
     spec = uniform_mod.build_uniform_spec(pattern)
     n, c = spec.n, spec.c
@@ -248,10 +257,22 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                 else:
                     b = mass3 * (mask3 * u)
                 if has_source:
-                    xyt = jnp.stack(
-                        [x_loc, y_loc, jnp.full_like(x_loc, t)], axis=-1
-                    )
-                    b = b + dt * mask3 * problem.source_term(xyt)
+                    def s_at(tt):
+                        xyt = jnp.stack(
+                            [x_loc, y_loc, jnp.full_like(x_loc, tt)],
+                            axis=-1,
+                        )
+                        return problem.source_term(xyt)
+
+                    if source_quadrature == "reference":
+                        b = b + dt * mask3 * s_at(t)
+                    else:
+                        # Lumped-mass load (corrected D10): BE samples
+                        # t^{n+1}, CN the t^n / t^{n+1} trapezoid —
+                        # matches run_time_loop's mass_lumped branch.
+                        s = s_at(t) if order == 1 \
+                            else 0.5 * (s_at(t) + s_at(t - dt))
+                        b = b + dt * mass3 * (mask3 * s)
                 guess = (2.0 * u - up) if extrapolate else u
                 x0 = mask3 * guess
                 if solver_method == "chebyshev":

@@ -65,6 +65,11 @@ class AdDifProblem(abc.ABC):
     # kernels that skip source evaluation (ops/pallas_solver.py).
     zero_source = False
 
+    # True when source_term does not depend on t — the fused Pallas
+    # kernels then evaluate the source load ONCE and reuse it every step
+    # (ops/pallas_solver.py / ops/pallas_hbm.py).
+    steady_source = False
+
     def __init__(self, v, D):
         self.v = v
         self.D = D
@@ -80,6 +85,21 @@ class AdDifProblem(abc.ABC):
     @abc.abstractmethod
     def source_term(self, xyt):
         """Source s(x, y, t) at space-time points ``xyt`` (N, 3)."""
+
+    def source_xy(self, x, y, t):
+        """Elementwise source on separate coordinate arrays (broadcast).
+
+        The fused Pallas kernels evaluate the source on 2D coordinate
+        canvases built in-kernel from iotas (zero extra HBM traffic), so
+        they need an elementwise form that avoids the (..., 3) stacking
+        of :meth:`source_term`. The default wraps ``source_term``;
+        subclasses whose source is a simple formula should override it
+        with direct 2D arithmetic (stacking to a 3D intermediate inside a
+        Mosaic kernel forces a relayout).
+        """
+        x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
+        xyt = jnp.stack([x, y, jnp.full_like(x, t)], axis=-1)
+        return self.source_term(xyt)
 
 
 class Problem(AdDifProblem):
@@ -162,9 +182,70 @@ class SquarePulseProblem(AdDifProblem):
         return jnp.zeros_like(xyt[..., 0])
 
 
+class GaussianSourceProblem(AdDifProblem):
+    """Continuous Gaussian emission source (production scenario).
+
+    An air-quality forward model the reference family does not include:
+    zero initial concentration, zero Dirichlet boundary, and a steady
+    point-like emission
+
+        s(x, y, t) = q / (2 pi sigma_s^2)
+                     * exp(-((x - xs)^2 + (y - ys)^2) / (2 sigma_s^2)),
+
+    i.e. total emission rate ``q`` (mass/time) spread over a Gaussian
+    footprint of width ``sigma_s`` centered at ``(xs, ys)``. All physical
+    parameters — the rate ``q``, the location ``(xs, ys)``, ``v`` and
+    ``D`` — are pytree leaves, so the whole solve is differentiable in
+    them; ``diagnostics.inverse.fit_source`` recovers the source from
+    sparse sensor observations through the solver adjoint. There is no
+    analytical solution; the sourced RHS path is validated against a
+    scipy step oracle (tests/test_fem.py) and by manufactured-solution
+    convergence (tests/test_inverse.py).
+    """
+
+    zero_source = False
+    steady_source = True  # t-independent: fused kernels hoist the load
+
+    def __init__(self, v=(1.0, 0.5), D=0.1, q=1.0, xs=0.0, ys=0.0,
+                 sigma_s=1.0):
+        super().__init__(jnp.asarray(v), D)
+        self.q = q
+        self.xs = xs
+        self.ys = ys
+        self.sigma_s = sigma_s
+
+    def initial_condition_fn(self, xy):
+        xy = jnp.asarray(xy)
+        if xy.shape[-1] != 2:
+            raise ValueError("xy must have 2 columns (x, y)")
+        return jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+
+    def boundary_fn(self, xyt):
+        xyt = jnp.asarray(xyt)
+        return jnp.zeros_like(xyt[..., 0])
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        r2 = (xyt[..., 0] - self.xs) ** 2 + (xyt[..., 1] - self.ys) ** 2
+        s2 = self.sigma_s**2
+        return self.q * jnp.exp(-r2 / (2.0 * s2)) / (2.0 * jnp.pi * s2)
+
+    def source_xy(self, x, y, t):
+        # Direct 2D form for the fused Pallas kernels (no 3D stacking;
+        # (1, n) x and (n, 1) y broadcast to the canvas inside).
+        r2 = (x - self.xs) ** 2 + (y - self.ys) ** 2
+        s2 = self.sigma_s**2
+        return self.q * jnp.exp(-r2 / (2.0 * s2)) / (2.0 * jnp.pi * s2)
+
+
 _register_problem_pytree(Problem, ("v", "D", "sigma"))
 _register_problem_pytree(
     SquarePulseProblem, ("v", "D", "lo", "hi", "amplitude")
+)
+_register_problem_pytree(
+    GaussianSourceProblem, ("v", "D", "q", "xs", "ys", "sigma_s")
 )
 
 

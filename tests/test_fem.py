@@ -156,6 +156,69 @@ def test_time_stepping_matches_scipy_direct_solve():
     np.testing.assert_allclose(sols, np.asarray(expect), atol=1e-9)
 
 
+@pytest.mark.parametrize("quadrature", ["mass_lumped", "reference"])
+@pytest.mark.parametrize("order", [1, 2])
+def test_sourced_time_stepping_matches_scipy_oracle(quadrature, order):
+    """Nonzero source term against a scipy spsolve oracle, pinning BOTH
+    source conventions: the corrected lumped-mass load
+    dt*M*s (BE at t^{n+1}; CN the t^n/t^{n+1} trapezoid) and the
+    reference's raw pointwise add dt*s(t^{n+1}) (defect D10,
+    crbe.py:391-394)."""
+
+    class SourcedProblem(Problem):
+        zero_source = False
+
+        def source_term(self, xyt):
+            x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+            return 0.2 * jnp.exp(-(x**2 + y**2)) * (1.0 + 0.5 * t)
+
+    domain = Domain(Lx=2.0, Ly=2.0, T=0.5)
+    md = MeshData(create_mesh(6, 2.0), domain, nt=4, dtype=jnp.float64)
+    problem = SourcedProblem(v=(1.0, 0.5), D=0.1)
+    solver = CRBESolver(domain, problem, md, time_scheme_order=order,
+                        solver_tol=1e-13, solver_maxiter=500,
+                        source_quadrature=quadrature)
+    sols = np.asarray(solver.solve())
+
+    ops = solver._ops
+    n = md.number_of_segments
+    vals, cols = np.asarray(ops.system.vals), np.asarray(ops.system.cols)
+    rows = np.repeat(np.arange(n), vals.shape[1])
+    S = sps.csr_matrix((vals.ravel(), (rows, cols.ravel())), shape=(n, n))
+    if order == 2:
+        kv, kc = np.asarray(ops.ka.vals), np.asarray(ops.ka.cols)
+        KA = sps.csr_matrix((kv.ravel(), (rows[:kv.size], kc.ravel())),
+                            shape=(n, n))
+    M_d = np.asarray(ops.mass_diag)
+    bmask = np.asarray(md.boundary_mask)
+    mid = np.asarray(md.midpoints)
+    dt = solver.dt
+
+    def s_at(t):
+        return np.asarray(problem.source_term(
+            jnp.asarray(np.hstack([mid, np.full((n, 1), t)]))))
+
+    u = np.asarray(problem.initial_condition_fn(md.midpoints))
+    expect = [u]
+    for step in range(1, md.nt):
+        t = step * dt
+        b = M_d * u if order == 1 else M_d * u - 0.5 * dt * (KA @ u)
+        if quadrature == "reference":
+            b += dt * s_at(t)
+        elif order == 1:
+            b += dt * M_d * s_at(t)
+        else:
+            b += dt * M_d * 0.5 * (s_at(t) + s_at(t - dt))
+        b[bmask] = 0.0
+        u = spla.spsolve(S.tocsc(), b)
+        lift = np.zeros(n)
+        xyt = np.hstack([mid, np.full((n, 1), t)])
+        bc = np.asarray(problem.boundary_fn(jnp.asarray(xyt)))
+        lift[bmask] = bc[bmask]
+        expect.append(u + lift)
+    np.testing.assert_allclose(sols, np.asarray(expect), atol=1e-9)
+
+
 def test_convergence_on_gaussian_problem():
     """rel-L2 decreases under refinement; "reference" convention reproduces
     the reference solver run on the *same* structured mesh (oracle values
