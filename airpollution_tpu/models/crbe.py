@@ -657,10 +657,7 @@ class CRBESolver:
                     "use matvec_impl='stencil' for the spectral "
                     "preconditioner"
                 )
-            if not getattr(self.problem, "zero_source", False):
-                raise ValueError(
-                    "fused solver requires a zero-source problem"
-                )
+            sourced = not getattr(self.problem, "zero_source", False)
             strided = store_solutions and self.snapshot_every is not None
             if (store_solutions and not strided) or collect_iters:
                 raise ValueError(
@@ -688,6 +685,17 @@ class CRBESolver:
                 raise ValueError(
                     "assembly='patch' requires the uniform fused operator"
                 )
+            if sourced and not uniform:
+                raise ValueError(
+                    "the fused solver evaluates source terms in-kernel "
+                    "on the uniform operator's coordinate canvases — a "
+                    "nonzero source needs fused_operator='uniform' (or "
+                    "'auto' on a non-degenerate structured mesh), or "
+                    "matvec_impl='stencil' for the scan path"
+                )
+            src_steady = sourced and bool(
+                getattr(self.problem, "steady_source", False)
+            )
             spec = None
             if uniform:
                 from airpollution_tpu.ops import uniform as uniform_mod
@@ -697,7 +705,7 @@ class CRBESolver:
             use_hbm = self.matvec_impl == "fused_hbm" or not _pallas_fused_fits(
                 spec if patch else pattern,
                 self.extrapolate_warm_start, uniform=uniform,
-                method=self.solver_method,
+                method=self.solver_method, source_steady=src_steady,
             )
             if use_hbm and not (
                 uniform and self.solver_method == "chebyshev"
@@ -718,6 +726,28 @@ class CRBESolver:
             n_steps = md.nt - 1
             n_iters = self.fused_iters
             dt = self.dt
+
+            src_fn = None
+            src_grid = None
+            src_lumped = True
+            if sourced:
+                # In-kernel source evaluation: the kernels rebuild family
+                # midpoint coordinates from iotas + these grid scalars
+                # (ops/pallas_solver._uniform_solver_kernel docstring),
+                # so the load costs zero extra HBM traffic. Problem
+                # parameters (q, xs, ...) are closure constants here —
+                # the fused path is not differentiable/vmappable anyway
+                # (use the scan path for inverse problems).
+                prob = self.problem
+                src_fn = prob.source_xy
+                src_lumped = self.source_quadrature == "mass_lumped"
+                pts = self.mesh_data.points
+                xmin = float(jnp.min(pts[:, 0]))
+                ymin = float(jnp.min(pts[:, 1]))
+                h_grid = (float(jnp.max(pts[:, 0])) - xmin) / (
+                    md.structured_n - 1
+                )
+                src_grid = (xmin, ymin, h_grid)
             if self.solver_method == "chebyshev" and not uniform:
                 raise ValueError(
                     "fused chebyshev requires the uniform operator "
@@ -777,7 +807,12 @@ class CRBESolver:
                         # applicability check (same operator).
                         bounds = self._cheb_bounds
 
-                    def run_kernel(u_start_fam, steps):
+                    def run_kernel(u_start_fam, steps, t0=0.0):
+                        src_kw = dict(
+                            source_fn=src_fn, source_steady=src_steady,
+                            source_lumped=src_lumped, grid=src_grid,
+                            t0=t0, dt=dt,
+                        ) if sourced else {}
                         if use_hbm:
                             from airpollution_tpu.ops import pallas_hbm
 
@@ -787,7 +822,7 @@ class CRBESolver:
                                 n_steps=steps, n_iters=kiters,
                                 bounds=bounds, use_ka=use_ka,
                                 extrapolate=self.extrapolate_warm_start,
-                                interpret=interpret,
+                                interpret=interpret, **src_kw,
                             )
                         return pallas_solver.fused_solve_uniform(
                             spec, sys_consts, mass_c, inv_diag_c,
@@ -795,7 +830,7 @@ class CRBESolver:
                             n_steps=steps, n_iters=kiters, use_ka=use_ka,
                             extrapolate=self.extrapolate_warm_start,
                             method=self.solver_method, bounds=bounds,
-                            interpret=interpret,
+                            interpret=interpret, **src_kw,
                         )
                 else:
                     coeffs = stencil_mod.extract_coefficients(
@@ -808,11 +843,12 @@ class CRBESolver:
                     inv_diag_fam = 1.0 / ops.system_diag[perm_a]
                     interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
 
-                    def run_kernel(u_start_fam, steps):
+                    def run_kernel(u_start_fam, steps, t0=0.0):
                         # CN's row-masked -(dt/2)(K+A) RHS term is
                         # reconstructed in-kernel from the system
                         # canvases (pallas_solver docstring identity) —
-                        # no extra coefficient set.
+                        # no extra coefficient set. t0 unused: the canvas
+                        # kernel is zero-source scope (gate above).
                         return pallas_solver.fused_solve(
                             pattern, coeffs, mass_fam, inv_diag_fam,
                             u_start_fam, interior_fam,
@@ -841,14 +877,18 @@ class CRBESolver:
                     # bounded by the snapshot stride.
                     k_snap = self.snapshot_every
                     n_chunks = n_steps // k_snap
+                    # Chunk start times: sourced kernels evaluate
+                    # s(t^{n+1}) per step, so each chunk must know where
+                    # in [0, T] it starts.
+                    t0s = dt * k_snap * jnp.arange(
+                        n_chunks, dtype=midpoints_a.dtype
+                    )
 
-                    def chunk(u_c, _):
-                        u_n = run_kernel(u_c, k_snap)
+                    def chunk(u_c, t0_c):
+                        u_n = run_kernel(u_c, k_snap, t0_c)
                         return u_n, u_n
 
-                    _, snaps_fam = jax.lax.scan(
-                        chunk, u0_fam, None, length=n_chunks
-                    )
+                    _, snaps_fam = jax.lax.scan(chunk, u0_fam, t0s)
                     sols = jnp.concatenate(
                         [u0_fam[None], snaps_fam], axis=0
                     )[:, inv_a]
@@ -1220,7 +1260,8 @@ class CRBESolver:
 
 def _pallas_fused_fits(pattern, extrapolate: bool = False,
                        uniform: bool = True,
-                       method: str = "bicgstab") -> bool:
+                       method: str = "bicgstab",
+                       source_steady: bool = False) -> bool:
     """VMEM budget for the fused solver. Canvas operator: all operands
     live at once — 15 coefficient canvases + mass/inv-diag/mask/u0 inputs
     (12) + 3 outputs + 18 Krylov scratch canvases = 48, for BE and CN
@@ -1228,7 +1269,8 @@ def _pallas_fused_fits(pattern, extrapolate: bool = False,
     in-kernel, see ops/pallas_solver.py). Uniform operator: the state
     (u0, aliased into the output) + 18 BiCGStab scratch = 21 canvases, or
     + 9 Chebyshev scratch (r, d, t) = 12. The extrapolated warm start
-    carries 3 previous-state canvases on top."""
+    carries 3 previous-state canvases on top; a hoisted steady-source
+    load (``source_steady``) 3 more."""
     per_canvas = pattern.n * pattern.n * 4
     if not uniform:
         n_canvases = 15 + 12 + 3 + 18
@@ -1237,6 +1279,7 @@ def _pallas_fused_fits(pattern, extrapolate: bool = False,
     else:
         n_canvases = 3 + 18
     n_canvases += 3 if extrapolate else 0
+    n_canvases += 3 if source_steady else 0
     return n_canvases * per_canvas < 14 * 1024 * 1024
 
 

@@ -36,9 +36,13 @@ collectives (Chebyshev's scalar recurrence is data-independent; the
 spectral interval comes from one replicated power_bounds before
 sharding).
 
-Chebyshev/zero-source/final-state-or-strided-snapshots — the serial
-stripe kernel's own contract (sources and residual-based BiCGStab live
-on the halo-exchange scan path, stencil_shard.py). Operator scalars come
+Chebyshev/final-state-or-strided-snapshots — the serial stripe kernel's
+own contract (residual-based BiCGStab lives on the halo-exchange scan
+path, stencil_shard.py). Source terms are supported: the kernel
+evaluates the masked lumped-mass load per tile on GLOBAL iota
+coordinates (ops/pallas_hbm._step_kernel), so sharded blocks and their
+halo rows see exactly the values the owning device computes — the
+per-step t^{n+1} rides one extra SMEM scalar. Operator scalars come
 either off assembled GlobalOperators or (``assembly="patch"``, auto past
 6M DOFs like the serial path) from a congruent patch mesh with no global
 operator at all — the compiled program only ever sees a 23-scalar pack
@@ -108,7 +112,8 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                           iters=8, axis="mp", extrapolate=False,
                           snapshot_every=None, stripe_rows=None,
                           interpret=False, assembly="auto",
-                          stiffness_convention="correct"):
+                          stiffness_convention="correct",
+                          source_quadrature="mass_lumped"):
     """Jitted distributed stripe-kernel solve over a structured mesh.
 
     Same contract as parallel/stencil_shard.build_halo_solver restricted
@@ -117,9 +122,9 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     ``snapshot_every=k`` — the strided ``((nt-1)/k + 1, n_seg)``
     trajectory matching the serial ``solutions[::k]``. ``order=2`` is
     Crank-Nicolson via the in-kernel RHS identity; ``extrapolate`` the
-    second-order warm start. Zero-source problems only (the kernel
-    rebuilds its RHS from the state alone; for sources use
-    build_halo_solver).
+    second-order warm start. Source terms are evaluated in-kernel on
+    global coordinates (``problem.source_xy``; ``source_quadrature`` as
+    in models/crbe.run_time_loop).
 
     ``assembly``: ``"full"`` reads the 21 operator scalars off assembled
     ``GlobalOperators``; ``"patch"`` extracts them from a tiny congruent
@@ -131,11 +136,13 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("hbm halo solver requires a structured mesh")
-    if not getattr(problem, "zero_source", False):
+    if source_quadrature not in ("mass_lumped", "reference"):
         raise ValueError(
-            "the stripe kernel is zero-source only; use "
-            "stencil_shard.build_halo_solver for problems with sources"
+            f"unknown source_quadrature {source_quadrature!r}"
         )
+    sourced = not getattr(problem, "zero_source", False)
+    src_steady = sourced and bool(getattr(problem, "steady_source",
+                                          False))
     if assembly not in ("auto", "full", "patch"):
         raise ValueError(f"unknown assembly {assembly!r}")
     use_patch = assembly == "patch" or (
@@ -177,19 +184,23 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             halo=halo, n_pad_l=n_lane, SL=n_lane, WL=n_lane, halo_l=0,
             n_iters=iters, has_ka=use_ka, extrapolate=extrapolate,
             int_start=halo, n_stripes=local // S,
+            source_fn=problem.source_xy if sourced else None,
+            source_steady=src_steady,
+            source_lumped=source_quadrature == "mass_lumped",
         )
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         hbm = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch = [pltpu.VMEM((2, 3, W, n_lane), dtype)] * n_states
         scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2
         scratch += [pltpu.SemaphoreType.DMA((2, n_states))] * 2
+        n_smem = 3 if sourced else 2
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((3, ext_rows, n_lane), dtype)
                 for _ in range(n_states)
             ),
-            in_specs=[smem, smem] + [hbm] * n_states,
+            in_specs=[smem] * n_smem + [hbm] * n_states,
             out_specs=tuple(hbm for _ in range(n_states)),
             scratch_shapes=scratch,
             compiler_params=pallas_hbm._vmem_limit(
@@ -216,13 +227,20 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             u0_can, ((0, 0), (0, n_pad - n), (0, n_lane - n))
         )
 
+        # Per-step t^{n+1} for the in-kernel source load (SMEM input).
+        ts = None
+        if sourced:
+            ts = jnp.asarray(dt, dtype) * jnp.arange(
+                1, n_steps + 1, dtype=dtype
+            ).reshape(n_steps, 1)
+
         def device_solve(u0_loc):
             dev = jax.lax.axis_index(axis)
             row0 = (dev * local - halo).astype(jnp.int32)[None]
             ext0 = jnp.pad(u0_loc, ((0, 0), (halo, halo), (0, 0)))
             carry0 = (ext0,) * n_states
 
-            def step(carry, _):
+            def step(carry, t):
                 # Refresh halos: one slab each way for ALL carried
                 # states (the extrapolated warm start reads u_prev in
                 # the halo too).
@@ -236,22 +254,28 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
                 stk = stk.at[:, :, :halo].set(dn)
                 stk = stk.at[:, :, halo + local:].set(up)
                 outs = step_call(
-                    packed, row0, *(stk[s] for s in range(n_states))
+                    packed, row0,
+                    *((t,) if sourced else ()),
+                    *(stk[s] for s in range(n_states))
                 )
                 return tuple(outs), None
 
             if snapshot_every is None:
-                carry, _ = jax.lax.scan(step, carry0, None,
+                carry, _ = jax.lax.scan(step, carry0, ts,
                                         length=n_steps)
                 return carry[0][:, halo:halo + local]
 
-            def chunk(carry, _):
-                carry, _ = jax.lax.scan(step, carry, None,
+            n_chunks = n_steps // snapshot_every
+            ts_chunks = (ts.reshape(n_chunks, snapshot_every, 1)
+                         if sourced else None)
+
+            def chunk(carry, ts_c):
+                carry, _ = jax.lax.scan(step, carry, ts_c,
                                         length=snapshot_every)
                 return carry, carry[0][:, halo:halo + local]
 
             _, snaps = jax.lax.scan(
-                chunk, carry0, None, length=n_steps // snapshot_every
+                chunk, carry0, ts_chunks, length=n_chunks
             )
             return snaps  # (n_snap, 3, local, lanes)
 
@@ -287,13 +311,28 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     aux = (perm, inv, jnp.asarray(md.midpoints),
            jnp.asarray(md.boundary_mask))
 
+    if sourced:
+        # Grid origin/spacing + dt for the in-kernel coordinate
+        # reconstruction (consts[23:27] in _step_kernel) — computed
+        # EAGERLY (build time): _pack runs inside a jit.
+        import numpy as _np
+
+        _pts = _np.asarray(md.points)
+        _xmin = float(_pts[:, 0].min())
+        _ymin = float(_pts[:, 1].min())
+        _h = (float(_pts[:, 0].max()) - _xmin) / (md.structured_n - 1)
+        _grid_pack = jnp.asarray([_xmin, _ymin, _h, float(dt)])
+
     def _pack(consts, mass_c, idiag_c, bounds):
-        return jnp.concatenate([
+        parts = [
             jnp.ravel(jnp.asarray(consts)),
             jnp.ravel(jnp.asarray(mass_c)),
             jnp.ravel(jnp.asarray(idiag_c)),
             jnp.stack([jnp.asarray(b) for b in bounds]),
-        ])
+        ]
+        if sourced:
+            parts.append(_grid_pack)
+        return jnp.concatenate(parts)
 
     @jax.jit
     def _packed_fn(ops: GlobalOperators, u0, perm):

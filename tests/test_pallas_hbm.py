@@ -305,3 +305,106 @@ def test_choose_tile_tall_stripes_at_lane_bound():
         # envelope).
         assert (pallas_hbm._n_bufs(True) * 3 * (s + 32) * sl * 4
                 <= pallas_hbm._TALL_BUDGET)
+
+
+# --- Sourced stripe solves: the load is evaluated per tile on GLOBAL
+# iota coordinates (window offset + lane offset), fed the step time via
+# an SMEM input from the host-side scan. Oracle: the VMEM fused kernel
+# (itself pinned against the scan path in tests/test_pallas_solver.py).
+
+
+def _grid_of(md):
+    import numpy as np
+
+    pts = np.asarray(md.points)
+    xmin, ymin = float(pts[:, 0].min()), float(pts[:, 1].min())
+    h = (float(pts[:, 0].max()) - xmin) / (md.structured_n - 1)
+    return (xmin, ymin, h)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("stripe_rows", [8, 16])
+def test_sourced_matches_vmem_fused(setup, order, stripe_rows):
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    domain, _, md32 = setup
+    # f64 mesh: the tight tiling-equality tolerance below holds only in
+    # f64 (the zero-source tests get f64 implicitly through the Problem
+    # IC's promotion; GaussianSourceProblem's zero IC would keep f32).
+    md = apt.MeshData(md32.mesh, domain, nt=md32.nt, dtype=jnp.float64)
+    problem = GaussianSourceProblem(q=80.0, xs=-3.0, ys=2.0, sigma_s=5.0)
+    spec, consts, mass_c, idc, u0, bounds = _pieces(
+        domain, problem, md, order
+    )
+    dt = domain.T / (md.nt - 1)
+    src = dict(source_fn=problem.source_xy, source_steady=True,
+               grid=_grid_of(md), dt=dt)
+    kw = dict(n_steps=md.nt - 1, n_iters=6, use_ka=(order == 2))
+    ref = pallas_solver.fused_solve_uniform(
+        spec, consts, mass_c, idc, u0, method="chebyshev", bounds=bounds,
+        interpret=True, **kw, **src,
+    )
+    got = pallas_hbm.fused_solve_uniform_hbm(
+        spec, consts, mass_c, idc, u0, bounds=bounds,
+        stripe_rows=stripe_rows, interpret=True, **kw, **src,
+    )
+    assert float(jnp.max(jnp.abs(ref))) > 1e-3
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-10 * float(
+        jnp.max(jnp.abs(ref))
+    ) + 1e-12
+
+
+def test_sourced_time_dependent_matches_vmem_fused(setup):
+    """Time-dependent source: the per-step t^{n+1} rides the SMEM input
+    (host-scan xs) and CN takes the in-kernel trapezoid."""
+    domain, base_problem, md32 = setup
+    md = apt.MeshData(md32.mesh, domain, nt=md32.nt, dtype=jnp.float64)
+
+    class Ramp(type(base_problem)):
+        zero_source = False
+        steady_source = False
+
+        def source_term(self, xyt):
+            x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+            return (0.2 + 0.1 * t) * jnp.exp(-0.03 * (x**2 + y**2))
+
+        def source_xy(self, x, y, t):
+            return (0.2 + 0.1 * t) * jnp.exp(-0.03 * (x**2 + y**2))
+
+    problem = Ramp(sigma=1.0)
+    spec, consts, mass_c, idc, u0, bounds = _pieces(domain, problem, md, 2)
+    dt = domain.T / (md.nt - 1)
+    src = dict(source_fn=problem.source_xy, source_steady=False,
+               grid=_grid_of(md), dt=dt, t0=0.0)
+    kw = dict(n_steps=md.nt - 1, n_iters=6, use_ka=True)
+    ref = pallas_solver.fused_solve_uniform(
+        spec, consts, mass_c, idc, u0, method="chebyshev", bounds=bounds,
+        interpret=True, **kw, **src,
+    )
+    got = pallas_hbm.fused_solve_uniform_hbm(
+        spec, consts, mass_c, idc, u0, bounds=bounds,
+        stripe_rows=8, interpret=True, **kw, **src,
+    )
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-10 * float(
+        jnp.max(jnp.abs(ref))
+    ) + 1e-12
+
+
+def test_sourced_solver_level_strided_matches_scan(setup):
+    """End-to-end through CRBESolver: sourced fused_hbm with strided
+    snapshots against the scan path (chunk t0 offsets included)."""
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    domain, _, md = setup
+    md_fine = apt.MeshData(md.mesh, domain, nt=65)
+    problem = GaussianSourceProblem(q=80.0, xs=-3.0, ys=2.0, sigma_s=5.0)
+    scan = CRBESolver(domain, problem, md_fine, matvec_impl="uniform")
+    full = scan.solve(store_solutions=True)
+    s = CRBESolver(domain, problem, md_fine, matvec_impl="fused_hbm",
+                   solver_method="chebyshev", chebyshev_iters=10,
+                   snapshot_every=16)
+    snaps = s.solve(store_solutions=True)
+    ref = full[::16]
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-3
+    assert float(jnp.max(jnp.abs(snaps - ref))) < 1e-5 * scale

@@ -79,19 +79,29 @@ def test_device_memory_counts_per_device_shards():
     from airpollution_tpu.utils.profiling import get_device_memory_mb
 
     mesh = Mesh(np.array(jax.devices()), ("x",))
-    nbytes = 8 * 4096 * 4
-    src = jnp.ones((8, 4096), jnp.float32)
+    # Large enough that stray small buffers from OTHER tests (deferred
+    # deletions collected by the gc.collect()s below) stay inside the
+    # tolerance — at the original 16 KB shard this test was flaky in
+    # full-suite runs.
+    nbytes = 8 * 262144 * 4
+    gc.collect()
+    base_before = get_device_memory_mb()
+    src = jnp.ones((8, 262144), jnp.float32)
     sharded = jax.device_put(src, NamedSharding(mesh, P("x")))
     del src
     gc.collect()  # drop the full-size single-device temporary
     with_sharded = get_device_memory_mb()
     del sharded
     gc.collect()
-    base = get_device_memory_mb()
+    base_after = get_device_memory_mb()
     # Device 0 held exactly its 1/8th shard of the sharded array — the
     # old accounting charged the full global nbytes to every device.
-    np.testing.assert_allclose(
-        with_sharded - base, nbytes / 8 / 1e6, rtol=0.05
+    # Either baseline may be polluted by unrelated frees; accept the one
+    # that brackets the allocation.
+    expected = nbytes / 8 / 1e6
+    deltas = (with_sharded - base_after, with_sharded - base_before)
+    assert any(abs(d - expected) < 0.05 * expected for d in deltas), (
+        deltas, expected
     )
 
 
