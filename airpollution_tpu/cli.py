@@ -28,8 +28,28 @@ def _domain_problem(args):
     import airpollution_tpu as apt
 
     domain = apt.Domain()
-    problem = apt.Problem(v=tuple(args.v), D=args.D, sigma=args.sigma)
+    kind = getattr(args, "problem", "gaussian")
+    if kind == "gaussian":
+        problem = apt.Problem(v=tuple(args.v), D=args.D, sigma=args.sigma)
+    elif kind == "square_pulse":
+        problem = apt.SquarePulseProblem(v=tuple(args.v), D=args.D)
+    elif kind == "gaussian_source":
+        problem = apt.GaussianSourceProblem(
+            v=tuple(args.v), D=args.D, q=args.q, xs=args.xs, ys=args.ys,
+            sigma_s=args.sigma_s,
+        )
+    else:  # argparse choices guard this
+        raise ValueError(f"unknown problem {kind!r}")
     return domain, problem
+
+
+def _errors_or_none(compute, problem):
+    """Error triple against the analytical solution, or Nones when the
+    problem has no closed form (square_pulse, gaussian_source)."""
+    fn = getattr(problem, "analytical_solution", None)
+    if fn is None:
+        return None, None, None
+    return compute(fn)
 
 
 def _mesh_data(args, domain):
@@ -57,7 +77,7 @@ def cmd_solve(args):
     )
     store = bool(args.save_all)
     solver.solve(store_solutions=store)
-    rel, l2, mx = solver.compute_errors(problem.analytical_solution)
+    rel, l2, mx = _errors_or_none(solver.compute_errors, problem)
     if args.save:
         import numpy as np
 
@@ -104,7 +124,9 @@ def cmd_pinn(args):
     else:
         history = model.train(batch, args.epochs, args.lr, lambdas,
                               **train_kwargs)
-    rel, l2, mx = model.compute_errors(md, problem.analytical_solution)
+    rel, l2, mx = _errors_or_none(
+        lambda fn: model.compute_errors(md, fn), problem
+    )
     print(json.dumps({
         "method": "pinn", "mesh_size": args.mesh_size,
         "epochs_run": len(history["total_loss"]),
@@ -134,6 +156,53 @@ def cmd_invert(args):
     }))
 
 
+def cmd_fit_source(args):
+    """Emission-source identification from a saved observation
+    trajectory: the CLI face of diagnostics.inverse.fit_source (the
+    scripted demo is scripts/source_inversion_demo.py)."""
+    import numpy as np
+
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import load_field
+
+    domain, _ = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    observed, times = load_field(args.observed)
+    if observed.ndim != 2:
+        raise SystemExit(
+            "fit-source needs a trajectory .npz (solve --save --save_all)"
+        )
+    if times is None:
+        raise SystemExit("observed .npz carries no times array")
+    dt = domain.T / (args.nt - 1)
+    # Map saved snapshot times onto this run's time grid; drop t=0 (the
+    # IC row carries no source information).
+    indices = [int(round(float(t) / dt)) for t in np.asarray(times)]
+    rows = [k for k, i in enumerate(indices) if i > 0]
+    idx = [indices[k] for k in rows]
+    obs = np.asarray(observed)[rows]
+    sensors = None
+    if args.sensors and args.sensors < md.number_of_segments:
+        rng = np.random.default_rng(args.sensor_seed)
+        sensors = np.sort(rng.choice(md.number_of_segments, args.sensors,
+                                     replace=False))
+        obs = obs[:, sensors]
+    result, losses = inverse.fit_source(
+        obs, md, snapshot_indices=idx, sensor_indices=sensors,
+        v=tuple(args.v), D=args.D, sigma_s=args.sigma_s, q0=args.q0,
+        xy0=tuple(args.xy0), fit_transport=args.fit_transport,
+        steps=args.steps, lr=args.lr,
+    )
+    print(json.dumps({
+        "method": "fit_source", **result,
+        "n_sensors": int(len(sensors)) if sensors is not None
+        else int(md.number_of_segments),
+        "n_snapshots": len(idx),
+        "misfit_first": float(losses[0]), "misfit_last": float(losses[-1]),
+        "steps": args.steps,
+    }))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="airpollution_tpu",
                                 description=__doc__.splitlines()[0])
@@ -145,6 +214,16 @@ def build_parser():
         sp.add_argument("--v", type=float, nargs=2, default=[1.0, 0.5])
         sp.add_argument("--D", type=float, default=0.1)
         sp.add_argument("--sigma", type=float, default=1.0)
+        sp.add_argument("--problem", default="gaussian",
+                        choices=("gaussian", "square_pulse",
+                                 "gaussian_source"),
+                        help="gaussian_source: steady emitter (--q --xs "
+                             "--ys --sigma_s); no analytical errors")
+        sp.add_argument("--q", type=float, default=1.0,
+                        help="emission rate (gaussian_source)")
+        sp.add_argument("--xs", type=float, default=0.0)
+        sp.add_argument("--ys", type=float, default=0.0)
+        sp.add_argument("--sigma_s", type=float, default=1.0)
 
     sp = sub.add_parser("solve", help="CRBE FEM solve")
     common(sp)
@@ -194,6 +273,27 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--lr", type=float, default=0.1)
     sp.set_defaults(fn=cmd_invert)
+
+    sp = sub.add_parser(
+        "fit-source",
+        help="Localize/quantify an emitter from sensor observations",
+    )
+    common(sp)
+    sp.add_argument("--observed", required=True,
+                    help=".npz trajectory from solve --problem "
+                         "gaussian_source --save --save_all "
+                         "--snapshot_every k (times included)")
+    sp.add_argument("--sensors", type=int, default=64,
+                    help="random monitoring stations drawn from the DOF "
+                         "midpoints (0 = all DOFs)")
+    sp.add_argument("--sensor_seed", type=int, default=0)
+    sp.add_argument("--q0", type=float, default=1.0)
+    sp.add_argument("--xy0", type=float, nargs=2, default=[0.0, 0.0])
+    sp.add_argument("--fit_transport", action="store_true",
+                    help="jointly estimate D and v as well")
+    sp.add_argument("--steps", type=int, default=300)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.set_defaults(fn=cmd_fit_source)
     return p
 
 

@@ -267,7 +267,9 @@ def fit_source(observed, mesh_data, *, snapshot_indices=None,
     """
     from airpollution_tpu.problems import GaussianSourceProblem
 
-    v = jnp.asarray(v, dtype=jnp.result_type(float))
+    # Parameters follow the MESH dtype: result_type(float) would pick
+    # f64 under jax_enable_x64 and poison an f32 solve's scan carry.
+    v = jnp.asarray(v, dtype=mesh_data.midpoints.dtype)
 
     def make_problem(params):
         common = dict(q=jnp.exp(params["log_q"]), xs=params["xy"][0],

@@ -55,3 +55,26 @@ def test_cli_pinn_with_levers_and_checkpoint(in_tmp_dir, capsys):
     res = _last_json(capsys)
     assert res["epochs_run"] == 8 and np.isfinite(res["final_loss"])
     assert os.path.exists("ck/pinn_latest.npz")
+
+
+def test_cli_sourced_solve_and_fit_source_roundtrip(in_tmp_dir, capsys):
+    """Production scenario end to end through the CLI: emit a sourced
+    trajectory (gaussian_source has no analytical errors -> nulls), then
+    recover the emitter from a sparse sensor subset of it."""
+    cli.main(["solve", "--problem", "gaussian_source", "--q", "2.0",
+              "--xs", "-4.0", "--ys", "2.5", "--sigma_s", "2.0",
+              "--mesh_size", "16", "--nt", "17", "--snapshot_every", "4",
+              "--save", "src_obs.npz", "--save_all"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe" and res["rel_l2"] is None
+    data = np.load("src_obs.npz")
+    assert data["solutions"].shape[0] == 5  # strided: (nt-1)/4 + 1
+
+    cli.main(["fit-source", "--observed", "src_obs.npz",
+              "--mesh_size", "16", "--nt", "17", "--sigma_s", "2.0",
+              "--sensors", "40", "--steps", "500", "--lr", "0.12"])
+    fit = _last_json(capsys)
+    assert fit["n_snapshots"] == 4 and fit["n_sensors"] == 40
+    assert abs(fit["q"] - 2.0) / 2.0 < 0.1
+    assert abs(fit["xs"] + 4.0) < 0.3 and abs(fit["ys"] - 2.5) < 0.3
+    assert fit["misfit_last"] < fit["misfit_first"] * 1e-2
