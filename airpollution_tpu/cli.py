@@ -29,14 +29,17 @@ def _domain_problem(args):
 
     domain = apt.Domain()
     kind = getattr(args, "problem", "gaussian")
+    reaction = getattr(args, "reaction", 0.0)
     if kind == "gaussian":
-        problem = apt.Problem(v=tuple(args.v), D=args.D, sigma=args.sigma)
+        problem = apt.Problem(v=tuple(args.v), D=args.D, sigma=args.sigma,
+                              reaction=reaction)
     elif kind == "square_pulse":
-        problem = apt.SquarePulseProblem(v=tuple(args.v), D=args.D)
+        problem = apt.SquarePulseProblem(v=tuple(args.v), D=args.D,
+                                         reaction=reaction)
     elif kind == "gaussian_source":
         problem = apt.GaussianSourceProblem(
             v=tuple(args.v), D=args.D, q=args.q, xs=args.xs, ys=args.ys,
-            sigma_s=args.sigma_s,
+            sigma_s=args.sigma_s, reaction=reaction,
         )
     else:  # argparse choices guard this
         raise ValueError(f"unknown problem {kind!r}")
@@ -219,6 +222,11 @@ def build_parser():
                                  "gaussian_source"),
                         help="gaussian_source: steady emitter (--q --xs "
                              "--ys --sigma_s); no analytical errors")
+        sp.add_argument("--reaction", type=float, default=0.0,
+                        help="first-order decay/deposition rate r "
+                             "(adds + r c to the PDE; the gaussian "
+                             "problem stays its own exact oracle: its "
+                             "solution is the plume times exp(-r t))")
         sp.add_argument("--q", type=float, default=1.0,
                         help="emission rate (gaussian_source)")
         sp.add_argument("--xs", type=float, default=0.0)

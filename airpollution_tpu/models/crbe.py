@@ -147,7 +147,7 @@ class GlobalOperators(NamedTuple):
     mass_diag: jax.Array  # (n_seg,) — CR mass matrix is diagonal
     stiffness: sparse.EllMatrix
     advection: sparse.EllMatrix
-    ka: sparse.EllMatrix  # K + A (shared sparsity)
+    ka: sparse.EllMatrix  # K + A (+ reaction * M on the diagonal)
     system: sparse.EllMatrix  # M + c*dt*(K+A) with Dirichlet rows masked
     system_diag: jax.Array  # diagonal of the masked system (Jacobi)
 
@@ -181,7 +181,19 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
 
     K = to_ell(loc.stiffness)
     A = to_ell(loc.advection)
-    ka = sparse.EllMatrix(vals=K.vals + A.vals, cols=K.cols)
+    ka_vals = K.vals + A.vals
+    # First-order reaction/decay: + r c in the PDE becomes + r M in the
+    # spatial operator. Folding it into ka here means EVERY downstream
+    # consumer — the scan RHS (Crank-Nicolson reads ka), the system
+    # below, the stencil/uniform/patch coefficient extractions, the
+    # fused Pallas kernels and the distributed packs — inherits the
+    # term with zero per-step cost. Static zero keeps the whole
+    # reference problem family bit-identical.
+    r = getattr(problem, "reaction", 0.0)
+    if not (isinstance(r, (int, float)) and r == 0.0):
+        ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(r * mass_diag)
+        ka_vals = ka_flat.reshape(ka_vals.shape)
+    ka = sparse.EllMatrix(vals=ka_vals, cols=K.cols)
 
     c = {1: 1.0, 2: 0.5}[time_scheme_order]
     sys_vals = (c * dt) * ka.vals

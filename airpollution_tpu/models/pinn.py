@@ -187,7 +187,7 @@ def count_trainable_parameters(params):
 def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
                    bc_target, lambda_weights, mini_batch_size, activation,
                    hard_ic=False, t_final=1.0, causal_eps=0.0,
-                   causal_bins=32):
+                   causal_bins=32, reaction_active=False):
     """The weighted composite PINN loss (pinn.py:182-216 semantics).
 
     ``problem`` is a pytree (physical parameters are traced leaves), so
@@ -211,8 +211,15 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
                             t_final)[0]
 
     source = problem.source_term(xyt_pde)
-    residual = autodiff.pde_residual(u, xyt_pde, problem.v, problem.D,
-                                     source)
+    # reaction_active is STATIC (``problem.reaction`` is a traced leaf
+    # here, so pde_residual's own static-zero skip cannot see it): a
+    # traced zero would cost every reaction-free problem an extra
+    # forward pass per epoch.
+    residual = autodiff.pde_residual(
+        u, xyt_pde, problem.v, problem.D, source,
+        reaction=getattr(problem, "reaction", 0.0) if reaction_active
+        else 0.0,
+    )
     res2 = jnp.square(residual).reshape(-1)
     n_pde = res2.shape[0]
     if causal_eps > 0.0:
@@ -375,13 +382,15 @@ class PINN:
         return u
 
     def compute_pde_residual(self, xyt):
-        """dc/dt + v . grad c - D lap c - s at each point (pinn.py:131-146,
-        correct Laplacian)."""
+        """dc/dt + v . grad c - D lap c + r c - s at each point
+        (pinn.py:131-146, correct Laplacian; r is the problem's optional
+        first-order reaction rate)."""
         xyt = jnp.asarray(xyt, self.dtype)
         source = self.problem.source_term(xyt)
         return autodiff.pde_residual(
             self._point_fn(self.params), xyt, self.problem.v,
             self.problem.D, source,
+            reaction=getattr(self.problem, "reaction", 0.0),
         )
 
     # --- training ---
@@ -392,13 +401,21 @@ class PINN:
             params, self.problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
             bc_target, lambda_weights, mini_batch_size, self.activation,
             hard_ic=self.hard_ic, t_final=self.domain.T,
+            reaction_active=self._reaction_active(),
         )
+
+    def _reaction_active(self) -> bool:
+        """Host-level staticness of the problem's reaction rate (a traced
+        pytree leaf inside the jitted trainers — see composite_loss)."""
+        r = getattr(self.problem, "reaction", 0.0)
+        return not (isinstance(r, (int, float)) and r == 0.0)
 
     @staticmethod
     def _build_train_fn(batch_sizes, mini_batch_size, epochs, activation,
                         xy_ranges, t_range, dtype, adaptive_oversample=0.0,
                         adaptive_weights_every=0, hard_ic=False,
-                        causal_eps=0.0, causal_bins=32):
+                        causal_eps=0.0, causal_bins=32,
+                        reaction_active=False):
         n_pde, n_bc = batch_sizes["pde"], batch_sizes["bc"]
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=1.0)
 
@@ -424,6 +441,7 @@ class PINN:
                 t_final=t_range[1],
                 causal_eps=causal_eps,
                 causal_bins=causal_bins,
+                reaction_active=reaction_active,
             )
             key, k_bc, k_pde, k_sel = jax.random.split(state.key, 4)
             xyt_bc = sampling.sample_boundary_points(
@@ -449,6 +467,8 @@ class PINN:
                 res = autodiff.pde_residual(
                     u_point, cand, problem.v, problem.D,
                     problem.source_term(cand),
+                    reaction=getattr(problem, "reaction", 0.0)
+                    if reaction_active else 0.0,
                 )
                 r = jax.lax.stop_gradient(jnp.abs(res.ravel()))
                 w = r / (jnp.mean(r) + 1e-12) + 1.0
@@ -593,6 +613,7 @@ class PINN:
             float(adaptive_oversample), int(adaptive_weights_every),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
             self.hard_ic, float(causal_eps), int(causal_bins),
+            self._reaction_active(),
         )
         if cache_key not in _TRAIN_FN_CACHE:
             _TRAIN_FN_CACHE[cache_key] = self._build_train_fn(
@@ -603,6 +624,7 @@ class PINN:
                 hard_ic=self.hard_ic,
                 causal_eps=float(causal_eps),
                 causal_bins=int(causal_bins),
+                reaction_active=self._reaction_active(),
             )
         return _TRAIN_FN_CACHE[cache_key]
 
@@ -814,6 +836,7 @@ class PINN:
                 params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
                 bc_target, lambdas, mini_batch_size, self.activation,
                 hard_ic=self.hard_ic, t_final=self.domain.T,
+                reaction_active=self._reaction_active(),
             )
             return total, aux
 
@@ -880,7 +903,7 @@ class PINN:
             tuple(sorted(lambda_weights.items())), float(lr), int(epochs),
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
             jax.tree_util.tree_structure(self.problem),
-            self.fourier_features, self.hard_ic,
+            self.fourier_features, self.hard_ic, self._reaction_active(),
         )
         if cache_key not in _PARALLEL_TRAIN_FN_CACHE:
             _PARALLEL_TRAIN_FN_CACHE[cache_key] = (
@@ -891,6 +914,7 @@ class PINN:
                     dtype=self.dtype,
                     fourier_features=self.fourier_features,
                     hard_ic=self.hard_ic,
+                    reaction_active=self._reaction_active(),
                 )
             )
         trainer, info = _PARALLEL_TRAIN_FN_CACHE[cache_key]

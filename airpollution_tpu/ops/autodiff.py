@@ -61,10 +61,34 @@ def pde_residual(
     v: jax.Array,
     D,
     source: jax.Array,
+    *,
+    reaction=0.0,
+    D_grad=None,
 ) -> jax.Array:
-    """Advection-diffusion residual dc/dt + v . grad c - D lap c - s
-    at each point (pinn.py:131-146 semantics, correct Laplacian)."""
+    """Advection-diffusion(-reaction) residual
+    ``dc/dt + v . grad c - div(D grad c) + r c - s`` at each point
+    (pinn.py:131-146 semantics, correct Laplacian; the first-order decay
+    rate ``reaction`` extends the reference's pure-transport residual —
+    see problems.AdDifProblem). A statically zero ``reaction`` skips the
+    extra forward pass entirely.
+
+    Spatially varying coefficients (problems.AdDifProblem hooks): ``v``
+    may be a per-point (N, 2) field and ``D`` a per-point (N,) field, in
+    which case ``D_grad`` (N, 2) supplies grad D for the non-conservative
+    expansion ``-div(D grad c) = -D lap c - grad D . grad c``; constant
+    coefficients leave ``D_grad=None`` and the term vanishes."""
     grad_xy, grad_t, lap = gradient_and_laplacian_xy(u_fn, pts)
     v = jnp.asarray(v, dtype=pts.dtype)
-    v_dot_grad = jnp.sum(v[None, :2] * grad_xy, axis=1, keepdims=True)
-    return grad_t + v_dot_grad - D * lap - source.reshape(-1, 1)
+    v2 = v[None, :2] if v.ndim == 1 else v[:, :2]
+    v_dot_grad = jnp.sum(v2 * grad_xy, axis=1, keepdims=True)
+    D_col = D.reshape(-1, 1) if jnp.ndim(D) == 1 else D
+    res = grad_t + v_dot_grad - D_col * lap - source.reshape(-1, 1)
+    if D_grad is not None:
+        res = res - jnp.sum(
+            jnp.asarray(D_grad, dtype=pts.dtype) * grad_xy, axis=1,
+            keepdims=True,
+        )
+    if not (isinstance(reaction, (int, float)) and reaction == 0.0):
+        c = jax.vmap(u_fn)(pts).reshape(-1, 1)
+        res = res + reaction * c
+    return res

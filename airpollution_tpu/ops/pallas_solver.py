@@ -24,11 +24,14 @@ iteration count:
   vector stays zero there; the RHS is formed from the UNMASKED state so
   the first step sees u0's boundary columns.
 - The RHS is ``b = M u_prev`` (crbe.py:383-384), plus the row-masked
-  ``-(dt/2)(K+A) u_prev`` term for Crank-Nicolson (crbe.py:385-386); the
-  source term is zero by scope. Crank-Nicolson costs NO extra VMEM: with
-  ``P = diag(interior)``, ``B = I - P`` and the (diagonal) CR mass ``M``,
-  the masked system is ``S = P (M + (dt/2)(K+A)) + B``, hence
-  ``-P (dt/2)(K+A) = M_masked + B - S`` and the CN RHS is
+  ``-(dt/2) ka u_prev`` term for Crank-Nicolson (crbe.py:385-386), where
+  ``ka = K + A (+ r M)`` is the assembled spatial operator including any
+  first-order reaction term (folded in at crbe.assemble, so the fused
+  kernels inherit it through the system canvases with no changes here);
+  the source term is zero by scope. Crank-Nicolson costs NO extra VMEM:
+  with ``P = diag(interior)``, ``B = I - P`` and the (diagonal) CR mass
+  ``M``, the masked system is ``S = P (M + (dt/2) ka) + B``, hence
+  ``-P (dt/2) ka = M_masked + B - S`` and the CN RHS is
   ``b = 2 M_masked u + B u - S u`` — one extra *system* matvec instead of
   15 extra coefficient canvases, so CN fits the same mesh sizes as BE.
 - BiCGStab runs a *static* number of iterations (default 5; the adaptive

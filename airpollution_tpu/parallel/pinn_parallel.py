@@ -131,7 +131,7 @@ def _apply_tp(params, x, activation, problem=None, hard_ic=False,
 
 def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
                 problem, lambda_weights, activation, totals,
-                hard_ic=False, t_final=1.0):
+                hard_ic=False, t_final=1.0, reaction_active=False):
     """Global composite loss computed on-device (psum over 'dp').
 
     ``totals`` are the *global* batch sizes; every device returns the same
@@ -144,7 +144,14 @@ def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
                          t_final)[0, 0]
 
     source = problem.source_term(xyt_pde)
-    res = autodiff.pde_residual(u_fn, xyt_pde, problem.v, problem.D, source)
+    # reaction_active is STATIC (the problem itself is traced): a traced
+    # zero would defeat pde_residual's skip and cost an extra forward
+    # pass per epoch on every reaction-free problem.
+    res = autodiff.pde_residual(
+        u_fn, xyt_pde, problem.v, problem.D, source,
+        reaction=getattr(problem, "reaction", 0.0) if reaction_active
+        else 0.0,
+    )
     pde_loss = jax.lax.psum(jnp.sum(jnp.square(res)), "dp") / n_pde_total
 
     if hard_ic:
@@ -221,6 +228,7 @@ def build_parallel_trainer(
     dtype=jnp.float32,
     fourier_features: int = 0,
     hard_ic: bool = False,
+    reaction_active: bool = False,
 ):
     """Build a jitted multi-epoch training function over a ('dp','tp') mesh.
 
@@ -261,6 +269,7 @@ def build_parallel_trainer(
         _loss_local, lambda_weights=dict(lambda_weights),
         activation=activation, totals=totals,
         hard_ic=hard_ic, t_final=t_range[1],
+        reaction_active=reaction_active,
     )
 
     def device_train(state, xyt_ic, ic_target, key, problem):
@@ -310,7 +319,7 @@ def build_parallel_trainer(
 
 def parallel_loss_reference(mesh, layers, params_state, batches, problem,
                             lambda_weights, activation="adaptive_tanh",
-                            fourier_features=0):
+                            fourier_features=0, reaction_active=False):
     """Compute the global loss on a mesh from given (replicated-input)
     batches — exposed for equivalence tests against the serial loss."""
     xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target = batches
@@ -319,6 +328,7 @@ def parallel_loss_reference(mesh, layers, params_state, batches, problem,
     loss_fn = partial(
         _loss_local, problem=problem, lambda_weights=dict(lambda_weights),
         activation=activation, totals=totals,
+        reaction_active=reaction_active,
     )
     param_specs = tp_param_specs(layers, activation, fourier_features)
 

@@ -52,13 +52,22 @@ def _register_problem_pytree(cls, fields):
 
 
 class AdDifProblem(abc.ABC):
-    """Abstract 2D advection-diffusion problem.
+    """Abstract 2D advection-diffusion(-reaction) problem.
 
     Counterpart of ``AdDifProblem`` (utils/common.py:15-30). Subclasses define
     the initial condition, boundary values and source term; the velocity ``v``
     and diffusion coefficient ``D`` live on the instance so solvers can read
     them directly. ``v`` and ``D`` may be Python scalars or JAX scalars (the
     latter makes problems vmappable over physical parameters).
+
+    ``reaction`` (beyond the reference, which models pure transport) is a
+    first-order decay/deposition rate r >= 0 adding ``+ r c`` to the PDE —
+    the standard linear-chemistry term of operational air-quality models.
+    It enters the FEM operator as ``r M`` folded into ``K + A`` at assembly
+    (models/crbe.assemble), so every solve path — scan, stencil, uniform,
+    patch, fused Pallas, distributed — and the solver adjoint inherit it
+    with zero per-step cost; the PINN residual adds ``reaction * c``
+    (ops/autodiff.pde_residual).
     """
 
     # True when source_term is identically zero — unlocks fused solver
@@ -70,9 +79,20 @@ class AdDifProblem(abc.ABC):
     # (ops/pallas_solver.py / ops/pallas_hbm.py).
     steady_source = False
 
-    def __init__(self, v, D):
+    # True when v or D vary in space (beyond the reference's constant
+    # transport). The FEM assembly then evaluates velocity_at /
+    # diffusion_at per element (models/crbe.assemble) and the PINN
+    # residual per collocation point; the translation-invariant fast
+    # paths (uniform operator, patch assembly, uniform fused kernels)
+    # reject such problems — the general stencil/canvas paths carry
+    # per-DOF coefficients and remain exact. A CLASS attribute so it
+    # stays static under jit tracing of problem pytrees.
+    variable_coefficients = False
+
+    def __init__(self, v, D, reaction=0.0):
         self.v = v
         self.D = D
+        self.reaction = reaction
 
     @abc.abstractmethod
     def initial_condition_fn(self, xy):
@@ -101,6 +121,51 @@ class AdDifProblem(abc.ABC):
         xyt = jnp.stack([x, y, jnp.full_like(x, t)], axis=-1)
         return self.source_term(xyt)
 
+    # --- spatially varying coefficient hooks (variable_coefficients) ---
+
+    def velocity_at(self, xy):
+        """Wind field v(x, y) at (N, 2) points -> (N, 2).
+
+        Default: the constant ``v`` broadcast to every point. Override
+        together with ``variable_coefficients = True`` for spatially
+        varying winds; the FEM assembly samples it at triangle centroids
+        (piecewise-constant per element, the standard first-order
+        coefficient quadrature for CR elements)."""
+        xy = jnp.asarray(xy)
+        return jnp.broadcast_to(
+            jnp.asarray(self.v, dtype=xy.dtype), xy.shape[:-1] + (2,)
+        )
+
+    def diffusion_at(self, xy):
+        """Diffusion field D(x, y) at (N, 2) points -> (N,).
+
+        Default: the constant ``D`` broadcast to every point."""
+        xy = jnp.asarray(xy)
+        return jnp.broadcast_to(
+            jnp.asarray(self.D, dtype=xy.dtype), xy.shape[:-1]
+        )
+
+    def diffusion_grad_at(self, xy):
+        """grad D(x, y) at (N, 2) points -> (N, 2).
+
+        The PINN residual's non-conservative expansion of the diffusion
+        term needs it: -div(D grad c) = -D lap c - grad D . grad c
+        (ops/autodiff.pde_residual). The FEM weak form does NOT (it
+        integrates D grad c . grad phi directly). Default: the generic
+        autodiff of :meth:`diffusion_at` for variable-D problems and an
+        exact zero for constant-D ones; override when a closed form is
+        cheaper."""
+        xy = jnp.asarray(xy)
+        if not self.variable_coefficients:
+            return jnp.zeros(xy.shape[:-1] + (2,), dtype=xy.dtype)
+
+        def d_scalar(p):
+            return jnp.squeeze(self.diffusion_at(p[None, :]))
+
+        return jax.vmap(jax.grad(d_scalar))(xy.reshape(-1, 2)).reshape(
+            xy.shape[:-1] + (2,)
+        )
+
 
 class Problem(AdDifProblem):
     """Default Gaussian-plume problem with a closed-form solution.
@@ -112,19 +177,27 @@ class Problem(AdDifProblem):
 
     zero_source = True  # common.py:72-76
 
-    def __init__(self, v=(1.0, 0.5), D=0.1, sigma=1.0):
-        super().__init__(jnp.asarray(v), D)
+    def __init__(self, v=(1.0, 0.5), D=0.1, sigma=1.0, reaction=0.0):
+        super().__init__(jnp.asarray(v), D, reaction)
         self.sigma = sigma
 
     def analytical_solution(self, xyt):
-        """Exact solution at (N, 3) space-time points [x, y, t]."""
+        """Exact solution at (N, 3) space-time points [x, y, t].
+
+        With a nonzero first-order ``reaction`` rate r the exact solution
+        is the plume times ``exp(-r t)`` (the decay commutes with the
+        constant-coefficient transport operator), so the problem remains
+        its own validation oracle."""
         xyt = jnp.asarray(xyt)
         if xyt.shape[-1] != 3:
             raise ValueError("xyt must have 3 columns (x, y, t)")
         x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
         denom = 4.0 * self.D * t + self.sigma**2
         num = (x - self.v[0] * t) ** 2 + (y - self.v[1] * t) ** 2
-        return jnp.exp(-num / denom) / (jnp.pi * denom)
+        plume = jnp.exp(-num / denom) / (jnp.pi * denom)
+        if isinstance(self.reaction, (int, float)) and self.reaction == 0.0:
+            return plume  # parity path: bit-identical to common.py:47-50
+        return plume * jnp.exp(-self.reaction * t)
 
     def initial_condition_fn(self, xy):
         xy = jnp.asarray(xy)
@@ -159,8 +232,9 @@ class SquarePulseProblem(AdDifProblem):
 
     zero_source = True  # scripts/problem3.py:44-46
 
-    def __init__(self, v=(1.0, 0.0), D=0.1, lo=8.0, hi=12.0, amplitude=1.0):
-        super().__init__(jnp.asarray(v), D)
+    def __init__(self, v=(1.0, 0.0), D=0.1, lo=8.0, hi=12.0, amplitude=1.0,
+                 reaction=0.0):
+        super().__init__(jnp.asarray(v), D, reaction)
         self.lo = lo
         self.hi = hi
         self.amplitude = amplitude
@@ -207,8 +281,8 @@ class GaussianSourceProblem(AdDifProblem):
     steady_source = True  # t-independent: fused kernels hoist the load
 
     def __init__(self, v=(1.0, 0.5), D=0.1, q=1.0, xs=0.0, ys=0.0,
-                 sigma_s=1.0):
-        super().__init__(jnp.asarray(v), D)
+                 sigma_s=1.0, reaction=0.0):
+        super().__init__(jnp.asarray(v), D, reaction)
         self.q = q
         self.xs = xs
         self.ys = ys
@@ -240,12 +314,94 @@ class GaussianSourceProblem(AdDifProblem):
         return self.q * jnp.exp(-r2 / (2.0 * s2)) / (2.0 * jnp.pi * s2)
 
 
-_register_problem_pytree(Problem, ("v", "D", "sigma"))
+class RotatingPlumeProblem(AdDifProblem):
+    """Gaussian puff in a solid-body-rotation wind field, with an exact
+    closed-form solution — the validation oracle for the spatially
+    varying coefficient machinery (beyond the reference's constant-wind
+    family).
+
+    The wind is the rigid rotation ``v(x, y) = omega * (-(y - cy),
+    (x - cx))`` about the center ``(cx, cy)``. Because a rigid rotation
+    commutes with the (rotation-invariant) Laplacian, the rotating-frame
+    substitution ``xi = c + R(-omega t)(x - c)`` turns the PDE into pure
+    diffusion: the exact solution is the standard diffusing Gaussian
+    evaluated at the back-rotated point,
+
+        c(x, t) = exp(-|xi - x0|^2 / (4 D t + sigma^2))
+                  / (pi (4 D t + sigma^2)) * exp(-reaction t),
+
+    where ``(x0, y0)`` is the initial puff center. Same closed-form
+    family as utils/common.py:47-50 with the translation ``v t``
+    replaced by the rotation.
+    """
+
+    zero_source = True
+    variable_coefficients = True
+
+    def __init__(self, omega=0.1, D=0.05, sigma=1.5, x0=5.0, y0=0.0,
+                 cx=0.0, cy=0.0, reaction=0.0):
+        # The constant-v slot is meaningless here: None makes any
+        # ungated constant-coefficient consumer fail loudly instead of
+        # silently using a wrong wind.
+        super().__init__(None, D, reaction)
+        self.omega = omega
+        self.sigma = sigma
+        self.x0 = x0
+        self.y0 = y0
+        self.cx = cx
+        self.cy = cy
+
+    def velocity_at(self, xy):
+        xy = jnp.asarray(xy)
+        x, y = xy[..., 0], xy[..., 1]
+        return jnp.stack(
+            [-self.omega * (y - self.cy), self.omega * (x - self.cx)],
+            axis=-1,
+        )
+
+    def analytical_solution(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+        # Back-rotate about the center: xi = c + R(-omega t) (x - c).
+        th = -self.omega * t
+        dx, dy = x - self.cx, y - self.cy
+        xi = self.cx + jnp.cos(th) * dx - jnp.sin(th) * dy
+        eta = self.cy + jnp.sin(th) * dx + jnp.cos(th) * dy
+        denom = 4.0 * self.D * t + self.sigma**2
+        num = (xi - self.x0) ** 2 + (eta - self.y0) ** 2
+        plume = jnp.exp(-num / denom) / (jnp.pi * denom)
+        if isinstance(self.reaction, (int, float)) and self.reaction == 0.0:
+            return plume
+        return plume * jnp.exp(-self.reaction * t)
+
+    def initial_condition_fn(self, xy):
+        xy = jnp.asarray(xy)
+        if xy.shape[-1] != 2:
+            raise ValueError("xy must have 2 columns (x, y)")
+        t0 = jnp.zeros(xy.shape[:-1] + (1,), dtype=xy.dtype)
+        return self.analytical_solution(jnp.concatenate([xy, t0], axis=-1))
+
+    def boundary_fn(self, xyt):
+        return self.analytical_solution(jnp.asarray(xyt))
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        return jnp.zeros_like(xyt[..., 0])
+
+
+_register_problem_pytree(Problem, ("v", "D", "sigma", "reaction"))
 _register_problem_pytree(
-    SquarePulseProblem, ("v", "D", "lo", "hi", "amplitude")
+    SquarePulseProblem, ("v", "D", "lo", "hi", "amplitude", "reaction")
 )
 _register_problem_pytree(
-    GaussianSourceProblem, ("v", "D", "q", "xs", "ys", "sigma_s")
+    GaussianSourceProblem,
+    ("v", "D", "q", "xs", "ys", "sigma_s", "reaction"),
+)
+_register_problem_pytree(
+    RotatingPlumeProblem,
+    ("v", "D", "omega", "sigma", "x0", "y0", "cx", "cy", "reaction"),
 )
 
 

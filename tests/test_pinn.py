@@ -171,7 +171,7 @@ def test_problem_pytree_registration():
     vmap over D works and one compiled trainer serves all instances."""
     p = Problem(D=0.5)
     leaves, treedef = jax.tree_util.tree_flatten(p)
-    assert len(leaves) == 3  # v, D, sigma
+    assert len(leaves) == 4  # v, D, sigma, reaction
     p2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert float(p2.D) == 0.5
 
