@@ -25,6 +25,7 @@ from airpollution_tpu.problems import (
     Domain,
     GaussianSourceProblem,
     Problem,
+    RotatingPlumeProblem,
     SquarePulseProblem,
 )
 from airpollution_tpu.mesh import Mesh, MeshData, create_mesh, create_unstructured_mesh
@@ -36,6 +37,7 @@ __all__ = [
     "Domain",
     "GaussianSourceProblem",
     "Problem",
+    "RotatingPlumeProblem",
     "SquarePulseProblem",
     "Mesh",
     "MeshData",

@@ -38,8 +38,15 @@ def _domain_problem(args):
                                          reaction=reaction)
     elif kind == "gaussian_source":
         problem = apt.GaussianSourceProblem(
-            v=tuple(args.v), D=args.D, q=args.q, xs=args.xs, ys=args.ys,
+            v=tuple(args.v), D=args.D, q=args.q,
+            xs=0.0 if args.xs is None else args.xs, ys=args.ys,
             sigma_s=args.sigma_s, reaction=reaction,
+        )
+    elif kind == "rotating":
+        problem = apt.RotatingPlumeProblem(
+            omega=args.omega, D=args.D, sigma=args.sigma,
+            x0=5.0 if args.xs is None else args.xs, y0=args.ys,
+            reaction=reaction,
         )
     else:  # argparse choices guard this
         raise ValueError(f"unknown problem {kind!r}")
@@ -219,9 +226,12 @@ def build_parser():
         sp.add_argument("--sigma", type=float, default=1.0)
         sp.add_argument("--problem", default="gaussian",
                         choices=("gaussian", "square_pulse",
-                                 "gaussian_source"),
+                                 "gaussian_source", "rotating"),
                         help="gaussian_source: steady emitter (--q --xs "
-                             "--ys --sigma_s); no analytical errors")
+                             "--ys --sigma_s); no analytical errors. "
+                             "rotating: puff in a solid-body-rotation "
+                             "wind (--omega; puff center --xs --ys, "
+                             "default (5, 0)); exact solution")
         sp.add_argument("--reaction", type=float, default=0.0,
                         help="first-order decay/deposition rate r "
                              "(adds + r c to the PDE; the gaussian "
@@ -229,9 +239,13 @@ def build_parser():
                              "solution is the plume times exp(-r t))")
         sp.add_argument("--q", type=float, default=1.0,
                         help="emission rate (gaussian_source)")
-        sp.add_argument("--xs", type=float, default=0.0)
+        sp.add_argument("--xs", type=float, default=None,
+                        help="source / puff center x (default 0; "
+                             "rotating: 5)")
         sp.add_argument("--ys", type=float, default=0.0)
         sp.add_argument("--sigma_s", type=float, default=1.0)
+        sp.add_argument("--omega", type=float, default=0.1,
+                        help="rotation rate of the wind field (rotating)")
 
     sp = sub.add_parser("solve", help="CRBE FEM solve")
     common(sp)

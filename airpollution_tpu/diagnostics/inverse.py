@@ -63,7 +63,8 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     pattern = stencil_mod.get_pattern(md)
     fam_view = stencil_mod.family_view(md, pattern)
-    if pattern.n >= 3:
+    if pattern.n >= 3 and not getattr(problem, "variable_coefficients",
+                                      False):
         # Translation-invariant operator (ops/uniform.py): the 15 scalar
         # coefficients are a traced gather from the assembled values, so
         # d(consts)/d(D, v) flows exactly as through the canvas gather —
@@ -298,4 +299,99 @@ def fit_source(observed, mesh_data, *, snapshot_indices=None,
     if fit_transport:
         result["D"] = float(jnp.exp(params["log_d"]))
         result["v"] = tuple(float(x) for x in params["v"])
+    return result, losses
+
+
+def fit_wind(observed, mesh_data, *, snapshot_indices=None,
+             sensor_indices=None, omega0: float = 0.05, D: float = 0.05,
+             sigma: float = 1.5, x0: float = 5.0, y0: float = 0.0,
+             fit_diffusion: bool = False, steps: int = 200,
+             lr: float = 0.02, omega_grid=None, **kwargs):
+    """Wind-field estimation: recover the rotation rate ``omega`` of a
+    :class:`~airpollution_tpu.problems.RotatingPlumeProblem` (and
+    optionally the diffusion ``D``) from concentration observations.
+
+    The spatially varying wind enters the operator through the
+    centroid-sampled assembly (models/crbe.assemble), so d(misfit)/
+    d(omega) differentiates THROUGH the coefficient field into every
+    implicit step — the capability the variable-coefficient hooks are
+    for. Release parameters (sigma, x0, y0) are assumed known (the puff
+    is observed at t=0).
+
+    The misfit is NON-CONVEX in ``omega``: once the hypothesized and
+    true rotations differ by more than a puff width at the puff radius,
+    the predicted and observed plumes stop overlapping and the gradient
+    points toward the nearest *local* basin (the rotation analogue of
+    FWI cycle-skipping — measured at 32^2: starting at 0.05 with truth
+    0.15 descends into the omega~0 basin). Pass ``omega_grid`` (a
+    sequence of candidate rates) to pick the start by coarse grid search
+    — one cheap non-differentiated forward solve per candidate, all
+    sharing one compiled misfit program — and fall back to ``omega0``
+    only when no grid is given.
+
+    Returns ``(result_dict, losses)`` with keys ``omega`` (plus ``D``
+    when ``fit_diffusion``). When the grid search ran, the dict also
+    carries ``omega0`` (the selected start).
+    """
+    from airpollution_tpu.problems import RotatingPlumeProblem
+
+    dtype = mesh_data.midpoints.dtype
+    observed = jnp.asarray(observed)
+    tol = kwargs.get("tol", 1e-9)
+    maxiter = kwargs.get("maxiter", 200)
+    order = kwargs.get("time_scheme_order", 1)
+
+    def make_problem(params):
+        d_val = jnp.exp(params["log_d"]) if fit_diffusion else D
+        return RotatingPlumeProblem(omega=params["omega"], D=d_val,
+                                    sigma=sigma, x0=x0, y0=y0)
+
+    grid_pick = None
+    if omega_grid is not None:
+        def misfit(om, obs):
+            p = RotatingPlumeProblem(omega=om, D=D, sigma=sigma, x0=x0,
+                                     y0=y0)
+            if snapshot_indices is None:
+                pred = solve_final_state(
+                    p, mesh_data, time_scheme_order=order, tol=tol,
+                    maxiter=maxiter)
+            else:
+                pred = solve_snapshots(
+                    p, mesh_data,
+                    indices=[int(i) for i in snapshot_indices],
+                    time_scheme_order=order, tol=tol, maxiter=maxiter)
+            if sensor_indices is not None:
+                pred = pred[..., jnp.asarray(
+                    [int(i) for i in sensor_indices])]
+            return jnp.mean((pred - obs) ** 2)
+
+        grid_key = ("fit_wind_grid", id(mesh_data), float(sigma),
+                    float(x0), float(y0), float(D), int(order),
+                    float(tol), int(maxiter),
+                    tuple(int(i) for i in snapshot_indices)
+                    if snapshot_indices is not None else None,
+                    tuple(int(i) for i in sensor_indices)
+                    if sensor_indices is not None else None)
+        misfit_fn = _fit_cache_get(grid_key, lambda: jax.jit(misfit))
+        cands = [float(o) for o in omega_grid]
+        vals = [float(misfit_fn(jnp.asarray(o, dtype), observed))
+                for o in cands]
+        grid_pick = omega0 = cands[int(jnp.argmin(jnp.asarray(vals)))]
+
+    init = {"omega": jnp.asarray(omega0, dtype)}
+    if fit_diffusion:
+        init["log_d"] = jnp.log(jnp.asarray(D, dtype))
+    key = ("fit_wind", bool(fit_diffusion), float(sigma), float(x0),
+           float(y0), None if fit_diffusion else float(D))
+    params, losses = fit_parameters(
+        observed, mesh_data, make_problem, init,
+        snapshot_indices=snapshot_indices, sensor_indices=sensor_indices,
+        steps=steps, lr=lr, cache_key=kwargs.pop("cache_key", key),
+        **kwargs,
+    )
+    result = {"omega": float(params["omega"])}
+    if fit_diffusion:
+        result["D"] = float(jnp.exp(params["log_d"]))
+    if grid_pick is not None:
+        result["omega0"] = grid_pick
     return result, losses

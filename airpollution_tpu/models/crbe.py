@@ -110,13 +110,21 @@ def local_matrices(
     per-triangle ``compute_stiffness_CR`` / ``compute_mass_CR`` /
     ``compute_advection_CR`` (crbe.py:249-313), sharing one Jacobian
     computation and vmapped over triangles.
+
+    ``D`` may be a scalar or a per-triangle (n_tri,) field, and ``v`` a
+    (2,) constant or a per-triangle (n_tri, 2) field (spatially varying
+    coefficients sampled at centroids — see problems.AdDifProblem
+    hooks). Constant inputs take the in_axes=None path, identical to the
+    original closure computation bit for bit.
     """
     if stiffness_convention not in ("correct", "reference"):
         raise ValueError(f"unknown stiffness_convention {stiffness_convention}")
 
     ref_grads = jnp.asarray(_REF_GRADS, dtype=vertices.dtype)
+    d_axis = 0 if jnp.ndim(D) >= 1 else None
+    v_axis = 0 if jnp.ndim(v) >= 2 else None
 
-    def per_triangle(verts, area):
+    def per_triangle(verts, area, D, v):
         # Jacobian columns are the edge vectors from vertex 0 (crbe.py:256-258).
         J = jnp.stack([verts[1] - verts[0], verts[2] - verts[0]], axis=1)
         det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
@@ -137,7 +145,9 @@ def local_matrices(
         m = jnp.full((3,), area / 3.0, dtype=verts.dtype)
         return m, K, A
 
-    m, K, A = jax.vmap(per_triangle)(vertices, areas)
+    m, K, A = jax.vmap(per_triangle, in_axes=(0, 0, d_axis, v_axis))(
+        vertices, areas, D, v
+    )
     return LocalMatrices(mass_diag=m, stiffness=K, advection=A)
 
 
@@ -157,8 +167,19 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     """Assemble all global operators in one pass (crbe.py:326-362 analogue)."""
     md = mesh_data
     verts = md.points[md.triangles]  # (n_tri, 3, 2)
+    if getattr(problem, "variable_coefficients", False):
+        # Spatially varying wind/diffusion: sample the fields at triangle
+        # centroids (piecewise-constant per element — first-order exact,
+        # matching the CR element's order). The stencil/canvas solve
+        # paths carry the resulting per-DOF coefficients exactly; the
+        # translation-invariant fast paths are gated off in CRBESolver.
+        centroids = verts.mean(axis=1)
+        D_loc = problem.diffusion_at(centroids)
+        v_loc = problem.velocity_at(centroids)
+    else:
+        D_loc, v_loc = problem.D, problem.v
     loc = local_matrices(
-        verts, md.triangle_areas, problem.D, problem.v, stiffness_convention
+        verts, md.triangle_areas, D_loc, v_loc, stiffness_convention
     )
 
     t2s_flat = md.triangle_to_segments.reshape(-1)
@@ -433,8 +454,32 @@ class CRBESolver:
         self.snapshot_every = snapshot_every
         self.solver_method = solver_method
         self.chebyshev_iters = chebyshev_iters
+        # Spatially varying v/D (problems.AdDifProblem hooks): the
+        # per-DOF coefficient paths (ell, stencil, pallas, fused with
+        # the canvas operator) are exact; everything built on the
+        # translation-invariant uniform operator is not, and must
+        # refuse rather than silently solve with a wrong wind.
+        self._variable_coefficients = bool(
+            getattr(problem, "variable_coefficients", False)
+        )
+        if self._variable_coefficients:
+            bad = (
+                matvec_impl in ("uniform", "fused_hbm")
+                or fused_operator == "uniform"
+                or assembly == "patch"
+            )
+            if bad:
+                raise ValueError(
+                    "spatially varying coefficients (variable_"
+                    "coefficients=True) are not translation-invariant: "
+                    "matvec_impl='uniform'/'fused_hbm', fused_operator="
+                    "'uniform' and assembly='patch' all assume the "
+                    "15-scalar uniform operator — use 'ell', 'stencil', "
+                    "'pallas', or 'fused' (canvas operator)"
+                )
         if (
             matvec_impl == "auto"
+            and not self._variable_coefficients
             and assembly != "full"
             and preconditioner != "spectral"
             and getattr(mesh_data, "structured_n", None) is not None
@@ -546,6 +591,9 @@ class CRBESolver:
             self.matvec_impl in ("fused", "fused_hbm", "uniform")
             and self.mesh_data.structured_n is not None
             and self.mesh_data.structured_n >= 3
+            # The patch scalars are position-independent — spatially
+            # varying coefficients would extract a wrong operator.
+            and not self._variable_coefficients
             # The spectral preconditioner extracts canvas coefficients
             # from the assembled operator — it needs full assembly.
             and self.preconditioner != "spectral"
@@ -685,7 +733,11 @@ class CRBESolver:
             from airpollution_tpu.ops import pallas_solver
 
             use_ka = self.time_scheme_order == 2
-            uniform = self.fused_operator != "canvas"
+            # Variable coefficients force the canvas operator (the
+            # explicit fused_operator='uniform' case already raised in
+            # __init__).
+            uniform = (self.fused_operator != "canvas"
+                       and not self._variable_coefficients)
             if uniform and md.structured_n < 3:
                 if self.fused_operator == "uniform":
                     raise ValueError(
@@ -1045,6 +1097,7 @@ class CRBESolver:
             scale = 1.0 / jnp.sqrt(diag_fam)
         elif (
             self.matvec_impl in ("uniform", "fused", "fused_hbm")
+            and not self._variable_coefficients
             and self._use_stencil()
             and self.mesh_data.structured_n >= 3
         ):

@@ -215,8 +215,8 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
     # here, so pde_residual's own static-zero skip cannot see it): a
     # traced zero would cost every reaction-free problem an extra
     # forward pass per epoch.
-    residual = autodiff.pde_residual(
-        u, xyt_pde, problem.v, problem.D, source,
+    residual = autodiff.problem_pde_residual(
+        u, xyt_pde, problem, source,
         reaction=getattr(problem, "reaction", 0.0) if reaction_active
         else 0.0,
     )
@@ -387,9 +387,8 @@ class PINN:
         first-order reaction rate)."""
         xyt = jnp.asarray(xyt, self.dtype)
         source = self.problem.source_term(xyt)
-        return autodiff.pde_residual(
-            self._point_fn(self.params), xyt, self.problem.v,
-            self.problem.D, source,
+        return autodiff.problem_pde_residual(
+            self._point_fn(self.params), xyt, self.problem, source,
             reaction=getattr(self.problem, "reaction", 0.0),
         )
 
@@ -464,8 +463,8 @@ class PINN:
                     return ansatz_apply(state.params, p, activation,
                                         problem, hard_ic, t_range[1])[0]
 
-                res = autodiff.pde_residual(
-                    u_point, cand, problem.v, problem.D,
+                res = autodiff.problem_pde_residual(
+                    u_point, cand, problem,
                     problem.source_term(cand),
                     reaction=getattr(problem, "reaction", 0.0)
                     if reaction_active else 0.0,

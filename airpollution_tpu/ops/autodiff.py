@@ -92,3 +92,31 @@ def pde_residual(
         c = jax.vmap(u_fn)(pts).reshape(-1, 1)
         res = res + reaction * c
     return res
+
+
+def problem_pde_residual(
+    u_fn: Callable[[jax.Array], jax.Array],
+    pts: jax.Array,
+    problem,
+    source: jax.Array,
+    *,
+    reaction=0.0,
+) -> jax.Array:
+    """:func:`pde_residual` with coefficients read from a problem.
+
+    Dispatches statically on ``problem.variable_coefficients`` (a class
+    attribute, so the branch is resolved at trace time): constant
+    problems hit the original ``problem.v`` / ``problem.D`` path
+    unchanged; variable ones evaluate the velocity/diffusion field hooks
+    per collocation point. For variable problems whose ``diffusion_at``
+    is actually constant, ``diffusion_grad_at`` autodiffs to symbolic
+    zeros and XLA folds the extra term away."""
+    if getattr(problem, "variable_coefficients", False):
+        xy = pts[..., :2]
+        return pde_residual(
+            u_fn, pts, problem.velocity_at(xy), problem.diffusion_at(xy),
+            source, reaction=reaction,
+            D_grad=problem.diffusion_grad_at(xy),
+        )
+    return pde_residual(u_fn, pts, problem.v, problem.D, source,
+                        reaction=reaction)

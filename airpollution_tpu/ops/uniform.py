@@ -134,6 +134,10 @@ def patch_constants(n: int, domain_size: float, problem, dt: float,
                     *, patch_n: int = 9, dtype=None):
     """Uniform-operator scalars WITHOUT assembling the global operator.
 
+    Requires constant (v, D): the patch sits at its own coordinates, so a
+    spatially varying field would be sampled in the wrong place — refuse
+    rather than extract a silently wrong operator.
+
     On a structured mesh with constant (v, D) every stencil coefficient
     is determined by one congruent cell (module docstring), so the 15
     system scalars and the per-family mass/system-diagonal constants can
@@ -157,6 +161,11 @@ def patch_constants(n: int, domain_size: float, problem, dt: float,
     from airpollution_tpu.ops import stencil as stencil_mod
     from airpollution_tpu.problems import Domain
 
+    if getattr(problem, "variable_coefficients", False):
+        raise ValueError(
+            "patch_constants requires constant (v, D): spatially varying "
+            "coefficients are not translation-invariant"
+        )
     h = 2.0 * domain_size / (n - 1)
     patch_L = h * (patch_n - 1) / 2.0
     mesh = create_mesh(patch_n, patch_L)

@@ -136,6 +136,13 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("hbm halo solver requires a structured mesh")
+    if getattr(problem, "variable_coefficients", False):
+        raise ValueError(
+            "the distributed stripe solver runs on the translation-"
+            "invariant uniform operator; spatially varying coefficients "
+            "need the serial stencil/canvas paths or the row-sharded "
+            "ELL solver (parallel/fem_shard.py)"
+        )
     if source_quadrature not in ("mass_lumped", "reference"):
         raise ValueError(
             f"unknown source_quadrature {source_quadrature!r}"

@@ -147,8 +147,8 @@ def _loss_local(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target,
     # reaction_active is STATIC (the problem itself is traced): a traced
     # zero would defeat pde_residual's skip and cost an extra forward
     # pass per epoch on every reaction-free problem.
-    res = autodiff.pde_residual(
-        u_fn, xyt_pde, problem.v, problem.D, source,
+    res = autodiff.problem_pde_residual(
+        u_fn, xyt_pde, problem, source,
         reaction=getattr(problem, "reaction", 0.0) if reaction_active
         else 0.0,
     )

@@ -166,6 +166,13 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("halo solver requires a structured mesh")
+    if getattr(problem, "variable_coefficients", False):
+        raise ValueError(
+            "the halo solver runs on the translation-invariant uniform "
+            "operator; spatially varying coefficients need the serial "
+            "stencil/canvas paths (CRBESolver matvec_impl='stencil') or "
+            "the row-sharded ELL solver (parallel/fem_shard.py)"
+        )
     if solver_method not in ("chebyshev", "bicgstab"):
         raise ValueError(f"unknown solver_method {solver_method!r}")
     has_source = not getattr(problem, "zero_source", False)
