@@ -464,7 +464,7 @@ class CRBESolver:
         )
         if self._variable_coefficients:
             bad = (
-                matvec_impl in ("uniform", "fused_hbm")
+                matvec_impl == "uniform"
                 or fused_operator == "uniform"
                 or assembly == "patch"
             )
@@ -472,10 +472,11 @@ class CRBESolver:
                 raise ValueError(
                     "spatially varying coefficients (variable_"
                     "coefficients=True) are not translation-invariant: "
-                    "matvec_impl='uniform'/'fused_hbm', fused_operator="
-                    "'uniform' and assembly='patch' all assume the "
-                    "15-scalar uniform operator — use 'ell', 'stencil', "
-                    "'pallas', or 'fused' (canvas operator)"
+                    "matvec_impl='uniform', fused_operator='uniform' and "
+                    "assembly='patch' all assume the 15-scalar uniform "
+                    "operator — use 'ell', 'stencil', 'pallas', 'fused' "
+                    "(canvas operator), or 'fused_hbm' with "
+                    "solver_method='chebyshev' (canvas stripe kernel)"
                 )
         if (
             matvec_impl == "auto"
@@ -749,11 +750,13 @@ class CRBESolver:
                 raise ValueError(
                     "assembly='patch' requires the uniform fused operator"
                 )
-            if sourced and not uniform:
+            if (sourced and not uniform
+                    and self.solver_method != "chebyshev"):
                 raise ValueError(
-                    "the fused solver evaluates source terms in-kernel "
-                    "on the uniform operator's coordinate canvases — a "
-                    "nonzero source needs fused_operator='uniform' (or "
+                    "the VMEM canvas kernel is zero-source: a sourced "
+                    "canvas-operator solve needs solver_method="
+                    "'chebyshev' (the HBM canvas stripe kernel evaluates "
+                    "the load in-kernel), fused_operator='uniform' (or "
                     "'auto' on a non-degenerate structured mesh), or "
                     "matvec_impl='stencil' for the scan path"
                 )
@@ -771,9 +774,13 @@ class CRBESolver:
                 self.extrapolate_warm_start, uniform=uniform,
                 method=self.solver_method, source_steady=src_steady,
             )
-            if use_hbm and not (
-                uniform and self.solver_method == "chebyshev"
-            ):
+            if not uniform and self.solver_method == "chebyshev":
+                # Canvas + Chebyshev is ALWAYS the HBM stripe kernel:
+                # the VMEM canvas kernel is BiCGStab-only, while the
+                # stripe kernel's reduction-free recurrence works at any
+                # size (small meshes are a single clamped window).
+                use_hbm = True
+            if use_hbm and self.solver_method != "chebyshev":
                 reason = (
                     "matvec_impl='fused_hbm' was requested"
                     if self.matvec_impl == "fused_hbm"
@@ -781,10 +788,10 @@ class CRBESolver:
                     "solver"
                 )
                 raise ValueError(
-                    f"{reason}, but the HBM-tiled kernel needs the "
-                    "uniform operator and solver_method='chebyshev' "
-                    "(its reduction-free iterations keep stripes "
-                    "independent) — or use matvec_impl='stencil'"
+                    f"{reason}, but the HBM-tiled stripe kernels need "
+                    "solver_method='chebyshev' (its reduction-free "
+                    "iterations keep stripes independent) — or use "
+                    "matvec_impl='stencil'"
                 )
             interpret = jax.default_backend() != "tpu"
             n_steps = md.nt - 1
@@ -812,11 +819,6 @@ class CRBESolver:
                     md.structured_n - 1
                 )
                 src_grid = (xmin, ymin, h_grid)
-            if self.solver_method == "chebyshev" and not uniform:
-                raise ValueError(
-                    "fused chebyshev requires the uniform operator "
-                    "(fused_operator='uniform' or 'auto')"
-                )
             if self.solver_method == "chebyshev" and getattr(
                 self, "_cheb_bounds", None
             ) is None:
@@ -907,19 +909,48 @@ class CRBESolver:
                     inv_diag_fam = 1.0 / ops.system_diag[perm_a]
                     interior_fam = 1.0 - bmask_fam.astype(u0_fam.dtype)
 
-                    def run_kernel(u_start_fam, steps, t0=0.0):
-                        # CN's row-masked -(dt/2)(K+A) RHS term is
-                        # reconstructed in-kernel from the system
-                        # canvases (pallas_solver docstring identity) —
-                        # no extra coefficient set. t0 unused: the canvas
-                        # kernel is zero-source scope (gate above).
-                        return pallas_solver.fused_solve(
-                            pattern, coeffs, mass_fam, inv_diag_fam,
-                            u_start_fam, interior_fam,
-                            n_steps=steps, n_iters=n_iters, use_ka=use_ka,
-                            extrapolate=self.extrapolate_warm_start,
-                            interpret=interpret,
-                        )
+                    if use_hbm:
+                        # Canvas stripe kernel (Chebyshev; the use_hbm
+                        # routing above): per-DOF coefficient windows
+                        # streamed alongside the state — the large-mesh
+                        # (and sourced) path for spatially varying
+                        # coefficients.
+                        from airpollution_tpu.ops import pallas_hbm
+
+                        kiters = self.chebyshev_iters
+                        bounds = self._cheb_bounds
+
+                        def run_kernel(u_start_fam, steps, t0=0.0):
+                            src_kw = dict(
+                                source_fn=src_fn,
+                                source_steady=src_steady,
+                                source_lumped=src_lumped, grid=src_grid,
+                                t0=t0, dt=dt,
+                            ) if sourced else {}
+                            return pallas_hbm.fused_solve_canvas_hbm(
+                                pattern, coeffs, mass_fam, inv_diag_fam,
+                                u_start_fam,
+                                n_steps=steps, n_iters=kiters,
+                                bounds=bounds, use_ka=use_ka,
+                                extrapolate=self.extrapolate_warm_start,
+                                interpret=interpret, **src_kw,
+                            )
+                    else:
+                        def run_kernel(u_start_fam, steps, t0=0.0):
+                            # CN's row-masked -(dt/2)(K+A) RHS term is
+                            # reconstructed in-kernel from the system
+                            # canvases (pallas_solver docstring identity)
+                            # — no extra coefficient set. t0 unused: the
+                            # VMEM canvas kernel is zero-source scope
+                            # (gate above).
+                            return pallas_solver.fused_solve(
+                                pattern, coeffs, mass_fam, inv_diag_fam,
+                                u_start_fam, interior_fam,
+                                n_steps=steps, n_iters=n_iters,
+                                use_ka=use_ka,
+                                extrapolate=self.extrapolate_warm_start,
+                                interpret=interpret,
+                            )
 
                 # Shared boundary-lift contract (ops/lifting.py — same
                 # helper as the sharded solvers, so the conventions

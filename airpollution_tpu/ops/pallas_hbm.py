@@ -441,6 +441,397 @@ def _step_kernel(
     sweep()
 
 
+def _choose_stripe_rows_planes(n: int, n_planes: int, halo: int,
+                               budget_bytes: int = 31 * 1024 * 1024,
+                               candidates=(128, 96, 64, 32, 16, 8)) -> int:
+    """Largest stripe height whose working set of ``n_planes`` (W, lane)
+    f32 planes fits the window budget (plane-granular variant of
+    choose_stripe_rows, for kernels whose buffer count is not a multiple
+    of 3 family canvases). Applies the same tall-stripe escalation: when
+    the standard budget forces S below 128, retry against the raised
+    budget before accepting a thin stripe."""
+    def pick(budget, cands):
+        for s in cands:
+            if n_planes * (s + 2 * halo) * _lane_pad(n) * 4 <= budget:
+                return s
+        return cands[-1]
+
+    s = pick(budget_bytes, candidates)
+    if s < 128:
+        s = max(s, pick(_TALL_BUDGET, _TALL_CANDIDATES))
+    return s
+
+
+def _canvas_n_planes(extrapolate: bool) -> int:
+    """VMEM working-set planes for the canvas stripe kernel: 2x21
+    double-buffered coefficient windows + 2x3 state windows per carried
+    state + r + d (3 each) + ~3 window-triples of matvec temporaries."""
+    return 2 * 21 + (12 if extrapolate else 6) + 6 + 9
+
+
+def _canvas_step_kernel(
+    consts, row0_ref, *refs,
+    c: int, n_pad: int, S: int, W: int, halo: int, n_lane: int,
+    n_iters: int, has_ka: bool, extrapolate: bool,
+    source_fn=None, source_steady: bool = False,
+    source_lumped: bool = True,
+):
+    """One implicit time step with PER-DOF coefficient canvases, streamed
+    over full-lane row stripes (the spatially-varying-coefficient
+    counterpart of :func:`_step_kernel`).
+
+    The operator arrives as a (21, n_pad, n_lane) HBM stack — the 15
+    system coefficient canvases (ops/pallas_solver.coeff_canvases order),
+    the 3 masked-mass canvases and the 3 inverse-system-diagonal
+    canvases — and each tile DMAs its (21, W, n_lane) window alongside
+    the state (double-buffered, read-only, no writeback). Per-step HBM
+    traffic: ~21 coefficient-canvas reads x the W/S halo redundancy plus
+    the 2-4 state canvases — still far below the scan path's ~11
+    canvases per ITERATION.
+
+    Correctness mirrors :func:`_step_kernel` exactly: the coefficient
+    canvases of the MASKED system are zero precisely where the uniform
+    kernel's interior rectangle masks are zero (identity Dirichlet rows
+    have zero off-diagonals; rows/cols >= c are zero-padded), so roll
+    wrap-around at clamped window edges lands on zero coefficients and
+    halo pollution creeps one row per matvec as before. The rectangle
+    masks are still computed (from iota) for the warm-start masking and
+    the Crank-Nicolson ``(1 - mask) u`` boundary-identity term — on a
+    structured mesh the Dirichlet set IS the family rectangle boundary,
+    independent of the coefficient fields.
+
+    Crank-Nicolson uses the VMEM canvas kernel's identity
+    (ops/pallas_solver.py docstring): b = 2 M_masked u + (1 - mask) u
+    - S u, evaluated on the UNMASKED state (the first step's u0 carries
+    boundary values whose columns feed interior rows). Chebyshev only —
+    same reduction-free recurrence as the uniform stripe kernel.
+
+    Ref layout: inputs coeff (HBM (21, n_pad, n_lane)), u_in [, up_in]
+    (HBM (3, n_pad, n_lane)); outputs u_out [, up_out]; scratch
+    win_c (2, 21, W, n_lane), win_u (2, 3, W, n_lane) [, win_up],
+    r, d (3, W, n_lane), in_sems (2, 1 + n_states), out_sems
+    (2, n_states)."""
+    n_states = 2 if extrapolate else 1
+    if source_fn is not None:
+        t_ref, refs = refs[0], refs[1:]
+    coeff_src = refs[0]
+    u_src = refs[1]
+    up_src = refs[2] if extrapolate else None
+    u_dst = refs[1 + n_states]
+    up_dst = refs[2 + n_states] if extrapolate else None
+    k = 1 + 2 * n_states
+    win_c = refs[k]
+    win_u = refs[k + 1]
+    win_up = refs[k + 2] if extrapolate else None
+    r_ref = refs[k + 1 + n_states]
+    d_ref = refs[k + 2 + n_states]
+    in_sems = refs[k + 3 + n_states]
+    out_sems = refs[k + 4 + n_states]
+
+    dtype = r_ref.dtype
+    n_stripes = n_pad // S
+    lo, hi = consts[0], consts[1]
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    if source_fn is not None:
+        s_xmin, s_ymin, s_h, s_dt = (consts[2], consts[3], consts[4],
+                                     consts[5])
+        s_offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
+
+    def ws_of(i):
+        return pl.multiple_of(jnp.clip(i * S - halo, 0, n_pad - W), 8)
+
+    def roll(x, shift, axis):
+        size = x.shape[axis]
+        return pltpu.roll(x, shift % size, axis)
+
+    def sweep():
+        def in_dmas(slot, i):
+            ws = ws_of(i)
+            dmas = [
+                pltpu.make_async_copy(
+                    coeff_src.at[:, pl.ds(ws, W), :], win_c.at[slot],
+                    in_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    u_src.at[:, pl.ds(ws, W), :], win_u.at[slot],
+                    in_sems.at[slot, 1],
+                ),
+            ]
+            if extrapolate:
+                dmas.append(pltpu.make_async_copy(
+                    up_src.at[:, pl.ds(ws, W), :], win_up.at[slot],
+                    in_sems.at[slot, 2],
+                ))
+            return dmas
+
+        def out_dmas(slot, i):
+            r0 = pl.multiple_of(i * S, 8)
+            off = pl.multiple_of(r0 - ws_of(i), 8)
+            dmas = [pltpu.make_async_copy(
+                win_u.at[slot, :, pl.ds(off, S), :],
+                u_dst.at[:, pl.ds(r0, S), :],
+                out_sems.at[slot, 0],
+            )]
+            if extrapolate:
+                dmas.append(pltpu.make_async_copy(
+                    win_up.at[slot, :, pl.ds(off, S), :],
+                    up_dst.at[:, pl.ds(r0, S), :],
+                    out_sems.at[slot, 1],
+                ))
+            return dmas
+
+        def compute(slot, i):
+            ws = ws_of(i)
+            masks = _stripe_masks(c, row0_ref[0] + ws, W, 0, n_lane,
+                                  dtype)
+            cw = win_c[slot]
+            m3 = (cw[15], cw[16], cw[17])
+            id3 = (cw[18], cw[19], cw[20])
+
+            def matvec(xH, xV, xD):
+                """Per-DOF stencil on the window: same 15 terms/rolls as
+                ops/pallas_solver._solver_kernel, coefficient operands
+                from the window instead of scalars."""
+                yH = (cw[0] * xH
+                      + cw[1] * roll(xV, -1, 1)
+                      + cw[2] * xD
+                      + cw[3] * roll(xV, 1, 0)
+                      + cw[4] * roll(xD, 1, 0))
+                yV = (cw[5] * xV
+                      + cw[6] * roll(xD, 1, 1)
+                      + cw[7] * roll(xH, 1, 1)
+                      + cw[8] * roll(xH, -1, 0)
+                      + cw[9] * xD)
+                yD = (cw[10] * xD
+                      + cw[11] * roll(xV, -1, 1)
+                      + cw[12] * xH
+                      + cw[13] * roll(xH, -1, 0)
+                      + cw[14] * xV)
+                return yH, yV, yD
+
+            u3 = tuple(win_u[slot, f] for f in range(3))
+            if has_ka:
+                t3 = matvec(*u3)
+                for f in range(3):
+                    r_ref[f] = (2.0 * m3[f] * u3[f]
+                                + (1.0 - masks[f]) * u3[f] - t3[f])
+            else:
+                for f in range(3):
+                    r_ref[f] = m3[f] * u3[f]
+            if source_fn is not None:
+                gro = (row0_ref[0] + ws).astype(dtype)
+                rif = gro + jax.lax.broadcasted_iota(
+                    jnp.int32, (W, 1), 0).astype(dtype)
+                cif = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_lane), 1).astype(dtype)
+
+                def load_at(f, t):
+                    ox, oy = s_offs[f]
+                    x = s_xmin + (cif + ox) * s_h
+                    y = s_ymin + (rif + oy) * s_h
+                    s = source_fn(x + 0.0 * y, y + 0.0 * x, t)
+                    # Lumped: dt * M * s with the masked-mass CANVAS
+                    # (already zero on Dirichlet rows and padding);
+                    # reference quadrature: dt * s, rect-masked.
+                    if source_lumped:
+                        return (s_dt * m3[f]) * s
+                    return masks[f] * (s_dt * s)
+
+                t_new = t_ref[0]
+                for f in range(3):
+                    if source_steady or not has_ka:
+                        r_ref[f] = r_ref[f] + load_at(f, t_new)
+                    else:  # CN trapezoid, time-dependent source
+                        r_ref[f] = r_ref[f] + 0.5 * (
+                            load_at(f, t_new) + load_at(f, t_new - s_dt)
+                        )
+            if extrapolate:
+                for f in range(3):
+                    guess = 2.0 * u3[f] - win_up[slot, f]
+                    win_up[slot, f] = u3[f]
+                    win_u[slot, f] = masks[f] * guess
+            else:
+                for f in range(3):
+                    win_u[slot, f] = masks[f] * u3[f]
+            t3 = matvec(win_u[slot, 0], win_u[slot, 1], win_u[slot, 2])
+            for f in range(3):
+                r_ref[f] = r_ref[f] - t3[f]
+                d_ref[f] = (1.0 / theta) * (id3[f] * r_ref[f])
+
+            def iterate(_, rho):
+                for f in range(3):
+                    win_u[slot, f] = win_u[slot, f] + d_ref[f]
+                t3 = matvec(d_ref[0], d_ref[1], d_ref[2])
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                a = rho_new * rho
+                b = 2.0 * rho_new / delta
+                for f in range(3):
+                    r_ref[f] = r_ref[f] - t3[f]
+                    d_ref[f] = a * d_ref[f] + b * (id3[f] * r_ref[f])
+                return rho_new
+
+            jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
+
+        for dma in in_dmas(0, 0):
+            dma.start()
+
+        def body(i, _):
+            cur = jax.lax.rem(i, 2)
+            nxt = 1 - cur
+
+            @pl.when(i >= 1)
+            def _():
+                for dma in out_dmas(nxt, i - 1):
+                    dma.wait()
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                for dma in in_dmas(nxt, i + 1):
+                    dma.start()
+
+            for dma in in_dmas(cur, i):
+                dma.wait()
+            compute(cur, i)
+            for dma in out_dmas(cur, i):
+                dma.start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+        for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
+            dma.wait()
+
+    sweep()
+
+
+def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
+                           u0_fam, *, n_steps: int, n_iters: int, bounds,
+                           use_ka: bool = False, extrapolate: bool = False,
+                           stripe_rows: int | None = None,
+                           source_fn=None, source_steady: bool = False,
+                           source_lumped: bool = True, grid=None,
+                           t0=0.0, dt=None,
+                           interpret: bool = False):
+    """Whole time loop with the canvas-operator stripe kernel (Chebyshev).
+
+    The spatially-varying-coefficient counterpart of
+    :func:`fused_solve_uniform_hbm`: ``pattern`` an
+    ops/stencil.StencilPattern, ``coeffs`` the 15 extracted coefficient
+    grids of the MASKED system (ops/stencil.extract_coefficients),
+    ``mass_masked_fam`` zero on Dirichlet rows, ``inv_diag_fam`` the
+    reciprocal system diagonal, all in family layout. ``u0_fam`` arrives
+    FULL (boundary values included — its columns feed the first step's
+    RHS). Extends variable-coefficient solves past the VMEM canvas
+    kernel's envelope (and gives them a Chebyshev path at any size — the
+    VMEM canvas kernel is BiCGStab-only); the practical ceiling is the
+    global ELL assembly, not this kernel. Returns the final homogeneous
+    state in family layout (boundary lift is the caller's)."""
+    from airpollution_tpu.ops.pallas_solver import coeff_canvases
+
+    if n_steps == 0:
+        return u0_fam
+    if source_fn is not None and (grid is None or dt is None):
+        raise ValueError("source_fn requires grid=(xmin, ymin, h) and dt")
+    n, c = pattern.n, pattern.c
+    dtype = u0_fam.dtype
+    depth = n_iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    S = stripe_rows or _choose_stripe_rows_planes(
+        n, _canvas_n_planes(extrapolate), halo
+    )
+    if S % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    n_stripes = -(-n // S)
+    n_pad = n_stripes * S
+    n_lane = _lane_pad(n)
+    W = min(S + 2 * halo, n_pad)
+
+    pad = ((0, 0), (0, n_pad - n), (0, n_lane - n))
+    coeff = jnp.pad(
+        jnp.stack(coeff_canvases(pattern, coeffs)
+                  + to_canvases(pattern, mass_masked_fam)
+                  + to_canvases(pattern, inv_diag_fam)).astype(dtype),
+        pad,
+    )
+    u = jnp.pad(jnp.stack(to_canvases(pattern, u0_fam)), pad)
+
+    parts = [jnp.stack([jnp.asarray(b, dtype) for b in bounds])]
+    if source_fn is not None:
+        parts.append(jnp.stack([
+            jnp.asarray(grid[0], dtype), jnp.asarray(grid[1], dtype),
+            jnp.asarray(grid[2], dtype), jnp.asarray(dt, dtype),
+        ]))
+    packed = jnp.concatenate(parts)
+    row0 = jnp.zeros((1,), jnp.int32)
+
+    n_states = 2 if extrapolate else 1
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = partial(
+        _canvas_step_kernel, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
+        n_lane=n_lane, n_iters=n_iters, has_ka=use_ka,
+        extrapolate=extrapolate, source_fn=source_fn,
+        source_steady=source_steady, source_lumped=source_lumped,
+    )
+    scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+               pltpu.VMEM((2, 3, W, n_lane), dtype)]
+    if extrapolate:
+        scratch.append(pltpu.VMEM((2, 3, W, n_lane), dtype))
+    scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+    scratch += [pltpu.SemaphoreType.DMA((2, 1 + n_states)),
+                pltpu.SemaphoreType.DMA((2, n_states))]
+    n_smem = 2 + (1 if source_fn is not None else 0)
+    step_call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((3, n_pad, n_lane), dtype)
+            for _ in range(n_states)
+        ),
+        in_specs=[smem] * n_smem + [hbm] * (1 + n_states),
+        out_specs=tuple(hbm for _ in range(n_states)),
+        scratch_shapes=scratch,
+        compiler_params=_vmem_limit_planes(
+            W, n_lane, _canvas_n_planes(extrapolate)
+        ),
+        interpret=interpret,
+    )
+
+    ts = None
+    if source_fn is not None:
+        ts = jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * jnp.arange(
+            1, n_steps + 1, dtype=dtype
+        ).reshape(n_steps, 1)
+
+    def pre(t):
+        return (packed, row0) + ((t,) if source_fn is not None else ()) \
+            + (coeff,)
+
+    if extrapolate:
+        def step(carry, t):
+            out = step_call(*pre(t), *carry)
+            return (out[0], out[1]), None
+
+        (u, _), _ = jax.lax.scan(step, (u, u), ts, length=n_steps)
+    else:
+        def step(carry, t):
+            (out,) = step_call(*pre(t), carry)
+            return out, None
+
+        u, _ = jax.lax.scan(step, u, ts, length=n_steps)
+
+    H, V, D = u[0, :n, :n], u[1, :n, :n], u[2, :n, :n]
+    return from_canvases(pattern, H, V, D)
+
+
+def _vmem_limit_planes(W: int, WL: int, n_planes: int):
+    """Scoped-VMEM limit from a plane count (canvas stripe kernel)."""
+    need = int(n_planes * W * WL * 4 * 1.3) + 2 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=need)
+
+
 def _vmem_limit(W: int, WL: int, extrapolate: bool):
     """Scoped-VMEM limit for the window working set (see
     ops/pallas_solver._vmem_params for why this is conditional)."""

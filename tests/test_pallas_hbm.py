@@ -408,3 +408,115 @@ def test_sourced_solver_level_strided_matches_scan(setup):
     scale = float(jnp.max(jnp.abs(ref)))
     assert scale > 1e-3
     assert float(jnp.max(jnp.abs(snaps - ref))) < 1e-5 * scale
+
+
+# --- Canvas-operator stripe kernel (fused_solve_canvas_hbm): the
+# spatially-varying-coefficient counterpart. On a CONSTANT-coefficient
+# operator its canvases represent exactly the uniform operator, so it
+# must reproduce the uniform stripe kernel; on variable coefficients the
+# scan-path Chebyshev (same fixed iterations, same bounds) is the oracle.
+
+
+def _canvas_pieces(domain, problem, md, order):
+    solver = CRBESolver(domain, problem, md, time_scheme_order=order)
+    ops = solver.build_global_matrices()
+    pattern = stencil_mod.get_pattern(md)
+    perm = jnp.asarray(pattern.perm)
+    u0 = solver.set_initial_condition()[perm]
+    coeffs = stencil_mod.extract_coefficients(pattern, ops.system.vals)
+    bmask_fam = md.boundary_mask[perm]
+    mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
+    inv_diag_fam = 1.0 / ops.system_diag[perm]
+    matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
+    bounds = linalg.power_bounds(
+        matvec, jnp.zeros_like(u0),
+        scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+    )
+    return pattern, coeffs, mass_fam, inv_diag_fam, u0, bounds
+
+
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (1, True),
+                                               (2, True)])
+@pytest.mark.parametrize("stripe_rows", [8, 16, 40])
+def test_canvas_stripe_matches_uniform_stripe(setup, order, extrapolate,
+                                              stripe_rows):
+    domain, problem, md = setup
+    spec, consts, mass_c, idc, u0, bounds = _pieces(
+        domain, problem, md, order
+    )
+    kw = dict(n_steps=md.nt - 1, n_iters=6, use_ka=(order == 2),
+              extrapolate=extrapolate, stripe_rows=stripe_rows,
+              interpret=True, bounds=bounds)
+    ref = pallas_hbm.fused_solve_uniform_hbm(
+        spec, consts, mass_c, idc, u0, **kw
+    )
+    pattern, coeffs, mass_fam, inv_diag_fam, u0c, _ = _canvas_pieces(
+        domain, problem, md, order
+    )
+    got = pallas_hbm.fused_solve_canvas_hbm(
+        pattern, coeffs, mass_fam, inv_diag_fam, u0c, **kw
+    )
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-11 * float(
+        jnp.max(jnp.abs(ref))
+    ) + 1e-13
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_canvas_stripe_variable_wind_matches_scan(setup, order):
+    """Solver-level: matvec_impl='fused_hbm' on a variable-coefficient
+    problem routes to the canvas stripe kernel and reproduces the scan
+    Chebyshev path (same iterations/bounds) in a diffusion-dominated
+    (Chebyshev-convergent) configuration."""
+    from airpollution_tpu.problems import RotatingPlumeProblem
+
+    domain, _, md33 = setup
+    md = apt.MeshData(md33.mesh, domain, nt=25, dtype=jnp.float64)
+    p = RotatingPlumeProblem(omega=0.03, D=0.3)
+    kw = dict(time_scheme_order=order, solver_method="chebyshev",
+              chebyshev_iters=8, extrapolate_warm_start=True)
+    ref = CRBESolver(domain, p, md, matvec_impl="stencil", **kw).solve(
+        store_solutions=False, collect_iters=False
+    )
+    got = CRBESolver(domain, p, md, matvec_impl="fused_hbm", **kw).solve(
+        store_solutions=False, collect_iters=False
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-4
+    # The scan path estimates its Chebyshev interval in-jit with the
+    # stencil matvec while the fused path reuses the eager ELL-matvec
+    # estimate: the (lo, hi) pair differs in the last bits, so the fixed
+    # k-iteration polynomials differ at the 1e-6-relative level (the
+    # bitwise algorithm check is test_canvas_stripe_matches_uniform_
+    # stripe, where both sides share one bounds pair).
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
+
+
+def test_canvas_stripe_sourced_strided_matches_scan(setup):
+    """Sourced canvas-operator stripe solve (fused_operator='canvas'
+    forces the per-DOF path even for this constant-coefficient emitter)
+    with strided snapshots, against the scan path."""
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    domain, _, md33 = setup
+    md = apt.MeshData(md33.mesh, domain, nt=65, dtype=jnp.float64)
+    problem = GaussianSourceProblem(q=80.0, xs=-3.0, ys=2.0, sigma_s=5.0)
+    scan = CRBESolver(domain, problem, md, matvec_impl="stencil")
+    full = scan.solve(store_solutions=True)
+    s = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   fused_operator="canvas", solver_method="chebyshev",
+                   chebyshev_iters=10, snapshot_every=16)
+    snaps = s.solve(store_solutions=True)
+    ref = full[::16]
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-3
+    assert float(jnp.max(jnp.abs(snaps - ref))) < 1e-5 * scale
+
+
+def test_canvas_bicgstab_past_vmem_raises(setup):
+    """Canvas + BiCGStab past the VMEM envelope must refuse with the
+    chebyshev hint (the stripe kernels are reduction-free only)."""
+    domain, problem, md = setup
+    s = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
+                   fused_operator="canvas", solver_method="bicgstab")
+    with pytest.raises(ValueError, match="chebyshev"):
+        s.solve(store_solutions=False, collect_iters=False)

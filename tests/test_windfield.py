@@ -133,14 +133,21 @@ def test_fused_canvas_kernel_matches_scan_with_variable_wind():
 
 def test_uniform_paths_reject_variable_coefficients():
     """Everything built on the translation-invariant uniform operator
-    must refuse variable-coefficient problems loudly."""
+    must refuse variable-coefficient problems loudly. matvec_impl=
+    'fused_hbm' is allowed (it routes to the per-DOF canvas stripe
+    kernel) but only with the reduction-free Chebyshev solver."""
     domain, p = Domain(), RotatingPlumeProblem()
     md = MeshData(create_mesh(8, 20.0), domain, nt=4, dtype=jnp.float64)
-    for kw in (dict(matvec_impl="uniform"), dict(matvec_impl="fused_hbm"),
+    for kw in (dict(matvec_impl="uniform"),
                dict(matvec_impl="fused", fused_operator="uniform"),
                dict(matvec_impl="fused", assembly="patch")):
         with pytest.raises(ValueError, match="varying"):
             CRBESolver(domain, p, md, **kw)
+
+    s = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                   solver_method="bicgstab")
+    with pytest.raises(ValueError, match="chebyshev"):
+        s.solve(store_solutions=False, collect_iters=False)
 
     from airpollution_tpu.ops import uniform as uniform_mod
     with pytest.raises(ValueError, match="constant"):
