@@ -473,6 +473,7 @@ def _canvas_step_kernel(
     consts, row0_ref, *refs,
     c: int, n_pad: int, S: int, W: int, halo: int, n_lane: int,
     n_iters: int, has_ka: bool, extrapolate: bool,
+    int_start: int = 0, n_stripes: int | None = None,
     source_fn=None, source_steady: bool = False,
     source_lumped: bool = True,
 ):
@@ -529,7 +530,8 @@ def _canvas_step_kernel(
     out_sems = refs[k + 4 + n_states]
 
     dtype = r_ref.dtype
-    n_stripes = n_pad // S
+    if n_stripes is None:
+        n_stripes = n_pad // S
     lo, hi = consts[0], consts[1]
     theta = 0.5 * (hi + lo)
     delta = 0.5 * (hi - lo)
@@ -540,7 +542,13 @@ def _canvas_step_kernel(
         s_offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
 
     def ws_of(i):
-        return pl.multiple_of(jnp.clip(i * S - halo, 0, n_pad - W), 8)
+        # Sharded-block mode (int_start > 0, parallel/hbm_shard.py):
+        # rows [int_start, int_start + n_stripes*S) are the device's
+        # interior; the surrounding halo rows are neighbor state/
+        # coefficients, consumed read-only.
+        return pl.multiple_of(
+            jnp.clip(int_start + i * S - halo, 0, n_pad - W), 8
+        )
 
     def roll(x, shift, axis):
         size = x.shape[axis]
@@ -567,7 +575,7 @@ def _canvas_step_kernel(
             return dmas
 
         def out_dmas(slot, i):
-            r0 = pl.multiple_of(i * S, 8)
+            r0 = pl.multiple_of(int_start + i * S, 8)
             off = pl.multiple_of(r0 - ws_of(i), 8)
             dmas = [pltpu.make_async_copy(
                 win_u.at[slot, :, pl.ds(off, S), :],

@@ -16,7 +16,10 @@ from airpollution_tpu.parallel.fem_shard import (
 )
 from airpollution_tpu.parallel.sweep import crbe_diffusion_sweep
 from airpollution_tpu.parallel.stencil_shard import build_halo_solver
-from airpollution_tpu.parallel.hbm_shard import build_hbm_halo_solver
+from airpollution_tpu.parallel.hbm_shard import (
+    build_canvas_hbm_halo_solver,
+    build_hbm_halo_solver,
+)
 
 __all__ = [
     "dp_tp_split", "make_mesh",
@@ -25,4 +28,5 @@ __all__ = [
     "build_sharded_solver", "pad_operators", "sharded_matvec",
     "crbe_diffusion_sweep",
     "build_halo_solver", "build_hbm_halo_solver",
+    "build_canvas_hbm_halo_solver",
 ]

@@ -51,6 +51,12 @@ serial solver on the 8-device CPU mesh in interpret mode
 (tests/test_hbm_shard.py); multi-chip TPU hardware is not available in
 this environment.
 
+:func:`build_canvas_hbm_halo_solver` extends the same architecture to
+spatially varying coefficients: the (21, n, n) per-DOF coefficient stack
+(ops/pallas_hbm.fused_solve_canvas_hbm) is row-sharded alongside the
+state and halo-extended ONCE per solve (coefficients are
+step-invariant), so per-step ICI traffic stays the two state slabs.
+
 Counterpart: the reference's whole solve loop (crbe.py:406-433) — which
 is single-process scipy and cannot distribute at all.
 """
@@ -80,7 +86,8 @@ from airpollution_tpu.parallel.stencil_shard import (
 )
 
 
-def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None):
+def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None,
+                  planes=None):
     """(stripe height S, per-device interior rows) for an n-row canvas.
 
     The interior block is a multiple of S and at least ``halo`` rows (the
@@ -91,10 +98,15 @@ def _block_layout(n, n_dev, halo, extrapolate, stripe_rows=None):
     stripes to cover the share with < 8 rows of padding each (513²/8
     devices: one 72-row stripe, not a 128-row one; 1025²/8: two 72-row
     stripes, not two 128-row ones — the pad-up alternative sweeps ~1.9×
-    the needed rows).
+    the needed rows). ``planes``: size the auto stripe for a kernel
+    whose VMEM working set is this many (W, lane) planes (the canvas
+    stripe kernel) instead of the uniform kernel's buffer count.
     """
     if stripe_rows is None:
-        S, _ = pallas_hbm.choose_tile(n, extrapolate, halo)
+        if planes is None:
+            S, _ = pallas_hbm.choose_tile(n, extrapolate, halo)
+        else:
+            S = pallas_hbm._choose_stripe_rows_planes(n, planes, halo)
     else:
         S = stripe_rows
     local0 = -(-max(-(-n // n_dev), halo) // 8) * 8
@@ -138,10 +150,11 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
         raise ValueError("hbm halo solver requires a structured mesh")
     if getattr(problem, "variable_coefficients", False):
         raise ValueError(
-            "the distributed stripe solver runs on the translation-"
-            "invariant uniform operator; spatially varying coefficients "
-            "need the serial stencil/canvas paths or the row-sharded "
-            "ELL solver (parallel/fem_shard.py)"
+            "this builder runs on the translation-invariant uniform "
+            "operator; spatially varying coefficients are served by "
+            "build_canvas_hbm_halo_solver (the distributed canvas "
+            "stripe kernel) or the row-sharded ELL solver "
+            "(parallel/fem_shard.py)"
         )
     if source_quadrature not in ("mass_lumped", "reference"):
         raise ValueError(
@@ -401,5 +414,267 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
             cache["ops"] = ops
             cache["packed"] = _packed_fn(ops, u0, perm)
         return jitted(u0, aux, cache["packed"])
+
+    return solve
+
+
+def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
+                                 order=1, iters=8, axis="mp",
+                                 extrapolate=False, snapshot_every=None,
+                                 stripe_rows=None, interpret=False,
+                                 source_quadrature="mass_lumped"):
+    """Distributed CANVAS stripe solver: spatially varying coefficients
+    over a device mesh.
+
+    Same block-sharded architecture as :func:`build_hbm_halo_solver`
+    with one addition: the per-DOF operator (the (21, n, n) canvas stack
+    of ops/pallas_hbm.fused_solve_canvas_hbm — 15 system coefficients +
+    masked mass + inverse diagonal) is row-sharded alongside the state,
+    and each device extends its coefficient block with ``halo`` rows of
+    neighbor coefficients ONCE per solve (coefficients are
+    step-invariant; ppermute chain-end zero-fill matches the zero
+    coefficients outside the canvas). Per step the traffic is the same
+    2 state halo-slab ppermutes as the uniform solver — the coefficient
+    windows stream from device-local HBM inside the kernel.
+
+    Chebyshev only; sources via the in-kernel global-coordinate loads.
+    The spectral interval is estimated eagerly per operator set with the
+    ELL matvec — bitwise the same estimate the serial fused canvas path
+    caches (models/crbe._check_chebyshev_applicable), so distributed
+    and serial solves agree to rounding. Requires assembled
+    ``GlobalOperators`` (variable coefficients have no patch mode).
+    """
+    md = mesh_data
+    if getattr(md, "structured_n", None) is None:
+        raise ValueError("canvas halo solver requires a structured mesh")
+    if source_quadrature not in ("mass_lumped", "reference"):
+        raise ValueError(
+            f"unknown source_quadrature {source_quadrature!r}"
+        )
+    sourced = not getattr(problem, "zero_source", False)
+    src_steady = sourced and bool(getattr(problem, "steady_source",
+                                          False))
+    pattern = stencil_mod.get_pattern(md)
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    n, c = pattern.n, pattern.c
+    n_dev = mesh.shape[axis]
+    n_steps = md.nt - 1
+    if snapshot_every is not None and (
+        snapshot_every < 1 or n_steps % snapshot_every
+    ):
+        raise ValueError("snapshot_every must be a positive divisor "
+                         "of nt-1")
+
+    use_ka = order == 2
+    depth = iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    if stripe_rows is not None and stripe_rows % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    S, local = _block_layout(
+        n, n_dev, halo, extrapolate, stripe_rows,
+        planes=pallas_hbm._canvas_n_planes(extrapolate),
+    )
+    n_pad = local * n_dev
+    n_lane = -(-n // 128) * 128
+    ext_rows = local + 2 * halo
+    W = S + 2 * halo  # local >= S, so the window never clamps
+    n_states = 2 if extrapolate else 1
+
+    if sourced:
+        import numpy as _np
+
+        _pts = _np.asarray(md.points)
+        _xmin = float(_pts[:, 0].min())
+        _ymin = float(_pts[:, 1].min())
+        _h = (float(_pts[:, 0].max()) - _xmin) / (md.structured_n - 1)
+        _grid_pack = jnp.asarray([_xmin, _ymin, _h, float(dt)])
+
+    def _build_step_call(dtype):
+        kernel = partial(
+            pallas_hbm._canvas_step_kernel, c=c, n_pad=ext_rows, S=S,
+            W=W, halo=halo, n_lane=n_lane, n_iters=iters, has_ka=use_ka,
+            extrapolate=extrapolate, int_start=halo,
+            n_stripes=local // S,
+            source_fn=problem.source_xy if sourced else None,
+            source_steady=src_steady,
+            source_lumped=source_quadrature == "mass_lumped",
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+                   pltpu.VMEM((2, 3, W, n_lane), dtype)]
+        if extrapolate:
+            scratch.append(pltpu.VMEM((2, 3, W, n_lane), dtype))
+        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+        scratch += [pltpu.SemaphoreType.DMA((2, 1 + n_states)),
+                    pltpu.SemaphoreType.DMA((2, n_states))]
+        n_smem = 3 if sourced else 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((3, ext_rows, n_lane), dtype)
+                for _ in range(n_states)
+            ),
+            in_specs=[smem] * n_smem + [hbm] * (1 + n_states),
+            out_specs=tuple(hbm for _ in range(n_states)),
+            scratch_shapes=scratch,
+            compiler_params=pallas_hbm._vmem_limit_planes(
+                W, n_lane, pallas_hbm._canvas_n_planes(extrapolate)
+            ),
+            interpret=interpret,
+        )
+
+    def solve_impl(u0, aux, coeff_stack, bpack):
+        # aux / coeff_stack ride as jit ARGUMENTS (O(N) closure
+        # constants become compile payload — models/crbe.py _solve_aux).
+        perm, inv, midpoints, boundary_mask = aux
+        dtype = u0.dtype
+        step_call = _build_step_call(dtype)
+        bpack = jnp.asarray(bpack, dtype)
+
+        u0_can = jnp.stack(to_canvases(pattern, u0[perm]))
+        u0_can = jnp.pad(
+            u0_can, ((0, 0), (0, n_pad - n), (0, n_lane - n))
+        )
+
+        ts = None
+        if sourced:
+            ts = jnp.asarray(dt, dtype) * jnp.arange(
+                1, n_steps + 1, dtype=dtype
+            ).reshape(n_steps, 1)
+
+        def device_solve(u0_loc, coeff_loc):
+            dev = jax.lax.axis_index(axis)
+            row0 = (dev * local - halo).astype(jnp.int32)[None]
+            # Coefficients are step-invariant: extend the block with
+            # neighbor rows ONCE (chain-end zero-fill = the zero
+            # coefficients outside the canvas).
+            cdn = _halo_from_below(
+                coeff_loc[:, local - halo:local], axis
+            )
+            cup = _halo_from_above(coeff_loc[:, :halo], axis)
+            ext_c = jnp.concatenate([cdn, coeff_loc, cup], axis=1)
+            ext0 = jnp.pad(u0_loc, ((0, 0), (halo, halo), (0, 0)))
+            carry0 = (ext0,) * n_states
+
+            def step(carry, t):
+                stk = jnp.stack(carry)
+                dn = _halo_from_below(
+                    stk[:, :, local:local + halo], axis
+                )
+                up = _halo_from_above(
+                    stk[:, :, halo:2 * halo], axis
+                )
+                stk = stk.at[:, :, :halo].set(dn)
+                stk = stk.at[:, :, halo + local:].set(up)
+                outs = step_call(
+                    bpack, row0,
+                    *((t,) if sourced else ()),
+                    ext_c,
+                    *(stk[s] for s in range(n_states))
+                )
+                return tuple(outs), None
+
+            if snapshot_every is None:
+                carry, _ = jax.lax.scan(step, carry0, ts,
+                                        length=n_steps)
+                return carry[0][:, halo:halo + local]
+
+            n_chunks = n_steps // snapshot_every
+            ts_chunks = (ts.reshape(n_chunks, snapshot_every, 1)
+                         if sourced else None)
+
+            def chunk(carry, ts_c):
+                carry, _ = jax.lax.scan(step, carry, ts_c,
+                                        length=snapshot_every)
+                return carry, carry[0][:, halo:halo + local]
+
+            _, snaps = jax.lax.scan(
+                chunk, carry0, ts_chunks, length=n_chunks
+            )
+            return snaps
+
+        out_spec = (P(None, axis, None) if snapshot_every is None
+                    else P(None, None, axis, None))
+        fn = jax.shard_map(
+            device_solve, mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, axis, None)),
+            out_specs=out_spec, check_vma=False,
+        )
+
+        lift_at = lifting.make_lift(problem, midpoints, boundary_mask)
+
+        if snapshot_every is None:
+            u_can = fn(u0_can, coeff_stack)[:, :n, :n]
+            u_fam = from_canvases(
+                pattern, u_can[0], u_can[1], u_can[2]
+            )
+            return lifting.lifted_final_state(lift_at, u_fam[inv], dt,
+                                              n_steps)
+
+        snaps_can = fn(u0_can, coeff_stack)[:, :, :n, :n]
+        u_fams = jax.vmap(
+            lambda can: from_canvases(
+                pattern, can[0], can[1], can[2]
+            )
+        )(snaps_can)
+        return lifting.strided_trajectory(
+            lift_at, u0, u_fams[:, inv], dt, snapshot_every, n_steps
+        )
+
+    jitted = jax.jit(solve_impl)
+    aux = (perm, inv, jnp.asarray(md.midpoints),
+           jnp.asarray(md.boundary_mask))
+
+    @jax.jit
+    def _operand_fn(ops: GlobalOperators, u0):
+        # Eager per-ops operator prep (cached below): the (21, n, n)
+        # coefficient-canvas stack + the spectral interval. Bounds use
+        # the ELL matvec in the ORIGINAL layout — bitwise the estimate
+        # the serial fused canvas path caches
+        # (models/crbe._check_chebyshev_applicable else-branch), so
+        # distributed-vs-serial equality holds to rounding.
+        from airpollution_tpu.ops import sparse
+        from airpollution_tpu.ops.pallas_solver import coeff_canvases
+
+        coeffs = stencil_mod.extract_coefficients(
+            pattern, ops.system.vals
+        )
+        bmask_fam = jnp.asarray(md.boundary_mask)[perm]
+        mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
+        inv_diag_fam = 1.0 / ops.system_diag[perm]
+        stack = jnp.stack(
+            coeff_canvases(pattern, coeffs)
+            + to_canvases(pattern, mass_fam)
+            + to_canvases(pattern, inv_diag_fam)
+        ).astype(u0.dtype)
+        stack = jnp.pad(
+            stack, ((0, 0), (0, n_pad - n), (0, n_lane - n))
+        )
+        bounds = linalg.power_bounds(
+            partial(sparse.ell_matvec, ops.system),
+            jnp.zeros_like(ops.system_diag),
+            scale=1.0 / jnp.sqrt(ops.system_diag),
+        )
+        parts = [jnp.stack([jnp.asarray(b) for b in bounds])]
+        if sourced:
+            parts.append(_grid_pack)
+        return stack, jnp.concatenate(parts)
+
+    cache = {"ops": None, "prepared": None}
+
+    def solve(ops: GlobalOperators, u0):
+        if ops is None:
+            raise ValueError(
+                "the canvas stripe solver needs assembled "
+                "GlobalOperators (variable coefficients have no patch "
+                "mode)"
+            )
+        if cache["ops"] is not ops:
+            cache["ops"] = ops
+            cache["prepared"] = _operand_fn(ops, u0)
+        stack, bpack = cache["prepared"]
+        return jitted(u0, aux, stack, bpack)
 
     return solve

@@ -225,3 +225,129 @@ def test_hbm_shard_sourced_time_dependent_strided():
                              serial.set_initial_condition()))
     assert traj.shape == (4, md.number_of_segments)
     np.testing.assert_allclose(traj, traj_serial[::4], atol=2e-6)
+
+
+# --- Distributed CANVAS stripe solver (build_canvas_hbm_halo_solver):
+# spatially varying coefficients block-sharded, the (21, n, n)
+# coefficient stack row-sharded with a ONE-TIME halo extension. Oracle:
+# the serial canvas stripe kernel (matvec_impl='fused_hbm' on a
+# variable-coefficient problem) — both sides share the eager ELL-matvec
+# spectral interval, so equality is to rounding.
+
+from airpollution_tpu.parallel.hbm_shard import (  # noqa: E402
+    build_canvas_hbm_halo_solver,
+)
+from airpollution_tpu.problems import RotatingPlumeProblem  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (1, True),
+                                               (2, True)])
+def test_canvas_shard_matches_serial(order, extrapolate):
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    p = RotatingPlumeProblem(omega=0.03, D=0.3)
+    serial = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                        time_scheme_order=order,
+                        extrapolate_warm_start=extrapolate,
+                        solver_method="chebyshev", chebyshev_iters=10)
+    u_serial = np.asarray(serial.solve(store_solutions=False,
+                                       collect_iters=False))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(
+        mesh, md, p, serial.dt, order=order, iters=10,
+        extrapolate=extrapolate, stripe_rows=8, interpret=True,
+    )
+    u_shard = np.asarray(solver(serial._require_ops(),
+                                serial.set_initial_condition()))
+    np.testing.assert_allclose(u_shard, u_serial, atol=1e-12)
+
+
+def test_canvas_shard_strided_matches_serial():
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    p = RotatingPlumeProblem(omega=0.03, D=0.3)
+    serial = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                        time_scheme_order=2, solver_method="chebyshev",
+                        chebyshev_iters=10, snapshot_every=4)
+    traj_serial = np.asarray(serial.solve(store_solutions=True))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(
+        mesh, md, p, serial.dt, order=2, iters=10, snapshot_every=4,
+        stripe_rows=8, interpret=True,
+    )
+    traj = np.asarray(solver(serial._require_ops(),
+                             serial.set_initial_condition()))
+    assert traj.shape == traj_serial.shape
+    np.testing.assert_allclose(traj, traj_serial, atol=1e-12)
+
+
+class _RotatingEmitter(RotatingPlumeProblem):
+    """Variable wind + steady emission: the production combination."""
+
+    zero_source = False
+    steady_source = True
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        x, y = xyt[..., 0], xyt[..., 1]
+        return 2.0 * jnp.exp(-((x + 3.0) ** 2 + (y - 2.0) ** 2) / 8.0)
+
+    def source_xy(self, x, y, t):
+        return 2.0 * jnp.exp(-((x + 3.0) ** 2 + (y - 2.0) ** 2) / 8.0)
+
+
+def test_canvas_shard_sourced_variable_wind_matches_serial():
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    p = _RotatingEmitter(omega=0.03, D=0.3)
+    serial = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                        solver_method="chebyshev", chebyshev_iters=10,
+                        extrapolate_warm_start=True)
+    u_serial = np.asarray(serial.solve(store_solutions=False,
+                                       collect_iters=False))
+    # The emitter must actually contribute, or the test proves nothing.
+    zero_src = CRBESolver(domain,
+                          RotatingPlumeProblem(omega=0.03, D=0.3), md,
+                          matvec_impl="fused_hbm",
+                          solver_method="chebyshev", chebyshev_iters=10,
+                          extrapolate_warm_start=True)
+    u0_ref = np.asarray(zero_src.solve(store_solutions=False,
+                                       collect_iters=False))
+    assert np.abs(u_serial - u0_ref).max() > 1.0
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(
+        mesh, md, p, serial.dt, order=1, iters=10, extrapolate=True,
+        stripe_rows=8, interpret=True,
+    )
+    u_shard = np.asarray(solver(serial._require_ops(),
+                                serial.set_initial_condition()))
+    np.testing.assert_allclose(u_shard, u_serial, atol=1e-11)
+
+
+def test_canvas_shard_requires_ops():
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    p = RotatingPlumeProblem(omega=0.03, D=0.3)
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(mesh, md, p, 10.0 / 12.0,
+                                          stripe_rows=8, interpret=True)
+    with pytest.raises(ValueError, match="GlobalOperators"):
+        solver(None, jnp.zeros(md.number_of_segments))
+
+
+def test_uniform_builder_points_to_canvas_builder():
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13)
+    p = RotatingPlumeProblem()
+    mesh = make_mesh({"mp": 8})
+    with pytest.raises(ValueError, match="build_canvas_hbm_halo_solver"):
+        build_hbm_halo_solver(mesh, md, p, 10.0 / 12.0)
