@@ -78,3 +78,18 @@ def test_cli_sourced_solve_and_fit_source_roundtrip(in_tmp_dir, capsys):
     assert abs(fit["q"] - 2.0) / 2.0 < 0.1
     assert abs(fit["xs"] + 4.0) < 0.3 and abs(fit["ys"] - 2.5) < 0.3
     assert fit["misfit_last"] < fit["misfit_first"] * 1e-2
+
+
+def test_cli_rotating_problem_solve(in_tmp_dir, capsys):
+    """--problem rotating: variable-wind solve with exact errors, and
+    --reaction folds the decay in (plume x exp(-rt) stays exact)."""
+    cli.main(["solve", "--problem", "rotating", "--omega", "0.1",
+              "--mesh_size", "16", "--nt", "33"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe"
+    assert res["rel_l2"] is not None and res["rel_l2"] < 1.0
+
+    cli.main(["solve", "--problem", "rotating", "--omega", "0.1",
+              "--reaction", "0.2", "--mesh_size", "16", "--nt", "33"])
+    res2 = _last_json(capsys)
+    assert res2["rel_l2"] is not None and np.isfinite(res2["rel_l2"])
