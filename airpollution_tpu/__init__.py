@@ -22,6 +22,7 @@ enable_compilation_cache()
 
 from airpollution_tpu.problems import (
     AdDifProblem,
+    AnisotropicPlumeProblem,
     Domain,
     GaussianSourceProblem,
     Problem,
@@ -34,6 +35,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AdDifProblem",
+    "AnisotropicPlumeProblem",
     "Domain",
     "GaussianSourceProblem",
     "Problem",

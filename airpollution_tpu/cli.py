@@ -48,6 +48,11 @@ def _domain_problem(args):
             x0=5.0 if args.xs is None else args.xs, y0=args.ys,
             reaction=reaction,
         )
+    elif kind == "anisotropic":
+        problem = apt.AnisotropicPlumeProblem(
+            v=tuple(args.v), Dx=args.Dx, Dy=args.Dy, sigma=args.sigma,
+            reaction=reaction,
+        )
     else:  # argparse choices guard this
         raise ValueError(f"unknown problem {kind!r}")
     return domain, problem
@@ -226,12 +231,16 @@ def build_parser():
         sp.add_argument("--sigma", type=float, default=1.0)
         sp.add_argument("--problem", default="gaussian",
                         choices=("gaussian", "square_pulse",
-                                 "gaussian_source", "rotating"),
+                                 "gaussian_source", "rotating",
+                                 "anisotropic"),
                         help="gaussian_source: steady emitter (--q --xs "
                              "--ys --sigma_s); no analytical errors. "
                              "rotating: puff in a solid-body-rotation "
                              "wind (--omega; puff center --xs --ys, "
-                             "default (5, 0)); exact solution")
+                             "default (5, 0)); exact solution. "
+                             "anisotropic: plume with D=diag(Dx, Dy) "
+                             "eddy-diffusivity tensor (--Dx --Dy); "
+                             "exact solution")
         sp.add_argument("--reaction", type=float, default=0.0,
                         help="first-order decay/deposition rate r "
                              "(adds + r c to the PDE; the gaussian "
@@ -246,6 +255,10 @@ def build_parser():
         sp.add_argument("--sigma_s", type=float, default=1.0)
         sp.add_argument("--omega", type=float, default=0.1,
                         help="rotation rate of the wind field (rotating)")
+        sp.add_argument("--Dx", type=float, default=0.1,
+                        help="x diffusivity (anisotropic)")
+        sp.add_argument("--Dy", type=float, default=0.01,
+                        help="y diffusivity (anisotropic)")
 
     sp = sub.add_parser("solve", help="CRBE FEM solve")
     common(sp)

@@ -111,17 +111,23 @@ def local_matrices(
     ``compute_advection_CR`` (crbe.py:249-313), sharing one Jacobian
     computation and vmapped over triangles.
 
-    ``D`` may be a scalar or a per-triangle (n_tri,) field, and ``v`` a
-    (2,) constant or a per-triangle (n_tri, 2) field (spatially varying
-    coefficients sampled at centroids — see problems.AdDifProblem
-    hooks). Constant inputs take the in_axes=None path, identical to the
+    ``D`` may be a scalar, a per-triangle (n_tri,) field, a constant
+    (2, 2) anisotropic diffusion TENSOR, or a per-triangle
+    (n_tri, 2, 2) tensor field; ``v`` a (2,) constant or a per-triangle
+    (n_tri, 2) field (spatially varying coefficients sampled at
+    centroids — see problems.AdDifProblem hooks). For tensors the
+    stiffness is the full weak form ``area * g D g^T`` (the CR weak form
+    needs no derivatives of D, so variable tensors are handled exactly).
+    Constant scalar inputs take the in_axes=None path, identical to the
     original closure computation bit for bit.
     """
     if stiffness_convention not in ("correct", "reference"):
         raise ValueError(f"unknown stiffness_convention {stiffness_convention}")
 
     ref_grads = jnp.asarray(_REF_GRADS, dtype=vertices.dtype)
-    d_axis = 0 if jnp.ndim(D) >= 1 else None
+    # ndim 0 = constant scalar, 2 = constant (2, 2) tensor (both
+    # broadcast); 1 = per-triangle scalars, 3 = per-triangle tensors.
+    d_axis = 0 if jnp.ndim(D) in (1, 3) else None
     v_axis = 0 if jnp.ndim(v) >= 2 else None
 
     def per_triangle(verts, area, D, v):
@@ -137,7 +143,11 @@ def local_matrices(
             g_stiff = g_phys
         else:  # reference transpose convention (crbe.py:272-276)
             g_stiff = ref_grads @ J_inv.T
-        K = D * area * (g_stiff @ g_stiff.T)
+        if jnp.ndim(D) == 2:  # anisotropic tensor: integral grad D grad
+            K = area * (g_stiff @ jnp.asarray(D, verts.dtype)
+                        @ g_stiff.T)
+        else:
+            K = D * area * (g_stiff @ g_stiff.T)
         # A[i, j] = integral phi_i (v . grad phi_j) = (area / 3) (v . g_j)
         # (crbe.py:307-313: 2 * outer(ones * area/6, grad_phi @ v)).
         v_dot_g = g_phys @ jnp.asarray(v, dtype=verts.dtype)

@@ -55,6 +55,27 @@ def gradient_and_laplacian_xy(
     return grad_xy, grad_t, lap
 
 
+def gradient_and_hessian_xy(
+    u_fn: Callable[[jax.Array], jax.Array], pts: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Like :func:`gradient_and_laplacian_xy` but returning the full
+    spatial Hessian (N, 2, 2) — same cost (the two Hessian columns the
+    Laplacian needs already contain every entry); used for anisotropic
+    diffusion tensors where the residual needs the cross term
+    ``2 Dxy d2u/dxdy``."""
+    grad_fn = jax.grad(u_fn)
+
+    def per_point(p):
+        g, lin = jax.linearize(grad_fn, p)
+        z = jnp.zeros_like(p)
+        h0 = lin(z.at[0].set(1.0))
+        h1 = lin(z.at[1].set(1.0))
+        hess = jnp.stack([h0[:2], h1[:2]])
+        return g[:2], g[2:3], hess
+
+    return jax.vmap(per_point)(pts)
+
+
 def pde_residual(
     u_fn: Callable[[jax.Array], jax.Array],
     pts: jax.Array,
@@ -76,13 +97,33 @@ def pde_residual(
     may be a per-point (N, 2) field and ``D`` a per-point (N,) field, in
     which case ``D_grad`` (N, 2) supplies grad D for the non-conservative
     expansion ``-div(D grad c) = -D lap c - grad D . grad c``; constant
-    coefficients leave ``D_grad=None`` and the term vanishes."""
-    grad_xy, grad_t, lap = gradient_and_laplacian_xy(u_fn, pts)
+    coefficients leave ``D_grad=None`` and the term vanishes.
+
+    Anisotropic diffusion: a constant (2, 2) tensor ``D`` switches the
+    diffusion term to the full Hessian contraction ``sum_ij D_ij
+    d2u/dxi dxj`` (problems.AnisotropicPlumeProblem). Spatially varying
+    TENSORS are FEM-only (the weak form needs no D derivatives; the
+    strong-form residual here would) and raise."""
+    tensor_D = jnp.ndim(D) == 2 and jnp.shape(D) == (2, 2)
+    if jnp.ndim(D) == 3:
+        raise NotImplementedError(
+            "spatially varying diffusion TENSORS are supported by the "
+            "FEM weak form only (the PINN strong-form residual would "
+            "need div D, which the problem hooks do not supply)"
+        )
+    if tensor_D:
+        grad_xy, grad_t, hess = gradient_and_hessian_xy(u_fn, pts)
+        diff_term = jnp.einsum(
+            "ij,nij->n", jnp.asarray(D, pts.dtype), hess
+        ).reshape(-1, 1)
+    else:
+        grad_xy, grad_t, lap = gradient_and_laplacian_xy(u_fn, pts)
+        D_col = D.reshape(-1, 1) if jnp.ndim(D) == 1 else D
+        diff_term = D_col * lap
     v = jnp.asarray(v, dtype=pts.dtype)
     v2 = v[None, :2] if v.ndim == 1 else v[:, :2]
     v_dot_grad = jnp.sum(v2 * grad_xy, axis=1, keepdims=True)
-    D_col = D.reshape(-1, 1) if jnp.ndim(D) == 1 else D
-    res = grad_t + v_dot_grad - D_col * lap - source.reshape(-1, 1)
+    res = grad_t + v_dot_grad - diff_term - source.reshape(-1, 1)
     if D_grad is not None:
         res = res - jnp.sum(
             jnp.asarray(D_grad, dtype=pts.dtype) * grad_xy, axis=1,
@@ -113,8 +154,16 @@ def problem_pde_residual(
     zeros and XLA folds the extra term away."""
     if getattr(problem, "variable_coefficients", False):
         xy = pts[..., :2]
+        D_at = problem.diffusion_at(xy)
+        if jnp.ndim(D_at) >= 3:
+            raise NotImplementedError(
+                "spatially varying diffusion TENSORS are supported by "
+                "the FEM weak form only (the PINN strong-form residual "
+                "would need div D, which the problem hooks do not "
+                "supply)"
+            )
         return pde_residual(
-            u_fn, pts, problem.velocity_at(xy), problem.diffusion_at(xy),
+            u_fn, pts, problem.velocity_at(xy), D_at,
             source, reaction=reaction,
             D_grad=problem.diffusion_grad_at(xy),
         )

@@ -93,3 +93,11 @@ def test_cli_rotating_problem_solve(in_tmp_dir, capsys):
               "--reaction", "0.2", "--mesh_size", "16", "--nt", "33"])
     res2 = _last_json(capsys)
     assert res2["rel_l2"] is not None and np.isfinite(res2["rel_l2"])
+
+
+def test_cli_anisotropic_problem_solve(in_tmp_dir, capsys):
+    """--problem anisotropic: tensor-diffusion plume with exact errors."""
+    cli.main(["solve", "--problem", "anisotropic", "--Dx", "0.2",
+              "--Dy", "0.02", "--mesh_size", "16", "--nt", "33"])
+    res = _last_json(capsys)
+    assert res["rel_l2"] is not None and np.isfinite(res["rel_l2"])
