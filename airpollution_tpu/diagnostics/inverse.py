@@ -302,6 +302,44 @@ def fit_source(observed, mesh_data, *, snapshot_indices=None,
     return result, losses
 
 
+def fit_anisotropic_diffusion(observed, mesh_data, *,
+                              snapshot_indices=None, sensor_indices=None,
+                              Dx0: float = 0.1, Dy0: float = 0.1,
+                              v=(1.0, 0.5), sigma: float = 1.0,
+                              steps: int = 150, lr: float = 0.05,
+                              **kwargs):
+    """Recover the anisotropic eddy-diffusivity tensor diag(Dx, Dy) of an
+    :class:`~airpollution_tpu.problems.AnisotropicPlumeProblem` from
+    concentration observations (log-space positivity; the tensor enters
+    the operator through the weak-form assembly, so the misfit gradient
+    is the exact discrete adjoint — models/crbe.local_matrices).
+
+    Returns ``({"Dx": ..., "Dy": ...}, losses)``.
+    """
+    from airpollution_tpu.problems import AnisotropicPlumeProblem
+
+    dtype = mesh_data.midpoints.dtype
+    v = jnp.asarray(v, dtype)
+
+    def make_problem(params):
+        return AnisotropicPlumeProblem(
+            v=v, Dx=jnp.exp(params["log_dx"]),
+            Dy=jnp.exp(params["log_dy"]), sigma=sigma,
+        )
+
+    init = {"log_dx": jnp.log(jnp.asarray(Dx0, dtype)),
+            "log_dy": jnp.log(jnp.asarray(Dy0, dtype))}
+    key = ("fit_aniso", tuple(float(x) for x in v), float(sigma))
+    params, losses = fit_parameters(
+        observed, mesh_data, make_problem, init,
+        snapshot_indices=snapshot_indices, sensor_indices=sensor_indices,
+        steps=steps, lr=lr, cache_key=kwargs.pop("cache_key", key),
+        **kwargs,
+    )
+    return ({"Dx": float(jnp.exp(params["log_dx"])),
+             "Dy": float(jnp.exp(params["log_dy"]))}, losses)
+
+
 def fit_wind(observed, mesh_data, *, snapshot_indices=None,
              sensor_indices=None, omega0: float = 0.05, D: float = 0.05,
              sigma: float = 1.5, x0: float = 5.0, y0: float = 0.0,

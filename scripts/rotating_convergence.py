@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 import airpollution_tpu as apt
 from airpollution_tpu.models.crbe import CRBESolver
-from airpollution_tpu.problems import RotatingPlumeProblem
+from airpollution_tpu.problems import (
+    AnisotropicPlumeProblem,
+    RotatingPlumeProblem,
+)
 
 
 def main():
@@ -39,11 +42,20 @@ def main():
     ap.add_argument("--mesh_sizes", type=int, nargs="*",
                     default=[8, 16, 32, 64, 128])
     ap.add_argument("--nt", type=int, default=128)
-    ap.add_argument("--out", default="results_snapshot/rotating_convergence.csv")
+    ap.add_argument("--problem", default="rotating",
+                    choices=("rotating", "anisotropic"))
+    ap.add_argument("--out", default=None,
+                    help="default: results_snapshot/"
+                         "<problem>_convergence.csv")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = f"results_snapshot/{args.problem}_convergence.csv"
 
     domain = apt.Domain()
-    problem = RotatingPlumeProblem()  # omega=0.1, D=0.05, puff at (5, 0)
+    if args.problem == "rotating":
+        problem = RotatingPlumeProblem()  # omega=0.1, D=0.05, puff (5,0)
+    else:  # strongly anisotropic: along-wind 10x the cross-wind mixing
+        problem = AnisotropicPlumeProblem(Dx=0.2, Dy=0.02)
 
     rows = []
     for order in (1, 2):

@@ -116,11 +116,10 @@ def test_constant_tensor_keeps_uniform_fast_paths():
 
 class _CrossTensorMMS(AdDifProblem):
     """Manufactured solution with a FULL tensor (Dxy != 0), variable in
-    space: the source is DEFINED as the strong-form residual of the
-    target at the constant tensor of each evaluation point... Tensor
-    fields are FEM-only in the residual, so the source uses the
-    analytically differentiated divergence form instead — validating
-    the weak form's off-diagonal terms end to end."""
+    space. Tensor fields are FEM-only in the strong-form residual, so
+    the source is built by autodiffing the FLUX field D(x) grad c and
+    taking its exact divergence — validating the weak form's
+    off-diagonal terms end to end."""
 
     variable_coefficients = True
     zero_source = False
@@ -216,3 +215,23 @@ def test_reaction_composes_with_tensor():
     b = np.asarray(p1.analytical_solution(xyt))
     np.testing.assert_allclose(b, a * np.exp(-0.25 * np.asarray(
         xyt[:, 2])), rtol=1e-12)
+
+
+def test_fit_anisotropic_diffusion_recovers_tensor():
+    """jax.grad flows through the tensor assembly: (Dx, Dy) recovered
+    from snapshot observations via the solver adjoint."""
+    from airpollution_tpu.diagnostics import inverse
+
+    domain = Domain()
+    md = MeshData(create_mesh(10, 20.0), domain, nt=9, dtype=jnp.float64)
+    true = dict(Dx=0.3, Dy=0.05)
+    idx = [2, 4, 6, 8]
+    obs = inverse.solve_snapshots(
+        AnisotropicPlumeProblem(**true), md, indices=idx, tol=1e-10,
+        maxiter=300)
+    result, losses = inverse.fit_anisotropic_diffusion(
+        obs, md, snapshot_indices=idx, Dx0=0.1, Dy0=0.1, steps=60,
+        lr=0.08, tol=1e-10, maxiter=300)
+    assert losses[-1] < 0.05 * losses[0], losses[::15]
+    assert abs(result["Dx"] - true["Dx"]) < 0.08, result
+    assert abs(result["Dy"] - true["Dy"]) < 0.04, result
