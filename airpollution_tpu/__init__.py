@@ -28,6 +28,7 @@ from airpollution_tpu.problems import (
     Problem,
     RotatingPlumeProblem,
     SquarePulseProblem,
+    TurningWindProblem,
 )
 from airpollution_tpu.mesh import Mesh, MeshData, create_mesh, create_unstructured_mesh
 
@@ -41,6 +42,7 @@ __all__ = [
     "Problem",
     "RotatingPlumeProblem",
     "SquarePulseProblem",
+    "TurningWindProblem",
     "Mesh",
     "MeshData",
     "create_mesh",

@@ -173,10 +173,25 @@ class GlobalOperators(NamedTuple):
 
 
 def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
-             stiffness_convention: str = "correct") -> GlobalOperators:
-    """Assemble all global operators in one pass (crbe.py:326-362 analogue)."""
+             stiffness_convention: str = "correct",
+             coeff_time=None) -> GlobalOperators:
+    """Assemble all global operators in one pass (crbe.py:326-362 analogue).
+
+    ``coeff_time``: evaluation time for TIME-VARYING coefficient hooks
+    (problems.AdDifProblem.time_varying) — required for such problems
+    (the quasi-static chunk driver models/unsteady.solve_time_varying
+    passes each chunk's midpoint time); a time-varying problem with no
+    ``coeff_time`` raises rather than silently freezing the t=0 wind.
+    """
     md = mesh_data
     verts = md.points[md.triangles]  # (n_tri, 3, 2)
+    time_varying = getattr(problem, "time_varying", False)
+    if time_varying and coeff_time is None:
+        raise ValueError(
+            "time-varying coefficients need an assembly time: pass "
+            "coeff_time=t (or solve with models/unsteady."
+            "solve_time_varying, which reassembles per time chunk)"
+        )
     if getattr(problem, "variable_coefficients", False):
         # Spatially varying wind/diffusion: sample the fields at triangle
         # centroids (piecewise-constant per element — first-order exact,
@@ -184,8 +199,9 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
         # paths carry the resulting per-DOF coefficients exactly; the
         # translation-invariant fast paths are gated off in CRBESolver.
         centroids = verts.mean(axis=1)
-        D_loc = problem.diffusion_at(centroids)
-        v_loc = problem.velocity_at(centroids)
+        targs = (coeff_time,) if time_varying else ()
+        D_loc = problem.diffusion_at(centroids, *targs)
+        v_loc = problem.velocity_at(centroids, *targs)
     else:
         D_loc, v_loc = problem.D, problem.v
     loc = local_matrices(
@@ -254,7 +270,7 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   collect_iters=False, matvec=None, ka_matvec=None,
                   differentiable=False, extrapolate_warm_start=False,
                   precond=None, solver="bicgstab", chebyshev_iters=8,
-                  source_quadrature="mass_lumped"):
+                  source_quadrature="mass_lumped", t0=0.0):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -377,7 +393,9 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
             out = (out, res.iterations)
         return (u_new, u), out
 
-    ts = dt * jnp.arange(1, nt, dtype=u0.dtype)
+    # t0: chunk start time for piecewise solves (models/unsteady) —
+    # source, boundary-lift and CN-trapezoid times all offset with it.
+    ts = jnp.asarray(t0, u0.dtype) + dt * jnp.arange(1, nt, dtype=u0.dtype)
     step_fn = jax.checkpoint(step) if differentiable else step
     (u_final, _), outs = jax.lax.scan(step_fn, (u0, u0), ts)
     if collect_iters:
@@ -389,7 +407,7 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     else:
         # Final state only — with the boundary lift applied, so
         # solutions[-1] means the same thing in both modes.
-        t_final = dt * (nt - 1)
+        t_final = t0 + dt * (nt - 1)
         t_col = jnp.full((midpoints.shape[0], 1), t_final,
                          dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)
@@ -472,6 +490,13 @@ class CRBESolver:
         self._variable_coefficients = bool(
             getattr(problem, "variable_coefficients", False)
         )
+        if getattr(problem, "time_varying", False):
+            raise ValueError(
+                "CRBESolver assembles the operator once; time-varying "
+                "coefficients (problem.time_varying) need the "
+                "quasi-static chunk driver models/unsteady."
+                "solve_time_varying"
+            )
         if self._variable_coefficients:
             bad = (
                 matvec_impl == "uniform"

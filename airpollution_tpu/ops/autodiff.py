@@ -154,7 +154,11 @@ def problem_pde_residual(
     zeros and XLA folds the extra term away."""
     if getattr(problem, "variable_coefficients", False):
         xy = pts[..., :2]
-        D_at = problem.diffusion_at(xy)
+        # time_varying problems get each collocation point's own t (the
+        # hooks broadcast it); steady fields keep the 1-arg call.
+        targs = ((pts[..., 2],)
+                 if getattr(problem, "time_varying", False) else ())
+        D_at = problem.diffusion_at(xy, *targs)
         if jnp.ndim(D_at) >= 3:
             raise NotImplementedError(
                 "spatially varying diffusion TENSORS are supported by "
@@ -163,9 +167,9 @@ def problem_pde_residual(
                 "supply)"
             )
         return pde_residual(
-            u_fn, pts, problem.velocity_at(xy), D_at,
+            u_fn, pts, problem.velocity_at(xy, *targs), D_at,
             source, reaction=reaction,
-            D_grad=problem.diffusion_grad_at(xy),
+            D_grad=problem.diffusion_grad_at(xy, *targs),
         )
     return pde_residual(u_fn, pts, problem.v, problem.D, source,
                         reaction=reaction)

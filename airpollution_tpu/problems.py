@@ -89,6 +89,15 @@ class AdDifProblem(abc.ABC):
     # stays static under jit tracing of problem pytrees.
     variable_coefficients = False
 
+    # True when v or D additionally vary in TIME. The hooks then take a
+    # second argument t (``velocity_at(xy, t)`` etc.); solvers assemble
+    # the operator per time chunk (models/unsteady.solve_time_varying —
+    # the quasi-static approximation, standard for hourly wind fields)
+    # and the PINN residual samples the hooks at each collocation
+    # point's own t. Implies the variable_coefficients routing. A CLASS
+    # attribute, static under jit.
+    time_varying = False
+
     def __init__(self, v, D, reaction=0.0):
         self.v = v
         self.D = D
@@ -123,21 +132,23 @@ class AdDifProblem(abc.ABC):
 
     # --- spatially varying coefficient hooks (variable_coefficients) ---
 
-    def velocity_at(self, xy):
-        """Wind field v(x, y) at (N, 2) points -> (N, 2).
+    def velocity_at(self, xy, t=None):
+        """Wind field v(x, y[, t]) at (N, 2) points -> (N, 2).
 
         Default: the constant ``v`` broadcast to every point. Override
         together with ``variable_coefficients = True`` for spatially
         varying winds; the FEM assembly samples it at triangle centroids
         (piecewise-constant per element, the standard first-order
-        coefficient quadrature for CR elements)."""
+        coefficient quadrature for CR elements). ``t`` is passed only
+        for ``time_varying`` problems (a scalar at assembly, per-point
+        times in the PINN residual)."""
         xy = jnp.asarray(xy)
         return jnp.broadcast_to(
             jnp.asarray(self.v, dtype=xy.dtype), xy.shape[:-1] + (2,)
         )
 
-    def diffusion_at(self, xy):
-        """Diffusion field D(x, y) at (N, 2) points -> (N,).
+    def diffusion_at(self, xy, t=None):
+        """Diffusion field D(x, y[, t]) at (N, 2) points -> (N,).
 
         Default: the constant ``D`` broadcast to every point."""
         xy = jnp.asarray(xy)
@@ -145,7 +156,7 @@ class AdDifProblem(abc.ABC):
             jnp.asarray(self.D, dtype=xy.dtype), xy.shape[:-1]
         )
 
-    def diffusion_grad_at(self, xy):
+    def diffusion_grad_at(self, xy, t=None):
         """grad D(x, y) at (N, 2) points -> (N, 2).
 
         The PINN residual's non-conservative expansion of the diffusion
@@ -158,6 +169,17 @@ class AdDifProblem(abc.ABC):
         xy = jnp.asarray(xy)
         if not self.variable_coefficients:
             return jnp.zeros(xy.shape[:-1] + (2,), dtype=xy.dtype)
+
+        if self.time_varying:
+            def d_scalar(p, ti):
+                return jnp.squeeze(self.diffusion_at(p[None, :], ti))
+
+            t_flat = jnp.broadcast_to(
+                jnp.asarray(t, xy.dtype), xy.shape[:-1]
+            ).reshape(-1)
+            return jax.vmap(jax.grad(d_scalar))(
+                xy.reshape(-1, 2), t_flat
+            ).reshape(xy.shape[:-1] + (2,))
 
         def d_scalar(p):
             return jnp.squeeze(self.diffusion_at(p[None, :]))
@@ -462,7 +484,87 @@ class AnisotropicPlumeProblem(AdDifProblem):
         return jnp.zeros_like(xyt[..., 0])
 
 
+class TurningWindProblem(AdDifProblem):
+    """Gaussian puff in a wind that TURNS in time — spatially uniform
+    ``v(t) = speed (cos(phi0 + omega_t t), sin(phi0 + omega_t t))``, the
+    canonical diurnal/Ekman veering scenario and the oracle for the
+    time-varying-coefficient machinery (models/unsteady).
+
+    For a spatially constant (but time-dependent) wind the puff is
+    rigidly advected along the integrated trajectory
+    ``X(t) = integral_0^t v = (speed/omega_t) (sin(phi0 + omega_t t) -
+    sin(phi0), cos(phi0) - cos(phi0 + omega_t t))`` while diffusing
+    isotropically, so the exact solution is the reference plume form
+    with ``v t`` replaced by ``X(t)``:
+
+        c = exp(-|x - x0 - X(t)|^2 / (4 D t + sigma^2))
+            / (pi (4 D t + sigma^2)) * exp(-reaction t).
+    """
+
+    zero_source = True
+    variable_coefficients = True
+    time_varying = True
+
+    def __init__(self, speed=1.0, omega_t=0.5, phi0=0.0, D=0.1,
+                 sigma=1.0, x0=0.0, y0=0.0, reaction=0.0):
+        # The constant-v slot is meaningless (None -> any ungated
+        # constant-coefficient consumer fails loudly).
+        super().__init__(None, D, reaction)
+        self.speed = speed
+        self.omega_t = omega_t
+        self.phi0 = phi0
+        self.sigma = sigma
+        self.x0 = x0
+        self.y0 = y0
+
+    def velocity_at(self, xy, t=None):
+        xy = jnp.asarray(xy)
+        t = jnp.asarray(0.0 if t is None else t, xy.dtype)
+        phi = self.phi0 + self.omega_t * t
+        vx = self.speed * jnp.cos(phi)
+        vy = self.speed * jnp.sin(phi)
+        shape = jnp.broadcast_shapes(xy.shape[:-1], jnp.shape(t))
+        return jnp.stack([jnp.broadcast_to(vx, shape),
+                          jnp.broadcast_to(vy, shape)], axis=-1)
+
+    def _displacement(self, t):
+        ph0, w = self.phi0, self.omega_t
+        ph = ph0 + w * t
+        return ((jnp.sin(ph) - jnp.sin(ph0)) * self.speed / w,
+                (jnp.cos(ph0) - jnp.cos(ph)) * self.speed / w)
+
+    def analytical_solution(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+        Xt, Yt = self._displacement(t)
+        denom = 4.0 * self.D * t + self.sigma**2
+        num = (x - self.x0 - Xt) ** 2 + (y - self.y0 - Yt) ** 2
+        plume = jnp.exp(-num / denom) / (jnp.pi * denom)
+        if isinstance(self.reaction, (int, float)) and self.reaction == 0.0:
+            return plume
+        return plume * jnp.exp(-self.reaction * t)
+
+    def initial_condition_fn(self, xy):
+        xy = jnp.asarray(xy)
+        t0 = jnp.zeros(xy.shape[:-1] + (1,), dtype=xy.dtype)
+        return self.analytical_solution(jnp.concatenate([xy, t0], axis=-1))
+
+    def boundary_fn(self, xyt):
+        return self.analytical_solution(jnp.asarray(xyt))
+
+    def source_term(self, xyt):
+        xyt = jnp.asarray(xyt)
+        return jnp.zeros_like(xyt[..., 0])
+
+
 _register_problem_pytree(Problem, ("v", "D", "sigma", "reaction"))
+_register_problem_pytree(
+    TurningWindProblem,
+    ("v", "D", "speed", "omega_t", "phi0", "sigma", "x0", "y0",
+     "reaction"),
+)
 _register_problem_pytree(
     AnisotropicPlumeProblem,
     ("v", "D", "Dx", "Dy", "sigma", "reaction"),

@@ -1,0 +1,142 @@
+"""Time-varying coefficients: quasi-static chunked solves
+(models/unsteady.solve_time_varying) against the TurningWindProblem
+closed form, plus chunk-boundary exactness on a frozen wind.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import airpollution_tpu as apt
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver, assemble
+from airpollution_tpu.models.unsteady import solve_time_varying
+from airpollution_tpu.ops import autodiff
+from airpollution_tpu.problems import Domain, Problem, TurningWindProblem
+
+
+def _exact_final(p, md):
+    t_col = jnp.full((md.number_of_segments, 1), md.domain.T,
+                     md.midpoints.dtype)
+    return p.analytical_solution(
+        jnp.concatenate([md.midpoints, t_col], axis=1)
+    )
+
+
+def test_turning_exact_solution_satisfies_pde():
+    """The integrated-trajectory closed form solves the time-varying
+    PDE: the residual through problem_pde_residual (per-collocation-t
+    hooks) vanishes; freezing the wind at t=0 must NOT satisfy it."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.1)
+
+    def u_exact(q):
+        return p.analytical_solution(q.reshape(1, 3)).reshape(())
+
+    pts = jnp.asarray([[1.0, 2.0, 3.0], [0.5, -1.0, 7.0],
+                       [2.0, 1.0, 0.4]], jnp.float64)
+    res = autodiff.problem_pde_residual(u_exact, pts, p, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-12)
+
+    res_frozen = autodiff.pde_residual(
+        u_exact, pts, jnp.asarray([1.0, 0.0]), 0.1, jnp.zeros(3)
+    )
+    assert float(jnp.max(jnp.abs(res_frozen))) > 1e-3
+
+
+def test_quasi_static_beats_frozen_wind():
+    """Chunked reassembly converges to the turning-wind solution where
+    a single frozen-wind assembly is badly wrong; the chunk error is
+    converged by k=3 (measured: frozen 1.31 vs chunked ~0.23 at
+    24^2/nt=64, the spatial-temporal floor)."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.1)
+    domain = Domain()
+    md = MeshData(create_mesh(24, 20.0), domain, nt=64,
+                  dtype=jnp.float64)
+    ex = _exact_final(p, md)
+
+    def rel(k):
+        sols = solve_time_varying(p, md, reassemble_every=k, tol=1e-11,
+                                  maxiter=600)
+        return float(jnp.linalg.norm(sols[-1] - ex) / jnp.linalg.norm(ex))
+
+    frozen, coarse, fine = rel(63), rel(3), rel(1)
+    assert frozen > 1.0, frozen
+    assert coarse < 0.3 and fine < 0.3, (coarse, fine)
+    assert abs(coarse - fine) < 0.05 * frozen, (coarse, fine)
+
+
+class _FrozenHooks(TurningWindProblem):
+    """time_varying=True but the hooks ignore t: any chunking must give
+    the identical trajectory (chunk-boundary exactness)."""
+
+    def velocity_at(self, xy, t=None):
+        xy = jnp.asarray(xy)
+        return jnp.broadcast_to(jnp.asarray([1.0, 0.5], xy.dtype),
+                                xy.shape[:-1] + (2,))
+
+    def analytical_solution(self, xyt):  # the standard plume
+        return Problem(v=(1.0, 0.5), D=self.D,
+                       sigma=self.sigma).analytical_solution(xyt)
+
+
+# The chunk program traces the problem as a pytree argument — subclasses
+# register like the built-ins do.
+from airpollution_tpu.problems import _register_problem_pytree  # noqa: E402
+
+_register_problem_pytree(
+    _FrozenHooks,
+    ("v", "D", "speed", "omega_t", "phi0", "sigma", "x0", "y0",
+     "reaction"),
+)
+
+
+def test_chunking_is_exact_on_frozen_hooks():
+    p = _FrozenHooks(D=0.1)
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    a = np.asarray(solve_time_varying(p, md, reassemble_every=12,
+                                      tol=1e-12, maxiter=500))
+    b = np.asarray(solve_time_varying(p, md, reassemble_every=1,
+                                      tol=1e-12, maxiter=500))
+    np.testing.assert_allclose(b, a, atol=1e-9)
+
+    # ... and equals CRBESolver on the equivalent constant problem (the
+    # centroid-sampled constant field assembles the identical operator).
+    const = CRBESolver(domain, Problem(v=(1.0, 0.5), D=0.1), md,
+                       solver_tol=1e-12, solver_maxiter=500,
+                       matvec_impl="ell")
+    c = np.asarray(const.solve(store_solutions=True))
+    np.testing.assert_allclose(a, c, atol=1e-9)
+
+
+def test_crbe_solver_rejects_time_varying():
+    p = TurningWindProblem()
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=5, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="unsteady"):
+        CRBESolver(domain, p, md)
+    with pytest.raises(ValueError, match="coeff_time"):
+        assemble(md, p, 0.1, 1)
+
+
+def test_gradient_through_quasi_static_solve():
+    """differentiable=True: jax.grad of a misfit w.r.t. the turning rate
+    through ALL chunks matches finite differences (wind-history
+    estimation through the quasi-static adjoint)."""
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+
+    def loss(om):
+        p = TurningWindProblem(speed=1.0, omega_t=om, D=0.1)
+        sols = solve_time_varying(p, md, reassemble_every=2,
+                                  tol=1e-13, maxiter=400,
+                                  differentiable=True)
+        return jnp.sum(sols[-1] ** 2)
+
+    om0 = jnp.asarray(0.4, jnp.float64)
+    g = float(jax.grad(loss)(om0))
+    eps = 1e-5
+    fd = (float(loss(om0 + eps)) - float(loss(om0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
