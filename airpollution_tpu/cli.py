@@ -53,9 +53,63 @@ def _domain_problem(args):
             v=tuple(args.v), Dx=args.Dx, Dy=args.Dy, sigma=args.sigma,
             reaction=reaction,
         )
+    elif kind == "turning":
+        problem = apt.TurningWindProblem(
+            speed=args.speed, omega_t=args.omega, D=args.D,
+            sigma=args.sigma, x0=0.0 if args.xs is None else args.xs,
+            y0=args.ys, reaction=reaction,
+        )
     else:  # argparse choices guard this
         raise ValueError(f"unknown problem {kind!r}")
     return domain, problem
+
+
+def _solve_time_varying(args, domain, problem, md):
+    """Quasi-static chunked solve for time-varying problems (--problem
+    turning): the operator is reassembled every --reassemble_every
+    steps (models/unsteady.solve_time_varying)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from airpollution_tpu.io.checkpoint import save_field
+    from airpollution_tpu.models.unsteady import solve_time_varying
+
+    t0 = time.time()
+    sols = solve_time_varying(
+        problem, md, reassemble_every=args.reassemble_every,
+        time_scheme_order=args.order,
+        stiffness_convention=args.stiffness_convention,
+        extrapolate_warm_start=args.extrapolate,
+        solver=args.solver_method, chebyshev_iters=args.chebyshev_iters,
+    )
+    sols.block_until_ready()
+    solve_t = time.time() - t0
+    rel = l2 = mx = None
+    fn = getattr(problem, "analytical_solution", None)
+    if fn is not None:
+        t_col = jnp.full((md.number_of_segments, 1), domain.T,
+                         md.midpoints.dtype)
+        ex = fn(jnp.concatenate([md.midpoints, t_col], axis=1))
+        err = sols[-1] - ex
+        l2 = float(jnp.linalg.norm(err))
+        rel = l2 / float(jnp.linalg.norm(ex))
+        mx = float(jnp.max(jnp.abs(err)))
+    if args.save:
+        arr = np.asarray(sols)
+        save_field(args.save, arr if args.save_all else arr[-1],
+                   times=np.asarray(md.time_discr) if args.save_all
+                   else None)
+        print(f"saved field to {args.save}", file=sys.stderr)
+    print(json.dumps({
+        "method": "crbe_quasi_static", "mesh_size": args.mesh_size,
+        "nt": args.nt, "order": args.order,
+        "n_dofs": int(md.number_of_segments),
+        "reassemble_every": args.reassemble_every,
+        "solve_time_s": round(solve_t, 4),
+        "rel_l2": rel, "l2": l2, "max_error": mx,
+    }))
 
 
 def _errors_or_none(compute, problem):
@@ -80,6 +134,8 @@ def cmd_solve(args):
 
     domain, problem = _domain_problem(args)
     md = _mesh_data(args, domain)
+    if getattr(problem, "time_varying", False):
+        return _solve_time_varying(args, domain, problem, md)
     solver = CRBESolver(
         domain, problem, md, time_scheme_order=args.order,
         matvec_impl=args.matvec_impl,
@@ -232,7 +288,7 @@ def build_parser():
         sp.add_argument("--problem", default="gaussian",
                         choices=("gaussian", "square_pulse",
                                  "gaussian_source", "rotating",
-                                 "anisotropic"),
+                                 "anisotropic", "turning"),
                         help="gaussian_source: steady emitter (--q --xs "
                              "--ys --sigma_s); no analytical errors. "
                              "rotating: puff in a solid-body-rotation "
@@ -259,6 +315,13 @@ def build_parser():
                         help="x diffusivity (anisotropic)")
         sp.add_argument("--Dy", type=float, default=0.01,
                         help="y diffusivity (anisotropic)")
+        sp.add_argument("--speed", type=float, default=1.0,
+                        help="wind speed (turning: v turns at rate "
+                             "--omega; quasi-static chunked solve, "
+                             "--reassemble_every)")
+        sp.add_argument("--reassemble_every", type=int, default=4,
+                        help="steps per operator reassembly for "
+                             "time-varying problems (must divide nt-1)")
 
     sp = sub.add_parser("solve", help="CRBE FEM solve")
     common(sp)

@@ -116,10 +116,10 @@ def test_chebyshev_guards():
     md = MeshData(create_mesh(8, 20.0), domain, nt=8)
     with pytest.raises(ValueError, match="solver_method"):
         CRBESolver(domain, problem, md, solver_method="sor")
-    s = CRBESolver(domain, problem, md, matvec_impl="fused",
-                   solver_method="chebyshev", fused_operator="canvas")
-    with pytest.raises(ValueError, match="uniform"):
-        s.solve(store_solutions=False)
+    # canvas + chebyshev is no longer a guard: it routes to the HBM
+    # canvas stripe kernel (equality-tested in tests/test_pallas_hbm.py);
+    # the remaining restriction is canvas + BICGSTAB past the VMEM
+    # envelope (test_canvas_bicgstab_past_vmem_raises, same file).
     ops = assemble(md, problem, 10 / 7, 1)
     u0 = problem.initial_condition_fn(md.midpoints)
     with pytest.raises(ValueError, match="bicgstab"):

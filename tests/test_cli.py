@@ -101,3 +101,15 @@ def test_cli_anisotropic_problem_solve(in_tmp_dir, capsys):
               "--Dy", "0.02", "--mesh_size", "16", "--nt", "33"])
     res = _last_json(capsys)
     assert res["rel_l2"] is not None and np.isfinite(res["rel_l2"])
+
+
+def test_cli_turning_wind_solve(in_tmp_dir, capsys):
+    """--problem turning routes to the quasi-static chunked solver and
+    scores against the integrated-trajectory closed form."""
+    cli.main(["solve", "--problem", "turning", "--speed", "1.0",
+              "--omega", "0.5", "--mesh_size", "12", "--nt", "13",
+              "--reassemble_every", "3"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe_quasi_static"
+    assert res["reassemble_every"] == 3
+    assert res["rel_l2"] is not None and np.isfinite(res["rel_l2"])
