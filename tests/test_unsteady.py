@@ -140,3 +140,76 @@ def test_gradient_through_quasi_static_solve():
     eps = 1e-5
     fd = (float(loss(om0 + eps)) - float(loss(om0 - eps))) / (2 * eps)
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+class _AcceleratingRotation(TurningWindProblem):
+    """SPATIALLY varying AND time-varying wind with a closed form: rigid
+    rotation whose rate grows QUADRATICALLY in time,
+    v(x, y, t) = omega(t) (-y, x) with omega(t) = a + b t^2. Rotation
+    commutes with diffusion at every instant, so the exact solution is
+    the diffusing Gaussian evaluated at the back-rotation by the
+    INTEGRATED angle theta(t) = a t + b t^3 / 3 — the oracle for the
+    combination of the variable_coefficients and time_varying
+    machineries. (A LINEAR rate would be a degenerate oracle: the
+    midpoint-frozen wind integrates it exactly.)"""
+
+    def __init__(self, a=0.05, b=0.006, D=0.1, sigma=1.5, x0=5.0,
+                 y0=0.0):
+        super().__init__(speed=0.0, omega_t=0.0, D=D, sigma=sigma,
+                         x0=x0, y0=y0)
+        self.a = a
+        self.b = b
+
+    def velocity_at(self, xy, t=None):
+        xy = jnp.asarray(xy)
+        t = jnp.asarray(0.0 if t is None else t, xy.dtype)
+        om = self.a + self.b * t**2
+        return jnp.stack([-om * xy[..., 1], om * xy[..., 0]], axis=-1)
+
+    def analytical_solution(self, xyt):
+        xyt = jnp.asarray(xyt)
+        x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+        th = -(self.a * t + self.b * t**3 / 3.0)  # back-rotation
+        xi = jnp.cos(th) * x - jnp.sin(th) * y
+        eta = jnp.sin(th) * x + jnp.cos(th) * y
+        denom = 4.0 * self.D * t + self.sigma**2
+        num = (xi - self.x0) ** 2 + (eta - self.y0) ** 2
+        return jnp.exp(-num / denom) / (jnp.pi * denom)
+
+
+from airpollution_tpu.problems import _register_problem_pytree  # noqa: E402,F811
+
+_register_problem_pytree(
+    _AcceleratingRotation,
+    ("v", "D", "speed", "omega_t", "phi0", "sigma", "x0", "y0",
+     "reaction", "a", "b"),
+)
+
+
+def test_combined_space_time_varying_wind():
+    """Accelerating rotation: residual of the closed form vanishes
+    through the per-point time-varying hooks, and the quasi-static FEM
+    solve converges where freezing time does not."""
+    p = _AcceleratingRotation()
+
+    def u_exact(q):
+        return p.analytical_solution(q.reshape(1, 3)).reshape(())
+
+    pts = jnp.asarray([[4.0, 1.0, 2.0], [-2.0, 5.0, 7.0],
+                       [5.5, -0.5, 0.3]], jnp.float64)
+    res = autodiff.problem_pde_residual(u_exact, pts, p, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-12)
+
+    domain = Domain()
+    md = MeshData(create_mesh(24, 20.0), domain, nt=64,
+                  dtype=jnp.float64)
+    ex = _exact_final(p, md)
+
+    def rel(k):
+        sols = solve_time_varying(p, md, reassemble_every=k, tol=1e-11,
+                                  maxiter=800)
+        return float(jnp.linalg.norm(sols[-1] - ex) / jnp.linalg.norm(ex))
+
+    frozen, chunked = rel(63), rel(3)
+    assert chunked < 0.6 * frozen, (frozen, chunked)
+    assert chunked < 0.5, (frozen, chunked)
