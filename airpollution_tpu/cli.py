@@ -83,6 +83,7 @@ def _solve_time_varying(args, domain, problem, md):
         stiffness_convention=args.stiffness_convention,
         extrapolate_warm_start=args.extrapolate,
         solver=args.solver_method, chebyshev_iters=args.chebyshev_iters,
+        store_solutions=bool(args.save_all),
     )
     sols.block_until_ready()
     solve_t = time.time() - t0

@@ -151,3 +151,22 @@ class MeshData:
         plt.title("2D Mesh Visualization")
         plt.savefig(filename, dpi=300)
         plt.close()
+
+
+def structured_grid(mesh_data):
+    """(xmin, ymin, h) of the structured vertex grid, as host floats.
+
+    The three scalars the fused Pallas kernels use to rebuild family
+    midpoint coordinates from iotas for in-kernel source evaluation
+    (ops/pallas_solver, ops/pallas_hbm) — shared by the serial solve
+    routing (models/crbe) and both distributed stripe builders
+    (parallel/hbm_shard) so the coordinate convention cannot drift
+    between paths."""
+    import numpy as np
+
+    if getattr(mesh_data, "structured_n", None) is None:
+        raise ValueError("structured_grid requires a structured mesh")
+    pts = np.asarray(mesh_data.points)
+    xmin = float(pts[:, 0].min())
+    h = (float(pts[:, 0].max()) - xmin) / (mesh_data.structured_n - 1)
+    return xmin, float(pts[:, 1].min()), h

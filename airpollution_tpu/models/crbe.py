@@ -844,16 +844,12 @@ class CRBESolver:
                 # parameters (q, xs, ...) are closure constants here —
                 # the fused path is not differentiable/vmappable anyway
                 # (use the scan path for inverse problems).
+                from airpollution_tpu.mesh.data import structured_grid
+
                 prob = self.problem
                 src_fn = prob.source_xy
                 src_lumped = self.source_quadrature == "mass_lumped"
-                pts = self.mesh_data.points
-                xmin = float(jnp.min(pts[:, 0]))
-                ymin = float(jnp.min(pts[:, 1]))
-                h_grid = (float(jnp.max(pts[:, 0])) - xmin) / (
-                    md.structured_n - 1
-                )
-                src_grid = (xmin, ymin, h_grid)
+                src_grid = structured_grid(self.mesh_data)
             if self.solver_method == "chebyshev" and getattr(
                 self, "_cheb_bounds", None
             ) is None:

@@ -48,10 +48,14 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                        solver: str = "bicgstab", chebyshev_iters: int = 8,
                        extrapolate_warm_start: bool = False,
                        differentiable: bool = False,
-                       source_quadrature: str = "mass_lumped"):
+                       source_quadrature: str = "mass_lumped",
+                       store_solutions: bool = True):
     """Solve a ``time_varying`` problem; returns the (nt, n) trajectory
     with CRBESolver.solve(store_solutions=True) row semantics (row 0 =
-    full IC, later rows boundary-lifted at their own time).
+    full IC, later rows boundary-lifted at their own time), or the
+    boundary-lifted final state as (1, n) with
+    ``store_solutions=False`` — at large nt the full trajectory is the
+    memory bill, not the solve.
 
     ``reassemble_every`` must divide nt-1; the wind/diffusion hooks are
     sampled at each chunk's midpoint time. ``reassemble_every = nt - 1``
@@ -83,21 +87,23 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         sols, _ = run_time_loop(
             ops, u0_c, mesh_data=view, problem=prob, dt=dt,
             order=time_scheme_order, tol=tol, maxiter=maxiter,
-            store_solutions=True, t0=t0_c,
+            store_solutions=store_solutions, t0=t0_c,
             differentiable=differentiable,
             extrapolate_warm_start=extrapolate_warm_start,
             solver=solver, chebyshev_iters=chebyshev_iters,
             source_quadrature=source_quadrature,
         )
-        # Rows 1..k are boundary-lifted; the homogeneous carry has zero
+        # Stored rows are boundary-lifted (and store_solutions=False
+        # returns the lifted final row); the homogeneous carry has zero
         # Dirichlet rows, so stripping the lift is exact.
         u_next = jnp.where(bmask, 0.0, sols[-1])
-        return sols[1:], u_next
+        return (sols[1:] if store_solutions else sols[-1:]), u_next
 
     cache_key = (id(md), type(problem), k, time_scheme_order,
                  stiffness_convention, float(tol), int(maxiter), solver,
                  int(chebyshev_iters), bool(extrapolate_warm_start),
-                 bool(differentiable), source_quadrature)
+                 bool(differentiable), source_quadrature,
+                 bool(store_solutions))
     if cache_key in _CHUNK_CACHE:
         chunk_fn = _CHUNK_CACHE[cache_key]
     else:
@@ -108,7 +114,11 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
 
     u = jnp.asarray(problem.initial_condition_fn(md.midpoints))
     rows = [u[None, :]]  # row 0: the full IC (crbe.py:364 semantics)
+    out = None
     for c in range(n_chunks):
-        sols_c, u = chunk_fn(u, jnp.asarray(c * k * dt, u.dtype), problem)
-        rows.append(sols_c)
+        out, u = chunk_fn(u, jnp.asarray(c * k * dt, u.dtype), problem)
+        if store_solutions:
+            rows.append(out)
+    if not store_solutions:
+        return out  # (1, n): the lifted final state
     return jnp.concatenate(rows, axis=0)

@@ -334,14 +334,11 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     if sourced:
         # Grid origin/spacing + dt for the in-kernel coordinate
         # reconstruction (consts[23:27] in _step_kernel) — computed
-        # EAGERLY (build time): _pack runs inside a jit.
-        import numpy as _np
+        # EAGERLY (build time): _pack runs inside a jit. Shared helper
+        # so the coordinate convention cannot drift between paths.
+        from airpollution_tpu.mesh.data import structured_grid
 
-        _pts = _np.asarray(md.points)
-        _xmin = float(_pts[:, 0].min())
-        _ymin = float(_pts[:, 1].min())
-        _h = (float(_pts[:, 0].max()) - _xmin) / (md.structured_n - 1)
-        _grid_pack = jnp.asarray([_xmin, _ymin, _h, float(dt)])
+        _grid_pack = jnp.asarray(list(structured_grid(md)) + [float(dt)])
 
     def _pack(consts, mass_c, idiag_c, bounds):
         parts = [
@@ -482,13 +479,9 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     n_states = 2 if extrapolate else 1
 
     if sourced:
-        import numpy as _np
+        from airpollution_tpu.mesh.data import structured_grid
 
-        _pts = _np.asarray(md.points)
-        _xmin = float(_pts[:, 0].min())
-        _ymin = float(_pts[:, 1].min())
-        _h = (float(_pts[:, 0].max()) - _xmin) / (md.structured_n - 1)
-        _grid_pack = jnp.asarray([_xmin, _ymin, _h, float(dt)])
+        _grid_pack = jnp.asarray(list(structured_grid(md)) + [float(dt)])
 
     def _build_step_call(dtype):
         kernel = partial(
@@ -628,20 +621,24 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
            jnp.asarray(md.boundary_mask))
 
     @jax.jit
-    def _operand_fn(ops: GlobalOperators, u0):
+    def _operand_fn(ops: GlobalOperators, u0, perm, bmask):
         # Eager per-ops operator prep (cached below): the (21, n, n)
         # coefficient-canvas stack + the spectral interval. Bounds use
         # the ELL matvec in the ORIGINAL layout — bitwise the estimate
         # the serial fused canvas path caches
         # (models/crbe._check_chebyshev_applicable else-branch), so
-        # distributed-vs-serial equality holds to rounding.
+        # distributed-vs-serial equality holds to rounding. perm/bmask
+        # are ARGUMENTS (O(N) closure constants become compile payload,
+        # CLAUDE.md); the pattern's term index grids remain embedded —
+        # inherent to the canvas extraction, shared with the serial
+        # path, and bounded by the assembly ceiling (~1025^2).
         from airpollution_tpu.ops import sparse
         from airpollution_tpu.ops.pallas_solver import coeff_canvases
 
         coeffs = stencil_mod.extract_coefficients(
             pattern, ops.system.vals
         )
-        bmask_fam = jnp.asarray(md.boundary_mask)[perm]
+        bmask_fam = bmask[perm]
         mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
         inv_diag_fam = 1.0 / ops.system_diag[perm]
         stack = jnp.stack(
@@ -673,7 +670,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             )
         if cache["ops"] is not ops:
             cache["ops"] = ops
-            cache["prepared"] = _operand_fn(ops, u0)
+            cache["prepared"] = _operand_fn(ops, u0, perm, aux[3])
         stack, bpack = cache["prepared"]
         return jitted(u0, aux, stack, bpack)
 

@@ -528,10 +528,20 @@ class TurningWindProblem(AdDifProblem):
                           jnp.broadcast_to(vy, shape)], axis=-1)
 
     def _displacement(self, t):
-        ph0, w = self.phi0, self.omega_t
+        # X(t) = integral v dt, with the omega_t -> 0 limit handled (a
+        # straight-line wind is the natural sanity configuration, and
+        # omega_t may be a TRACED pytree leaf, so this must be a where,
+        # not a Python branch; the safe denominator keeps the discarded
+        # branch NaN-free).
+        t = jnp.asarray(t)
+        ph0, w = self.phi0, jnp.asarray(self.omega_t)
+        safe_w = jnp.where(w == 0, 1.0, w)
         ph = ph0 + w * t
-        return ((jnp.sin(ph) - jnp.sin(ph0)) * self.speed / w,
-                (jnp.cos(ph0) - jnp.cos(ph)) * self.speed / w)
+        Xc = (jnp.sin(ph) - jnp.sin(ph0)) * self.speed / safe_w
+        Yc = (jnp.cos(ph0) - jnp.cos(ph)) * self.speed / safe_w
+        X0 = self.speed * t * jnp.cos(ph0)
+        Y0 = self.speed * t * jnp.sin(ph0)
+        return (jnp.where(w == 0, X0, Xc), jnp.where(w == 0, Y0, Yc))
 
     def analytical_solution(self, xyt):
         xyt = jnp.asarray(xyt)

@@ -213,3 +213,34 @@ def test_combined_space_time_varying_wind():
     frozen, chunked = rel(63), rel(3)
     assert chunked < 0.6 * frozen, (frozen, chunked)
     assert chunked < 0.5, (frozen, chunked)
+
+
+def test_final_state_mode_matches_trajectory():
+    """store_solutions=False returns exactly the trajectory's last row
+    (the full (nt, n) array is the memory bill at large nt, not the
+    solve)."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.1)
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    full = solve_time_varying(p, md, reassemble_every=3, tol=1e-11,
+                              maxiter=400)
+    last = solve_time_varying(p, md, reassemble_every=3, tol=1e-11,
+                              maxiter=400, store_solutions=False)
+    assert last.shape == (1, md.number_of_segments)
+    np.testing.assert_allclose(np.asarray(last[0]),
+                               np.asarray(full[-1]), atol=1e-12)
+
+
+def test_turning_wind_zero_rate_limit():
+    """omega_t=0 must reduce to the straight-line plume, not NaN (the
+    displacement has a removable singularity; omega_t may be traced)."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.0, phi0=0.5, D=0.1)
+    xy = jnp.asarray([[1.0, 2.0], [0.0, 0.0]], jnp.float64)
+    ic = np.asarray(p.initial_condition_fn(xy))
+    assert np.isfinite(ic).all()
+    ref = Problem(v=(np.cos(0.5), np.sin(0.5)), D=0.1)
+    xyt = jnp.asarray([[1.0, 2.0, 4.0], [3.0, -1.0, 7.0]], jnp.float64)
+    np.testing.assert_allclose(np.asarray(p.analytical_solution(xyt)),
+                               np.asarray(ref.analytical_solution(xyt)),
+                               rtol=1e-12)
