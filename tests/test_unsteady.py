@@ -244,3 +244,24 @@ def test_turning_wind_zero_rate_limit():
     np.testing.assert_allclose(np.asarray(p.analytical_solution(xyt)),
                                np.asarray(ref.analytical_solution(xyt)),
                                rtol=1e-12)
+
+
+def test_pinn_trains_on_time_varying_wind():
+    """The PINN consumes time-varying problems directly (the residual
+    samples v(x, y, t) at each collocation point's own t — no chunking
+    needed on the mesh-free side): loss decreases and errors are
+    finite."""
+    from airpollution_tpu.models.pinn import PINN
+
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.1)
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    model = PINN([3, 12, 12, 1], p, domain, activation="tanh", seed=0)
+    hist = model.train({"pde": 128, "ic": 32, "bc": 32}, epochs=300,
+                       lr=2e-3,
+                       lambda_weights={"pde": 2.0, "ic": 10.0,
+                                       "bc": 10.0})
+    tl = np.asarray(hist["total_loss"])
+    assert tl[-1] < 0.5 * tl[0], (tl[0], tl[-1])
+    rel, _, _ = model.compute_errors(md, p.analytical_solution)
+    assert np.isfinite(rel)
