@@ -76,6 +76,7 @@ def _solve_time_varying(args, domain, problem, md):
     from airpollution_tpu.io.checkpoint import save_field
     from airpollution_tpu.models.unsteady import solve_time_varying
 
+    impl = ("fused_hbm" if args.matvec_impl == "fused_hbm" else "scan")
     t0 = time.time()
     sols = solve_time_varying(
         problem, md, reassemble_every=args.reassemble_every,
@@ -83,7 +84,7 @@ def _solve_time_varying(args, domain, problem, md):
         stiffness_convention=args.stiffness_convention,
         extrapolate_warm_start=args.extrapolate,
         solver=args.solver_method, chebyshev_iters=args.chebyshev_iters,
-        store_solutions=bool(args.save_all),
+        store_solutions=bool(args.save_all), matvec_impl=impl,
     )
     sols.block_until_ready()
     solve_t = time.time() - t0

@@ -41,6 +41,70 @@ _CHUNK_CACHE: dict = {}
 _CHUNK_CACHE_MAX = 8
 
 
+def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
+                 source_quadrature, interpret):
+    """Chunk body on the CANVAS stripe kernel: assemble at the chunk
+    midpoint, extract the per-DOF coefficient stack, re-estimate the
+    Chebyshev interval (the operator changes with the wind), run the
+    whole chunk fused. Same (out_rows, u_next) contract as the scan
+    chunk; out is the boundary-lifted final row."""
+    from functools import partial
+
+    import jax
+
+    from airpollution_tpu.mesh.data import structured_grid
+    from airpollution_tpu.ops import linalg, pallas_hbm
+    from airpollution_tpu.ops import stencil as stencil_mod
+
+    if getattr(md, "structured_n", None) is None:
+        raise ValueError("fused chunks need a structured mesh")
+    pattern = stencil_mod.get_pattern(md)
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    bmask = md.boundary_mask
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    use_ka = order == 2
+
+    def chunk(u0_c, t0_c, prob):
+        sourced = not getattr(prob, "zero_source", False)
+        ops = assemble(md, prob, dt, order, convention,
+                       coeff_time=t0_c + 0.5 * k * dt)
+        coeffs = stencil_mod.extract_coefficients(
+            pattern, ops.system.vals
+        )
+        bmask_fam = bmask[perm]
+        mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
+        inv_diag_fam = 1.0 / ops.system_diag[perm]
+        matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
+        bounds = linalg.power_bounds(
+            matvec, jnp.zeros_like(mass_fam),
+            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+        )
+        src_kw = {}
+        if sourced:
+            src_kw = dict(
+                source_fn=prob.source_xy,
+                source_steady=bool(getattr(prob, "steady_source",
+                                           False)),
+                source_lumped=source_quadrature == "mass_lumped",
+                grid=structured_grid(md), dt=dt, t0=t0_c,
+            )
+        u_fam = pallas_hbm.fused_solve_canvas_hbm(
+            pattern, coeffs, mass_fam, inv_diag_fam, u0_c[perm],
+            n_steps=k, n_iters=iters, bounds=bounds, use_ka=use_ka,
+            extrapolate=extrapolate, interpret=interpret, **src_kw,
+        )
+        u_hom = u_fam[inv]
+        t_end = jnp.asarray(t0_c + k * dt, u_hom.dtype)
+        t_col = jnp.broadcast_to(t_end, (md.midpoints.shape[0],))[:, None]
+        xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
+        lift = jnp.where(bmask, prob.boundary_fn(xyt), 0.0)
+        return (u_hom + lift)[None, :], u_hom
+
+    return chunk
+
+
 def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                        time_scheme_order: int = 1,
                        stiffness_convention: str = "correct",
@@ -49,7 +113,9 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                        extrapolate_warm_start: bool = False,
                        differentiable: bool = False,
                        source_quadrature: str = "mass_lumped",
-                       store_solutions: bool = True):
+                       store_solutions: bool = True,
+                       matvec_impl: str = "scan",
+                       fused_interpret: bool | None = None):
     """Solve a ``time_varying`` problem; returns the (nt, n) trajectory
     with CRBESolver.solve(store_solutions=True) row semantics (row 0 =
     full IC, later rows boundary-lifted at their own time), or the
@@ -60,6 +126,15 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     ``reassemble_every`` must divide nt-1; the wind/diffusion hooks are
     sampled at each chunk's midpoint time. ``reassemble_every = nt - 1``
     is the frozen-wind limit (one assembly at T/2).
+
+    ``matvec_impl="fused_hbm"`` runs each chunk through the CANVAS
+    stripe kernel (ops/pallas_hbm.fused_solve_canvas_hbm — the per-DOF
+    coefficient stack is rebuilt per chunk inside one jitted program),
+    i.e. the large-mesh fused engine with a wind that changes every
+    chunk: Chebyshev iterations (``chebyshev_iters``), final-state-only
+    (``store_solutions=False``), not differentiable. The spectral
+    interval is re-estimated per chunk (the operator changes with the
+    wind).
     """
     md = mesh_data
     n_steps = md.nt - 1
@@ -72,38 +147,53 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
             "solve_time_varying is for problem.time_varying=True; "
             "steady problems belong to CRBESolver"
         )
+    if matvec_impl not in ("scan", "fused_hbm"):
+        raise ValueError(f"unknown matvec_impl {matvec_impl!r}")
+    fused = matvec_impl == "fused_hbm"
+    if fused and (store_solutions or differentiable):
+        raise ValueError(
+            "the fused chunk path is final-state-only and not "
+            "differentiable — use matvec_impl='scan' for trajectories "
+            "or adjoints"
+        )
     n_chunks = n_steps // k
     dt = float(md.domain.T) / n_steps
     view = SimpleNamespace(midpoints=md.midpoints,
                            boundary_mask=md.boundary_mask, nt=k + 1)
     bmask = md.boundary_mask
 
-    def chunk(u0_c, t0_c, prob):
-        # Operator frozen at the chunk midpoint (quasi-static; the O(k
-        # dt)^2 midpoint sampling matches CN's order).
-        ops = assemble(md, prob, dt, time_scheme_order,
-                       stiffness_convention,
-                       coeff_time=t0_c + 0.5 * k * dt)
-        sols, _ = run_time_loop(
-            ops, u0_c, mesh_data=view, problem=prob, dt=dt,
-            order=time_scheme_order, tol=tol, maxiter=maxiter,
-            store_solutions=store_solutions, t0=t0_c,
-            differentiable=differentiable,
-            extrapolate_warm_start=extrapolate_warm_start,
-            solver=solver, chebyshev_iters=chebyshev_iters,
-            source_quadrature=source_quadrature,
-        )
-        # Stored rows are boundary-lifted (and store_solutions=False
-        # returns the lifted final row); the homogeneous carry has zero
-        # Dirichlet rows, so stripping the lift is exact.
-        u_next = jnp.where(bmask, 0.0, sols[-1])
-        return (sols[1:] if store_solutions else sols[-1:]), u_next
+    if fused:
+        chunk = _fused_chunk(md, dt, k, time_scheme_order,
+                             stiffness_convention, chebyshev_iters,
+                             extrapolate_warm_start, source_quadrature,
+                             fused_interpret)
+    else:
+        def chunk(u0_c, t0_c, prob):
+            # Operator frozen at the chunk midpoint (quasi-static; the
+            # O(k dt)^2 midpoint sampling matches CN's order).
+            ops = assemble(md, prob, dt, time_scheme_order,
+                           stiffness_convention,
+                           coeff_time=t0_c + 0.5 * k * dt)
+            sols, _ = run_time_loop(
+                ops, u0_c, mesh_data=view, problem=prob, dt=dt,
+                order=time_scheme_order, tol=tol, maxiter=maxiter,
+                store_solutions=store_solutions, t0=t0_c,
+                differentiable=differentiable,
+                extrapolate_warm_start=extrapolate_warm_start,
+                solver=solver, chebyshev_iters=chebyshev_iters,
+                source_quadrature=source_quadrature,
+            )
+            # Stored rows are boundary-lifted (and store_solutions=False
+            # returns the lifted final row); the homogeneous carry has
+            # zero Dirichlet rows, so stripping the lift is exact.
+            u_next = jnp.where(bmask, 0.0, sols[-1])
+            return (sols[1:] if store_solutions else sols[-1:]), u_next
 
     cache_key = (id(md), type(problem), k, time_scheme_order,
                  stiffness_convention, float(tol), int(maxiter), solver,
                  int(chebyshev_iters), bool(extrapolate_warm_start),
                  bool(differentiable), source_quadrature,
-                 bool(store_solutions))
+                 bool(store_solutions), matvec_impl)
     if cache_key in _CHUNK_CACHE:
         chunk_fn = _CHUNK_CACHE[cache_key]
     else:

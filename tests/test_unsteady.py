@@ -265,3 +265,39 @@ def test_pinn_trains_on_time_varying_wind():
     assert tl[-1] < 0.5 * tl[0], (tl[0], tl[-1])
     rel, _, _ = model.compute_errors(md, p.analytical_solution)
     assert np.isfinite(rel)
+
+
+@pytest.mark.kernels
+def test_fused_chunks_match_scan_chunks():
+    """matvec_impl='fused_hbm' chunks (canvas stripe kernel, per-chunk
+    coefficient stacks and re-estimated Chebyshev interval) reproduce
+    the scan-Chebyshev chunks at the same iteration count."""
+    # |v| = speed everywhere (the rotation oracles hit dt|v|/h >> 1 at
+    # the corners on this coarse grid and Chebyshev legitimately
+    # diverges on BOTH sides — not an equality test).
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.3)
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    kw = dict(reassemble_every=4, time_scheme_order=2,
+              chebyshev_iters=8, extrapolate_warm_start=True,
+              store_solutions=False)
+    ref = solve_time_varying(p, md, solver="chebyshev", **kw)
+    got = solve_time_varying(p, md, matvec_impl="fused_hbm",
+                             fused_interpret=True, **kw)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-4
+    # Both sides run identical fixed-k Chebyshev chunks, but estimate
+    # the spectral interval with different matvec layouts (scan: ELL in
+    # original layout; fused: stencil in family layout) — same
+    # 1e-6-relative bounds wobble as the steady canvas tests.
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
+
+
+def test_fused_chunks_reject_trajectory_and_adjoint():
+    p = TurningWindProblem()
+    domain = Domain()
+    md = MeshData(create_mesh(8, 20.0), domain, nt=5, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="final-state-only"):
+        solve_time_varying(p, md, reassemble_every=2,
+                           matvec_impl="fused_hbm")
