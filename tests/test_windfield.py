@@ -317,3 +317,21 @@ def test_pinn_accepts_variable_wind_problem():
     pts = _f64([[4.0, 1.0, 2.0], [-2.0, 5.0, 7.0]])
     res = model.compute_pde_residual(pts)
     assert np.isfinite(np.asarray(res)).all()
+
+
+def test_variable_wind_on_unstructured_mesh():
+    """Centroid sampling is mesh-agnostic: the ELL path converges to the
+    rotating-plume closed form on jittered-Delaunay unstructured meshes
+    too (the structured-only fast paths are not involved)."""
+    from airpollution_tpu.mesh import create_unstructured_mesh
+
+    domain, p = Domain(), RotatingPlumeProblem()
+    errs = []
+    for ms in (8, 16):
+        mesh = create_unstructured_mesh(ms, 20.0, seed=0)
+        md = MeshData(mesh, domain, nt=64, dtype=jnp.float64)
+        s = CRBESolver(domain, p, md, solver_tol=1e-11,
+                       solver_maxiter=800)
+        s.solve()
+        errs.append(s.compute_errors(p.analytical_solution)[0])
+    assert errs[1] < 0.55 * errs[0], errs
