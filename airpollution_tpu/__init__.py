@@ -25,6 +25,7 @@ from airpollution_tpu.problems import (
     AnisotropicPlumeProblem,
     Domain,
     GaussianSourceProblem,
+    MultiSpeciesProblem,
     Problem,
     RotatingPlumeProblem,
     SquarePulseProblem,
@@ -39,6 +40,7 @@ __all__ = [
     "AnisotropicPlumeProblem",
     "Domain",
     "GaussianSourceProblem",
+    "MultiSpeciesProblem",
     "Problem",
     "RotatingPlumeProblem",
     "SquarePulseProblem",

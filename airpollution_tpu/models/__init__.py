@@ -8,6 +8,10 @@ from airpollution_tpu.models.crbe import (
     local_matrices,
     run_time_loop,
 )
+from airpollution_tpu.models.multispecies import (
+    MultiSpeciesSolver,
+    run_multispecies_loop,
+)
 from airpollution_tpu.models.pinn import (
     PINN,
     EarlyStopping,
@@ -19,6 +23,7 @@ from airpollution_tpu.models.pinn import (
 __all__ = [
     "BESCRFEM", "CRBESolver", "ElementCR", "assemble", "local_matrices",
     "run_time_loop",
+    "MultiSpeciesSolver", "run_multispecies_loop",
     "PINN", "EarlyStopping", "count_parameters", "init_mlp_params",
     "mlp_apply",
 ]

@@ -1,0 +1,323 @@
+"""Multi-species advection-diffusion with coupled linear chemistry.
+
+The reference evolves exactly one scalar field (crbe.py:225-482) and its
+``reaction`` hook here is a scalar decay folded into the operator
+(models/crbe.assemble). Real air-quality runs carry several coupled
+species — decay chains, scavenging, linearized NOx/O3-style mechanisms —
+i.e. a (K, K) chemistry matrix R in
+
+    dt c_k + v_k . grad c_k - D_k lap c_k + (R c)_k = s_k.
+
+This module solves that system by Strang chemistry-transport splitting,
+the standard CTM construction, mapped TPU-first:
+
+    c^{n+1} = E_h T_dt E_h c^n,     E_h = expm(-R dt/2)
+
+- **Chemistry is exact**: the matrix exponential of the mechanism is
+  computed ONCE per solve (jax.scipy.linalg.expm of a tiny (K, K)
+  matrix) and each half-step is a single (K, K) x (K, N) matmul over all
+  DOFs — MXU work with no stiffness constraint, even for mechanisms far
+  stiffer than the transport dt.
+- **Transport reuses the implicit CR step** (models/crbe.run_time_loop
+  semantics: fixed masked operator, warm-started Jacobi-BiCGStab or
+  reduction-free Chebyshev), vmapped over the species axis. When every
+  species shares (v, D) one assembled operator serves all K solves;
+  otherwise the per-species ELL operators are tree-stacked and the
+  Krylov solve vmaps over (operator, rhs) pairs.
+- **Accuracy**: the splitting is second order in dt, so with
+  Crank-Nicolson transport (time_scheme_order=2) the scheme is O(dt^2)
+  overall; with Backward Euler the O(dt) transport error dominates.
+  When transport and chemistry commute (shared v, D) the splitting is
+  EXACT in the chemistry direction: E_h^(2(nt-1)) telescopes to
+  expm(-R T) with no splitting error at all, which is what the
+  expm-mixture oracle (problems.MultiSpeciesProblem.analytical_solution)
+  tests.
+
+Boundary semantics mirror the single-species loop (reference defect D7,
+deliberately preserved): the scan evolves the homogeneous variable and
+the Dirichlet lift is added only to stored snapshots (crbe.py:429).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import expm
+
+from airpollution_tpu.models.crbe import GlobalOperators, assemble
+from airpollution_tpu.ops import linalg, sparse
+
+__all__ = ["MultiSpeciesSolver", "run_multispecies_loop", "stack_operators"]
+
+
+def stack_operators(ops_list) -> GlobalOperators:
+    """Stack per-species GlobalOperators along a new leading species axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *ops_list)
+
+
+def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
+                          dt, order, tol, maxiter, store_solutions=True,
+                          solver="bicgstab", chebyshev_iters=8,
+                          source_quadrature="mass_lumped", t0=0.0):
+    """Strang-split multi-species time loop as a pure traceable function.
+
+    ``ops`` either has the single-species shapes (shared transport: one
+    operator serves every species) or a leading species axis on every
+    leaf (per-species operators, see :func:`stack_operators`). ``C0`` is
+    the (K, N) initial state. Returns ``(solutions, None)`` with
+    solutions shaped (nt, K, N) (or (1, K, N) for final-state-only),
+    mirroring models/crbe.run_time_loop.
+    """
+    md = mesh_data
+    midpoints = md.midpoints
+    bmask = md.boundary_mask
+    nt = md.nt
+    K, _ = C0.shape
+    stacked = ops.mass_diag.ndim == 2
+    if solver not in ("bicgstab", "chebyshev"):
+        raise ValueError(f"unknown solver {solver!r}")
+    if source_quadrature not in ("mass_lumped", "reference"):
+        raise ValueError(f"unknown source_quadrature {source_quadrature!r}")
+
+    R = jnp.asarray(problem.R, dtype=C0.dtype)
+    E_half = expm(-(0.5 * dt) * R)
+
+    # (K, N)-broadcastable operator diagonals; matvecs over the stack.
+    mass = ops.mass_diag if stacked else ops.mass_diag[None, :]
+    sys_diag = ops.system_diag if stacked else ops.system_diag[None, :]
+
+    if stacked:
+        def sys_mv(X):
+            return jax.vmap(sparse.ell_matvec)(ops.system, X)
+
+        def ka_mv(X):
+            return jax.vmap(sparse.ell_matvec)(ops.ka, X)
+    else:
+        def sys_mv(X):
+            return jax.vmap(partial(sparse.ell_matvec, ops.system))(X)
+
+        def ka_mv(X):
+            return jax.vmap(partial(sparse.ell_matvec, ops.ka))(X)
+
+    if solver == "chebyshev":
+        # Per-species spectral interval of the Jacobi-preconditioned
+        # operator, hoisted out of the scan (one unrolled python loop —
+        # K is small and static).
+        def one_bounds(k):
+            ops_k = jax.tree.map(lambda a: a[k], ops) if stacked else ops
+            mv = partial(sparse.ell_matvec, ops_k.system)
+            return linalg.power_bounds(
+                mv, jnp.zeros_like(C0[0]),
+                scale=1.0 / jnp.sqrt(ops_k.system_diag),
+            )
+        bounds = [one_bounds(k) for k in range(K)]
+        if not stacked:
+            bounds = bounds[:1] * K
+        los = jnp.stack([b[0] for b in bounds])
+        his = jnp.stack([b[1] for b in bounds])
+
+        def solveK(B, X0):
+            def one(sys, diag, b, x0, lo, hi):
+                return linalg.chebyshev(
+                    partial(sparse.ell_matvec, sys), b, x0=x0,
+                    bounds=(lo, hi), iters=chebyshev_iters,
+                    precond=linalg.jacobi_preconditioner(diag),
+                ).x
+            if stacked:
+                return jax.vmap(one)(
+                    ops.system, ops.system_diag, B, X0, los, his
+                )
+            return jax.vmap(
+                lambda b, x0, lo, hi: one(
+                    ops.system, ops.system_diag, b, x0, lo, hi
+                )
+            )(B, X0, los, his)
+    else:
+        def solveK(B, X0):
+            def one(sys, diag, b, x0):
+                return linalg.bicgstab(
+                    partial(sparse.ell_matvec, sys), b, x0=x0,
+                    tol=tol, maxiter=maxiter,
+                    precond=linalg.jacobi_preconditioner(diag),
+                ).x
+            if stacked:
+                return jax.vmap(one)(ops.system, ops.system_diag, B, X0)
+            return jax.vmap(
+                lambda b, x0: one(ops.system, ops.system_diag, b, x0)
+            )(B, X0)
+
+    zero_source = getattr(problem, "zero_source", False)
+
+    def rhs(U, t):
+        if order == 1:
+            B = mass * U
+        else:
+            B = mass * U - (0.5 * dt) * ka_mv(U)
+        if not zero_source:
+            if source_quadrature == "reference":
+                # Reference defect D10 parity switch (crbe.py:391-394).
+                B = B + dt * problem.sources(midpoints, t)
+            else:
+                if order == 1:
+                    s = problem.sources(midpoints, t)
+                else:
+                    s = 0.5 * (problem.sources(midpoints, t)
+                               + problem.sources(midpoints, t - dt))
+                B = B + dt * mass * s
+        return jnp.where(bmask[None, :], 0.0, B)
+
+    def lift(t):
+        return jnp.where(
+            bmask[None, :], problem.boundary_values(midpoints, t), 0.0
+        )
+
+    def step(carry, t):
+        C, _ = carry
+        # Chemistry half-step (exact), then implicit transport, then the
+        # second chemistry half-step. Keeping both half-steps inside the
+        # step (instead of merging interior pairs) costs two tiny (K, K)
+        # matmuls per step and makes every stored snapshot a true
+        # integer-step state.
+        Ch = E_half @ C
+        B = rhs(Ch, t)
+        X0 = jnp.where(bmask[None, :], 0.0, Ch)
+        U = solveK(B, X0)
+        C_new = E_half @ U
+        out = (C_new + lift(t)) if store_solutions else None
+        return (C_new, C), out
+
+    ts = jnp.asarray(t0, C0.dtype) + dt * jnp.arange(1, nt, dtype=C0.dtype)
+    (C_final, _), snaps = jax.lax.scan(step, (C0, C0), ts)
+    if store_solutions:
+        solutions = jnp.concatenate([C0[None], snaps], axis=0)
+    else:
+        t_final = t0 + dt * (nt - 1)
+        solutions = (C_final + lift(t_final))[None]
+    return solutions, None
+
+
+class MultiSpeciesSolver:
+    """K-species CRBE solver with Strang-split linear chemistry.
+
+    Same surface shape as :class:`airpollution_tpu.models.crbe.CRBESolver`
+    (constructor, ``solve()`` -> solutions array, ``compute_errors()``)
+    with a species axis: ``solve()`` returns (nt, K, n_seg). ``problem``
+    is a :class:`airpollution_tpu.problems.MultiSpeciesProblem`.
+    """
+
+    def __init__(self, domain, problem, mesh_data, time_scheme_order=1, *,
+                 solver_tol: float = 1e-7, solver_maxiter: int = 200,
+                 stiffness_convention: str = "correct",
+                 solver_method: str = "bicgstab", chebyshev_iters: int = 8,
+                 source_quadrature: str = "mass_lumped"):
+        if time_scheme_order not in (1, 2):
+            raise ValueError(
+                f"Order {time_scheme_order} numerical scheme not implemented"
+            )
+        if solver_method not in ("bicgstab", "chebyshev"):
+            raise ValueError(f"unknown solver_method {solver_method}")
+        self.domain = domain
+        self.problem = problem
+        self.mesh_data = mesh_data
+        self.dt = domain.T / (mesh_data.nt - 1)
+        self.time_scheme_order = time_scheme_order
+        self.solver_tol = solver_tol
+        self.solver_maxiter = solver_maxiter
+        self.stiffness_convention = stiffness_convention
+        self.solver_method = solver_method
+        self.chebyshev_iters = chebyshev_iters
+        self.source_quadrature = source_quadrature
+        self.solutions = None
+        self.solve_time = None
+        self._ops: Optional[GlobalOperators] = None
+        self._solve_fn_cache = {}
+
+    def build_global_matrices(self) -> GlobalOperators:
+        """Assemble the transport operator(s): one when (v, D) is shared
+        across species, a species-stacked set otherwise. Chemistry never
+        enters the operator (species problems have reaction=0 by
+        construction) — it lives entirely in the split exponential."""
+        p = self.problem
+        if p.shared_transport:
+            self._ops = assemble(
+                self.mesh_data, p.species[0], self.dt,
+                self.time_scheme_order, self.stiffness_convention,
+            )
+        else:
+            self._ops = stack_operators([
+                assemble(self.mesh_data, sp, self.dt,
+                         self.time_scheme_order, self.stiffness_convention)
+                for sp in p.species
+            ])
+        self._solve_fn_cache.clear()
+        return self._ops
+
+    def _require_ops(self) -> GlobalOperators:
+        if self._ops is None:
+            self.build_global_matrices()
+        return self._ops
+
+    def set_initial_condition(self):
+        return self.problem.initial_conditions(self.mesh_data.midpoints)
+
+    def _build_solve_fn(self, store_solutions: bool):
+        def solve_impl(ops, C0):
+            return run_multispecies_loop(
+                ops, C0,
+                mesh_data=self.mesh_data, problem=self.problem,
+                dt=self.dt, order=self.time_scheme_order,
+                tol=self.solver_tol, maxiter=self.solver_maxiter,
+                store_solutions=store_solutions,
+                solver=self.solver_method,
+                chebyshev_iters=self.chebyshev_iters,
+                source_quadrature=self.source_quadrature,
+            )[0]
+        return jax.jit(solve_impl)
+
+    def solve(self, store_solutions: bool = True):
+        import time
+
+        ops = self._require_ops()
+        key = (store_solutions,)
+        fn = self._solve_fn_cache.get(key)
+        if fn is None:
+            fn = self._solve_fn_cache[key] = self._build_solve_fn(
+                store_solutions
+            )
+        C0 = self.set_initial_condition()
+        t_start = time.time()
+        self.solutions = jax.block_until_ready(fn(ops, C0))
+        self.solve_time = time.time() - t_start
+        return self.solutions
+
+    def compute_errors(self):
+        """Per-species and aggregate error metrics at t=T vs the oracle.
+
+        Same unweighted vector norms as the single-species paths
+        (crbe.py:447-453) applied per species, plus the aggregate over
+        the flattened (K, N) state. Requires the expm-mixture oracle
+        (problem.has_analytical)."""
+        if self.solutions is None:
+            raise ValueError("call solve() first")
+        md = self.mesh_data
+        C = self.solutions[-1]  # (K, N)
+        C_ex = self.problem.analytical_solution(md.midpoints, self.domain.T)
+        C_ex = C_ex.astype(C.dtype)
+        err = C - C_ex
+
+        def norms(e, ex):
+            l2 = jnp.linalg.norm(e)
+            return {
+                "max_error": float(jnp.max(jnp.abs(e))),
+                "l2_error": float(l2),
+                "rel_l2_error": float(l2 / jnp.linalg.norm(ex)),
+            }
+
+        per_species = [norms(err[k], C_ex[k])
+                       for k in range(self.problem.n_species)]
+        total = norms(err.reshape(-1), C_ex.reshape(-1))
+        total["per_species"] = per_species
+        return total

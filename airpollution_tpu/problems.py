@@ -569,6 +569,133 @@ class TurningWindProblem(AdDifProblem):
         return jnp.zeros_like(xyt[..., 0])
 
 
+class MultiSpeciesProblem:
+    """K coupled species over one transport field with linear chemistry:
+
+        dt c_k + v_k . grad c_k - D_k lap c_k + sum_j R[k, j] c_j = s_k
+
+    The off-diagonal coupling matrix ``R`` ((K, K), rows = target-species
+    equations — a decay chain, scavenging, or a linearized NOx/O3-style
+    mechanism) is what the single-species ``reaction`` scalar cannot
+    express. This is a CONTAINER, not an :class:`AdDifProblem`: each
+    wrapped per-species problem supplies IC/BC/source and the transport
+    coefficients; their own ``reaction`` must be zero (all chemistry
+    lives in ``R``). Solved by
+    :class:`airpollution_tpu.models.multispecies.MultiSpeciesSolver`
+    via Strang chemistry-transport splitting. Nothing in the reference
+    supports more than one species (crbe.py:225-482 evolves exactly one
+    scalar field).
+
+    Closed-form oracle: when every species shares (v, D), the transport
+    operator commutes with the chemistry matrix, so
+
+        c(x, t) = expm(-R t) @ [phi_1(x, t), ..., phi_K(x, t)]
+
+    with ``phi_j`` the UNCOUPLED transport solution of species j's
+    problem — available whenever each wrapped problem carries an
+    ``analytical_solution`` (e.g. Gaussian plumes with distinct centers).
+    """
+
+    def __init__(self, species, R):
+        self.species = tuple(species)
+        if len(self.species) < 1:
+            raise ValueError("need at least one species problem")
+        for k, p in enumerate(self.species):
+            r = getattr(p, "reaction", 0.0)
+            if not (isinstance(r, (int, float)) and r == 0.0):
+                raise ValueError(
+                    f"species {k} has reaction={r!r}; per-species decay "
+                    "belongs on the diagonal of R (set reaction=0)"
+                )
+            if getattr(p, "time_varying", False) or getattr(
+                    p, "variable_coefficients", False):
+                raise ValueError(
+                    "multi-species solves support constant-coefficient "
+                    f"species problems only (species {k} is variable/"
+                    "time-varying)"
+                )
+        K = len(self.species)
+        self.R = jnp.asarray(R, dtype=jnp.result_type(float))
+        if self.R.shape != (K, K):
+            raise ValueError(
+                f"R must be ({K}, {K}) for {K} species, got {self.R.shape}"
+            )
+
+    @property
+    def n_species(self):
+        return len(self.species)
+
+    @property
+    def zero_source(self):
+        return all(getattr(p, "zero_source", False) for p in self.species)
+
+    @property
+    def shared_transport(self):
+        """True when all species share (v, D) — one assembled operator."""
+        import numpy as np
+
+        p0 = self.species[0]
+        return all(
+            np.allclose(np.asarray(p.v), np.asarray(p0.v))
+            and np.allclose(np.asarray(p.D), np.asarray(p0.D))
+            for p in self.species[1:]
+        )
+
+    @property
+    def has_analytical(self):
+        """True when the expm-mixture oracle applies (see class docstring)."""
+        return self.shared_transport and all(
+            hasattr(p, "analytical_solution") for p in self.species
+        )
+
+    # --- stacked per-species evaluations (K along axis 0) ---
+
+    def initial_conditions(self, xy):
+        """(K, N) initial concentrations at points ``xy`` of shape (N, 2)."""
+        xy = jnp.asarray(xy)
+        return jnp.stack([p.initial_condition_fn(xy) for p in self.species])
+
+    def _xyt(self, xy, t):
+        xy = jnp.asarray(xy)
+        t_col = jnp.full(xy.shape[:-1] + (1,), t, dtype=xy.dtype)
+        return jnp.concatenate([xy, t_col], axis=-1)
+
+    def boundary_values(self, xy, t):
+        """(K, N) Dirichlet values at scalar time ``t``.
+
+        The coupled system's true boundary data is the chemistry mixture
+        of the per-species transport boundary values — when the oracle
+        applies this IS ``analytical_solution``; otherwise the wrapped
+        problems' own ``boundary_fn`` values are stacked (exact for the
+        homogeneous-BC problems of the reference family)."""
+        if self.has_analytical:
+            return self.analytical_solution(xy, t)
+        xyt = self._xyt(xy, t)
+        return jnp.stack([p.boundary_fn(xyt) for p in self.species])
+
+    def sources(self, xy, t):
+        """(K, N) source terms at scalar time ``t``."""
+        xyt = self._xyt(xy, t)
+        return jnp.stack([p.source_term(xyt) for p in self.species])
+
+    def analytical_solution(self, xy, t):
+        """(K, N) exact coupled solution at scalar time ``t`` (oracle).
+
+        ``expm(-R t)`` applied across the stack of uncoupled transport
+        solutions; requires :attr:`has_analytical`."""
+        if not self.has_analytical:
+            raise ValueError(
+                "the expm-mixture oracle needs shared (v, D) and "
+                "analytical per-species problems"
+            )
+        from jax.scipy.linalg import expm
+
+        xyt = self._xyt(xy, t)
+        phi = jnp.stack([p.analytical_solution(xyt) for p in self.species])
+        E = expm(-jnp.asarray(t, self.R.dtype) * self.R)
+        return jnp.einsum("kj,jn->kn", E.astype(phi.dtype), phi)
+
+
 _register_problem_pytree(Problem, ("v", "D", "sigma", "reaction"))
 _register_problem_pytree(
     TurningWindProblem,

@@ -1,0 +1,168 @@
+"""Multi-species coupled-chemistry solves (models/multispecies).
+
+Beyond the reference: crbe.py:225-482 evolves exactly one scalar field.
+Oracles used here:
+- R = 0 collapses the Strang step to the single-species implicit step,
+  so the multi-species solver must reproduce CRBESolver's ELL path to
+  solver tolerance (shared-operator AND stacked per-species paths).
+- With zero transport (v=0, D=0) the split is the exact matrix
+  exponential: solutions == expm(-R t) @ C0.
+- With shared (v, D), chemistry commutes with transport and the coupled
+  solution is expm(-R t) applied across the uncoupled plumes
+  (problems.MultiSpeciesProblem.analytical_solution) — checked under
+  mesh refinement.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.models.multispecies import MultiSpeciesSolver
+from airpollution_tpu.problems import (
+    Domain,
+    GaussianSourceProblem,
+    MultiSpeciesProblem,
+    Problem,
+)
+
+
+def _mesh(ms, domain, nt):
+    return MeshData(create_mesh(ms, domain.Lx), domain, nt=nt,
+                    dtype=jnp.float64)
+
+
+def test_validation_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="reaction"):
+        MultiSpeciesProblem([Problem(reaction=0.3)], [[0.0]])
+    with pytest.raises(ValueError, match="R must be"):
+        MultiSpeciesProblem([Problem(), Problem(sigma=2.0)], [[1.0]])
+
+
+def test_R_zero_matches_single_species_shared_operator():
+    """R = 0, shared (v, D): every species must match its own
+    single-species CRBESolver ELL solve (identical rhs, warm start and
+    Krylov parameters)."""
+    domain = Domain(T=2.0)
+    species = (Problem(sigma=1.0), Problem(sigma=2.0))
+    msp = MultiSpeciesProblem(species, np.zeros((2, 2)))
+    assert msp.shared_transport and msp.has_analytical
+
+    md = _mesh(12, domain, nt=17)
+    solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2)
+    sols = solver.solve()
+    assert sols.shape == (17, 2, md.number_of_segments)
+
+    for k, sp in enumerate(species):
+        ref = CRBESolver(domain, sp, md, time_scheme_order=2,
+                         matvec_impl="ell")
+        ref_sols = ref.solve()
+        np.testing.assert_allclose(
+            np.asarray(sols[:, k, :]), np.asarray(ref_sols), atol=1e-10
+        )
+
+
+def test_R_zero_matches_single_species_stacked_operators():
+    """Per-species D forces the stacked-operator path; with R = 0 each
+    species again matches its independent single-species solve."""
+    domain = Domain(T=2.0)
+    species = (Problem(D=0.1), Problem(D=0.02, sigma=1.5))
+    msp = MultiSpeciesProblem(species, np.zeros((2, 2)))
+    assert not msp.shared_transport
+
+    md = _mesh(12, domain, nt=17)
+    solver = MultiSpeciesSolver(domain, msp, md)
+    sols = solver.solve()
+
+    for k, sp in enumerate(species):
+        ref = CRBESolver(domain, sp, md, matvec_impl="ell")
+        ref_sols = ref.solve()
+        np.testing.assert_allclose(
+            np.asarray(sols[:, k, :]), np.asarray(ref_sols), atol=1e-10
+        )
+
+
+def test_chemistry_only_is_exact_matrix_exponential():
+    """v = 0, D = 0: transport is the identity, so the Strang half-steps
+    telescope to the exact expm(-R T) — to solver roundoff, for a
+    NON-diagonalizable (defective) R too, since expm needs no
+    eigenbasis."""
+    domain = Domain(T=1.0)
+    # Defective coupling: Jordan block plus decay.
+    R = np.array([[0.8, 1.0], [0.0, 0.8]])
+    species = (Problem(v=(0.0, 0.0), D=0.0, sigma=2.0),
+               Problem(v=(0.0, 0.0), D=0.0, sigma=3.0))
+    msp = MultiSpeciesProblem(species, R)
+
+    md = _mesh(10, domain, nt=9)
+    solver = MultiSpeciesSolver(domain, msp, md)
+    sols = solver.solve()
+
+    C0 = np.asarray(msp.initial_conditions(md.midpoints))
+    expected = scipy.linalg.expm(-R * domain.T) @ C0
+    np.testing.assert_allclose(np.asarray(sols[-1]), expected, atol=1e-9)
+
+
+def test_decay_chain_oracle_under_refinement():
+    """2-species chain (A -> B with independent removal) against the
+    expm-mixture oracle: errors shrink under mesh refinement and the
+    fine-mesh CN error is in the single-species accuracy range."""
+    domain = Domain(T=10.0)
+    R = np.array([[0.25, 0.0], [-0.25, 0.1]])
+    species = (Problem(sigma=1.0), Problem(sigma=2.0))
+    msp = MultiSpeciesProblem(species, R)
+
+    errs = {}
+    for ms in (16, 32):
+        md = _mesh(ms, domain, nt=65)
+        solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2)
+        solver.solve(store_solutions=False)
+        errs[ms] = solver.compute_errors()
+
+    assert errs[32]["rel_l2_error"] < errs[16]["rel_l2_error"]
+    assert errs[32]["rel_l2_error"] < 0.8
+    assert len(errs[32]["per_species"]) == 2
+    for k in range(2):
+        assert (errs[32]["per_species"][k]["rel_l2_error"]
+                < errs[16]["per_species"][k]["rel_l2_error"])
+
+
+def test_chebyshev_matches_bicgstab():
+    domain = Domain(T=2.0)
+    R = np.array([[0.3, -0.1], [-0.2, 0.4]])
+    species = (Problem(sigma=1.0), Problem(sigma=2.0))
+    msp = MultiSpeciesProblem(species, R)
+    md = _mesh(16, domain, nt=17)
+
+    ref = MultiSpeciesSolver(domain, msp, md)
+    u_ref = ref.solve(store_solutions=False)
+    cheb = MultiSpeciesSolver(domain, msp, md, solver_method="chebyshev",
+                              chebyshev_iters=16)
+    u_cheb = cheb.solve(store_solutions=False)
+    np.testing.assert_allclose(np.asarray(u_cheb), np.asarray(u_ref),
+                               atol=2e-6)
+
+
+def test_sourced_species_match_single_species_runs():
+    """Emission sources flow through the stacked rhs: with R = 0 a
+    sourced species matches its single-species sourced solve, and the
+    mixed container routes boundary values through the per-species
+    boundary_fn (no oracle available with a source problem aboard)."""
+    domain = Domain(T=2.0)
+    src = GaussianSourceProblem(q=2.0, xs=1.0, ys=-2.0)
+    plume = Problem()
+    msp = MultiSpeciesProblem((src, plume), np.zeros((2, 2)))
+    assert msp.shared_transport and not msp.has_analytical
+    assert not msp.zero_source
+
+    md = _mesh(12, domain, nt=17)
+    sols = MultiSpeciesSolver(domain, msp, md).solve()
+
+    for k, sp in enumerate((src, plume)):
+        ref = CRBESolver(domain, sp, md, matvec_impl="ell")
+        ref_sols = ref.solve()
+        np.testing.assert_allclose(
+            np.asarray(sols[:, k, :]), np.asarray(ref_sols), atol=1e-10
+        )
