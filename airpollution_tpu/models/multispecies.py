@@ -61,7 +61,8 @@ def stack_operators(ops_list) -> GlobalOperators:
 def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
                           dt, order, tol, maxiter, store_solutions=True,
                           solver="bicgstab", chebyshev_iters=8,
-                          source_quadrature="mass_lumped", t0=0.0):
+                          source_quadrature="mass_lumped", t0=0.0,
+                          matvec=None, ka_matvec=None):
     """Strang-split multi-species time loop as a pure traceable function.
 
     ``ops`` either has the single-species shapes (shared transport: one
@@ -70,6 +71,11 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     the (K, N) initial state. Returns ``(solutions, None)`` with
     solutions shaped (nt, K, N) (or (1, K, N) for final-state-only),
     mirroring models/crbe.run_time_loop.
+
+    ``matvec``/``ka_matvec``: optional single-vector closures replacing
+    the ELL matvecs (shared transport only) — how the family-layout
+    stencil/uniform fast paths plug in (the species axis is added here
+    with ``vmap``, exactly as for ELL).
     """
     md = mesh_data
     midpoints = md.midpoints
@@ -77,6 +83,9 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     nt = md.nt
     K, _ = C0.shape
     stacked = ops.mass_diag.ndim == 2
+    if stacked and matvec is not None:
+        raise ValueError("custom matvec closures need the shared-operator "
+                         "layout (per-species stacked ops are ELL-only)")
     if solver not in ("bicgstab", "chebyshev"):
         raise ValueError(f"unknown solver {solver!r}")
     if source_quadrature not in ("mass_lumped", "reference"):
@@ -87,67 +96,73 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
 
     # (K, N)-broadcastable operator diagonals; matvecs over the stack.
     mass = ops.mass_diag if stacked else ops.mass_diag[None, :]
-    sys_diag = ops.system_diag if stacked else ops.system_diag[None, :]
+
+    if matvec is None and not stacked:
+        matvec = partial(sparse.ell_matvec, ops.system)
+        ka_matvec = partial(sparse.ell_matvec, ops.ka)
 
     if stacked:
-        def sys_mv(X):
-            return jax.vmap(sparse.ell_matvec)(ops.system, X)
-
         def ka_mv(X):
             return jax.vmap(sparse.ell_matvec)(ops.ka, X)
     else:
-        def sys_mv(X):
-            return jax.vmap(partial(sparse.ell_matvec, ops.system))(X)
-
         def ka_mv(X):
-            return jax.vmap(partial(sparse.ell_matvec, ops.ka))(X)
+            return jax.vmap(ka_matvec)(X)
 
     if solver == "chebyshev":
         # Per-species spectral interval of the Jacobi-preconditioned
         # operator, hoisted out of the scan (one unrolled python loop —
         # K is small and static).
         def one_bounds(k):
-            ops_k = jax.tree.map(lambda a: a[k], ops) if stacked else ops
-            mv = partial(sparse.ell_matvec, ops_k.system)
+            if stacked:
+                ops_k = jax.tree.map(lambda a: a[k], ops)
+                mv = partial(sparse.ell_matvec, ops_k.system)
+                diag = ops_k.system_diag
+            else:
+                mv, diag = matvec, ops.system_diag
             return linalg.power_bounds(
-                mv, jnp.zeros_like(C0[0]),
-                scale=1.0 / jnp.sqrt(ops_k.system_diag),
+                mv, jnp.zeros_like(C0[0]), scale=1.0 / jnp.sqrt(diag),
             )
-        bounds = [one_bounds(k) for k in range(K)]
-        if not stacked:
-            bounds = bounds[:1] * K
+        bounds = [one_bounds(k) for k in range(K if stacked else 1)]
+        bounds = bounds if stacked else bounds * K
         los = jnp.stack([b[0] for b in bounds])
         his = jnp.stack([b[1] for b in bounds])
 
         def solveK(B, X0):
-            def one(sys, diag, b, x0, lo, hi):
-                return linalg.chebyshev(
-                    partial(sparse.ell_matvec, sys), b, x0=x0,
-                    bounds=(lo, hi), iters=chebyshev_iters,
-                    precond=linalg.jacobi_preconditioner(diag),
-                ).x
             if stacked:
+                def one(sys, diag, b, x0, lo, hi):
+                    return linalg.chebyshev(
+                        partial(sparse.ell_matvec, sys), b, x0=x0,
+                        bounds=(lo, hi), iters=chebyshev_iters,
+                        precond=linalg.jacobi_preconditioner(diag),
+                    ).x
                 return jax.vmap(one)(
                     ops.system, ops.system_diag, B, X0, los, his
                 )
-            return jax.vmap(
-                lambda b, x0, lo, hi: one(
-                    ops.system, ops.system_diag, b, x0, lo, hi
-                )
-            )(B, X0, los, his)
+
+            def one(b, x0, lo, hi):
+                return linalg.chebyshev(
+                    matvec, b, x0=x0, bounds=(lo, hi),
+                    iters=chebyshev_iters,
+                    precond=linalg.jacobi_preconditioner(ops.system_diag),
+                ).x
+            return jax.vmap(one)(B, X0, los, his)
     else:
         def solveK(B, X0):
-            def one(sys, diag, b, x0):
-                return linalg.bicgstab(
-                    partial(sparse.ell_matvec, sys), b, x0=x0,
-                    tol=tol, maxiter=maxiter,
-                    precond=linalg.jacobi_preconditioner(diag),
-                ).x
             if stacked:
+                def one(sys, diag, b, x0):
+                    return linalg.bicgstab(
+                        partial(sparse.ell_matvec, sys), b, x0=x0,
+                        tol=tol, maxiter=maxiter,
+                        precond=linalg.jacobi_preconditioner(diag),
+                    ).x
                 return jax.vmap(one)(ops.system, ops.system_diag, B, X0)
-            return jax.vmap(
-                lambda b, x0: one(ops.system, ops.system_diag, b, x0)
-            )(B, X0)
+
+            def one(b, x0):
+                return linalg.bicgstab(
+                    matvec, b, x0=x0, tol=tol, maxiter=maxiter,
+                    precond=linalg.jacobi_preconditioner(ops.system_diag),
+                ).x
+            return jax.vmap(one)(B, X0)
 
     zero_source = getattr(problem, "zero_source", False)
 
@@ -212,13 +227,28 @@ class MultiSpeciesSolver:
                  solver_tol: float = 1e-7, solver_maxiter: int = 200,
                  stiffness_convention: str = "correct",
                  solver_method: str = "bicgstab", chebyshev_iters: int = 8,
-                 source_quadrature: str = "mass_lumped"):
+                 source_quadrature: str = "mass_lumped",
+                 matvec_impl: str = "auto"):
         if time_scheme_order not in (1, 2):
             raise ValueError(
                 f"Order {time_scheme_order} numerical scheme not implemented"
             )
         if solver_method not in ("bicgstab", "chebyshev"):
             raise ValueError(f"unknown solver_method {solver_method}")
+        if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
+            raise ValueError(f"unknown matvec_impl {matvec_impl}")
+        if matvec_impl in ("stencil", "uniform"):
+            if not problem.shared_transport:
+                raise ValueError(
+                    "family-layout fast paths need shared (v, D) across "
+                    "species (per-species operators are ELL-only)"
+                )
+            if mesh_data.structured_n is None:
+                raise ValueError(
+                    "stencil matvec requires a structured mesh "
+                    "(create_mesh-produced)"
+                )
+        self.matvec_impl = matvec_impl
         self.domain = domain
         self.problem = problem
         self.mesh_data = mesh_data
@@ -263,18 +293,66 @@ class MultiSpeciesSolver:
     def set_initial_condition(self):
         return self.problem.initial_conditions(self.mesh_data.midpoints)
 
+    def _use_stencil(self) -> bool:
+        if self.matvec_impl == "ell":
+            return False
+        if self.matvec_impl in ("stencil", "uniform"):
+            return True
+        return (self.problem.shared_transport
+                and self.mesh_data.structured_n is not None)
+
     def _build_solve_fn(self, store_solutions: bool):
+        base = dict(
+            problem=self.problem, dt=self.dt,
+            order=self.time_scheme_order,
+            tol=self.solver_tol, maxiter=self.solver_maxiter,
+            store_solutions=store_solutions, solver=self.solver_method,
+            chebyshev_iters=self.chebyshev_iters,
+            source_quadrature=self.source_quadrature,
+        )
+        if not self._use_stencil():
+            def solve_impl(ops, C0):
+                return run_multispecies_loop(
+                    ops, C0, mesh_data=self.mesh_data, **base,
+                )[0]
+            return jax.jit(solve_impl)
+
+        # Family-layout fast path (shared transport): gather-free stencil
+        # (or 15-scalar uniform) matvecs exactly as in CRBESolver's scan
+        # path — the K-species state is permuted into family grids once
+        # per solve and the species axis rides on a vmap of the same
+        # single-vector closures.
+        from airpollution_tpu.ops import stencil as stencil_mod
+
+        md = self.mesh_data
+        pattern = stencil_mod.get_pattern(md)
+        perm = jnp.asarray(pattern.perm)
+        inv = jnp.asarray(pattern.inv_perm)
+        fam_view = stencil_mod.family_view(md, pattern)
+
+        if self.matvec_impl == "uniform":
+            from airpollution_tpu.ops import uniform as uniform_mod
+
+            spec = uniform_mod.build_uniform_spec(pattern)
+
+            def family_ops(ops):
+                return uniform_mod.uniform_family_operators(
+                    spec, pattern, ops, self.time_scheme_order
+                )
+        else:
+            def family_ops(ops):
+                return stencil_mod.family_operators(
+                    pattern, ops, self.time_scheme_order, None
+                )
+
         def solve_impl(ops, C0):
-            return run_multispecies_loop(
-                ops, C0,
-                mesh_data=self.mesh_data, problem=self.problem,
-                dt=self.dt, order=self.time_scheme_order,
-                tol=self.solver_tol, maxiter=self.solver_maxiter,
-                store_solutions=store_solutions,
-                solver=self.solver_method,
-                chebyshev_iters=self.chebyshev_iters,
-                source_quadrature=self.source_quadrature,
+            ops_fam, matvec, ka_matvec = family_ops(ops)
+            sols_fam = run_multispecies_loop(
+                ops_fam, C0[:, perm], mesh_data=fam_view,
+                matvec=matvec, ka_matvec=ka_matvec, **base,
             )[0]
+            return sols_fam[:, :, inv]
+
         return jax.jit(solve_impl)
 
     def solve(self, store_solutions: bool = True):

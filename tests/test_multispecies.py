@@ -129,6 +129,34 @@ def test_decay_chain_oracle_under_refinement():
                 < errs[16]["per_species"][k]["rel_l2_error"])
 
 
+def test_family_fast_paths_match_ell():
+    """matvec_impl='stencil' and 'uniform' (family-layout gather-free
+    matvecs, species axis vmapped) reproduce the ELL path."""
+    domain = Domain(T=2.0)
+    R = np.array([[0.3, -0.1], [-0.2, 0.4]])
+    msp = MultiSpeciesProblem((Problem(sigma=1.0), Problem(sigma=2.0)), R)
+    md = _mesh(12, domain, nt=17)
+
+    ref = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                             matvec_impl="ell")
+    sols_ell = ref.solve()
+    for impl in ("stencil", "uniform"):
+        fast = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                  matvec_impl=impl)
+        assert fast._use_stencil()
+        sols = fast.solve()
+        np.testing.assert_allclose(np.asarray(sols), np.asarray(sols_ell),
+                                   atol=1e-9)
+
+    with pytest.raises(ValueError, match="shared"):
+        MultiSpeciesSolver(
+            domain,
+            MultiSpeciesProblem((Problem(D=0.1), Problem(D=0.02)),
+                                np.zeros((2, 2))),
+            md, matvec_impl="stencil",
+        )
+
+
 def test_chebyshev_matches_bicgstab():
     domain = Domain(T=2.0)
     R = np.array([[0.3, -0.1], [-0.2, 0.4]])
