@@ -2,10 +2,12 @@
 plus differentiable-solve inverse problems (parameter estimation)."""
 
 from airpollution_tpu.diagnostics.inverse import (
+    fit_chemistry,
     fit_diffusion,
     fit_parameters,
     fit_source,
     solve_final_state,
+    solve_multispecies_snapshots,
     solve_snapshots,
 )
 from airpollution_tpu.diagnostics.analysis import (
@@ -21,10 +23,12 @@ from airpollution_tpu.diagnostics.analysis import (
 
 __all__ = [
     "ComprehensiveAnalysis",
+    "fit_chemistry",
     "fit_diffusion",
     "fit_parameters",
     "fit_source",
     "solve_final_state",
+    "solve_multispecies_snapshots",
     "solve_snapshots",
     "center_of_mass_over_time",
     "concentration_profiles",

@@ -433,3 +433,143 @@ def fit_wind(observed, mesh_data, *, snapshot_indices=None,
     if grid_pick is not None:
         result["omega0"] = grid_pick
     return result, losses
+
+
+def solve_multispecies_snapshots(problem, mesh_data, *, R=None,
+                                 indices=None, time_scheme_order: int = 1,
+                                 stiffness_convention: str = "correct",
+                                 tol: float = 1e-9, maxiter: int = 200,
+                                 store_solutions: bool = True):
+    """Differentiable multi-species solve; (nt, K, n) snapshots.
+
+    ``problem`` is a :class:`~airpollution_tpu.problems.
+    MultiSpeciesProblem`; ``R`` optionally overrides its mechanism as a
+    TRACED (K, K) array — the chemistry enters through the Strang
+    exponential (jax's ``expm`` Fréchet JVP) and every transport solve is
+    an implicit-function primitive, so ``jax.grad`` w.r.t. ``R`` is the
+    exact discrete adjoint of the coupled loop. Shared-transport solves
+    on structured meshes run in family-grid layout (gather-free stencil
+    matvecs), same as the single-species ``_solve``.
+    """
+    from airpollution_tpu.models.multispecies import (
+        run_multispecies_loop,
+        stack_operators,
+    )
+
+    md = mesh_data
+    dt = float(md.domain.T) / (md.nt - 1)
+    if problem.shared_transport:
+        ops = assemble(md, problem.species[0], dt, time_scheme_order,
+                       stiffness_convention)
+    else:
+        ops = stack_operators([
+            assemble(md, sp, dt, time_scheme_order, stiffness_convention)
+            for sp in problem.species
+        ])
+    C0 = problem.initial_conditions(md.midpoints)
+    base = dict(problem=problem, dt=dt, order=time_scheme_order, tol=tol,
+                maxiter=maxiter, store_solutions=store_solutions,
+                differentiable=True, R=R)
+
+    structured = getattr(md, "structured_n", None) is not None
+    if not (structured and problem.shared_transport):
+        sols, _ = run_multispecies_loop(ops, C0, mesh_data=md, **base)
+    else:
+        from airpollution_tpu.ops import stencil as stencil_mod
+
+        pattern = stencil_mod.get_pattern(md)
+        fam_view = stencil_mod.family_view(md, pattern)
+        ops_fam, matvec, ka_matvec = stencil_mod.family_operators(
+            pattern, ops, time_scheme_order
+        )
+        perm = jnp.asarray(pattern.perm)
+        inv = jnp.asarray(pattern.inv_perm)
+        sols_fam, _ = run_multispecies_loop(
+            ops_fam, C0[:, perm], mesh_data=fam_view, matvec=matvec,
+            ka_matvec=ka_matvec, **base,
+        )
+        sols = sols_fam[:, :, inv]
+    if indices is None:
+        return sols
+    return sols[jnp.asarray(indices)]
+
+
+def fit_chemistry(observed, mesh_data, species, *, make_R=None,
+                  init_params=None, R0=None, snapshot_indices=None,
+                  sensor_indices=None, steps: int = 150, lr: float = 0.05,
+                  time_scheme_order: int = 1, tol: float = 1e-9,
+                  maxiter: int = 200, cache_key=None):
+    """Chemistry-rate identification: recover the (K, K) linear mechanism
+    ``R`` from multi-species concentration observations.
+
+    The coupled analogue of :func:`fit_source`: transport (v, D) is
+    known from meteorology (carried by the per-species ``species``
+    problems), and the reaction/removal rates are estimated from
+    station data by Adam on the exact discrete adjoint of the
+    Strang-split solve (models/multispecies). The mechanism may be
+    structured: pass ``make_R(params) -> (K, K)`` plus ``init_params``
+    to fit only the physical rates (e.g. a decay chain's two rate
+    constants, in log space for positivity); the default fits a dense
+    ``R`` initialized at ``R0`` (zeros when omitted).
+
+    ``observed``: ``(len(snapshot_indices), K, n)`` trajectory stack —
+    or with ``sensor_indices``, ``(len(snapshot_indices), K,
+    n_sensors)``. Returns ``(R_fit, params, losses)``.
+    """
+    from airpollution_tpu.problems import MultiSpeciesProblem
+
+    observed = jnp.asarray(observed)
+    K = len(species)
+    dtype = mesh_data.midpoints.dtype
+    if make_R is None:
+        R_init = (jnp.zeros((K, K), dtype) if R0 is None
+                  else jnp.asarray(R0, dtype))
+        init_params = {"R": R_init}
+
+        def make_R(params):
+            return params["R"]
+    elif init_params is None:
+        raise ValueError("a custom make_R needs init_params")
+
+    msp = MultiSpeciesProblem(species, jnp.zeros((K, K)))
+    idx = tuple(int(i) for i in snapshot_indices) \
+        if snapshot_indices is not None else None
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
+
+    def predict(params):
+        pred = solve_multispecies_snapshots(
+            msp, mesh_data, R=make_R(params),
+            indices=list(idx) if idx is not None else None,
+            time_scheme_order=time_scheme_order, tol=tol, maxiter=maxiter,
+        )
+        if sens is not None:
+            pred = pred[..., jnp.asarray(sens)]
+        return pred
+
+    opt = optax.adam(lr)
+
+    def train_step(params, opt_state, obs):
+        def loss_fn(q):
+            return jnp.mean((predict(q) - obs) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    if cache_key is not None:
+        full_key = (cache_key, id(mesh_data), idx, sens,
+                    int(time_scheme_order), float(tol), int(maxiter),
+                    float(lr),
+                    jax.tree_util.tree_structure(init_params))
+        step_fn = _fit_cache_get(full_key, lambda: jax.jit(train_step))
+    else:
+        step_fn = jax.jit(train_step)
+
+    params = init_params
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, observed)
+        losses.append(float(loss))
+    return make_R(params), params, losses

@@ -62,7 +62,8 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
                           dt, order, tol, maxiter, store_solutions=True,
                           solver="bicgstab", chebyshev_iters=8,
                           source_quadrature="mass_lumped", t0=0.0,
-                          matvec=None, ka_matvec=None):
+                          matvec=None, ka_matvec=None,
+                          differentiable=False, R=None):
     """Strang-split multi-species time loop as a pure traceable function.
 
     ``ops`` either has the single-species shapes (shared transport: one
@@ -76,6 +77,14 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     the ELL matvecs (shared transport only) — how the family-layout
     stencil/uniform fast paths plug in (the species axis is added here
     with ``vmap``, exactly as for ELL).
+
+    ``differentiable=True`` wraps every transport solve in
+    ``linalg.differentiable_solve`` (implicit-function VJP) and
+    checkpoints the step, so ``jax.grad`` flows through the whole
+    coupled loop — including through the chemistry exponential (jax's
+    ``expm`` carries a Fréchet-derivative JVP) — to the mechanism
+    matrix ``R``, which may be passed explicitly as a TRACED override of
+    ``problem.R`` (the basis of diagnostics/inverse.fit_chemistry).
     """
     md = mesh_data
     midpoints = md.midpoints
@@ -88,10 +97,15 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
                          "layout (per-species stacked ops are ELL-only)")
     if solver not in ("bicgstab", "chebyshev"):
         raise ValueError(f"unknown solver {solver!r}")
+    if differentiable and solver != "bicgstab":
+        raise ValueError(
+            "differentiable=True requires solver='bicgstab' (the "
+            "implicit-function VJP wraps the Krylov solve)"
+        )
     if source_quadrature not in ("mass_lumped", "reference"):
         raise ValueError(f"unknown source_quadrature {source_quadrature!r}")
 
-    R = jnp.asarray(problem.R, dtype=C0.dtype)
+    R = jnp.asarray(problem.R if R is None else R, dtype=C0.dtype)
     E_half = expm(-(0.5 * dt) * R)
 
     # (K, N)-broadcastable operator diagonals; matvecs over the stack.
@@ -147,21 +161,26 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
                 ).x
             return jax.vmap(one)(B, X0, los, his)
     else:
+        def _solve_one(mv, diag, b, x0):
+            precond = linalg.jacobi_preconditioner(diag)
+            if differentiable:
+                return linalg.differentiable_solve(
+                    mv, b, x0=x0, tol=tol, maxiter=maxiter, precond=precond,
+                )
+            return linalg.bicgstab(
+                mv, b, x0=x0, tol=tol, maxiter=maxiter, precond=precond,
+            ).x
+
         def solveK(B, X0):
             if stacked:
                 def one(sys, diag, b, x0):
-                    return linalg.bicgstab(
-                        partial(sparse.ell_matvec, sys), b, x0=x0,
-                        tol=tol, maxiter=maxiter,
-                        precond=linalg.jacobi_preconditioner(diag),
-                    ).x
+                    return _solve_one(
+                        partial(sparse.ell_matvec, sys), diag, b, x0
+                    )
                 return jax.vmap(one)(ops.system, ops.system_diag, B, X0)
 
             def one(b, x0):
-                return linalg.bicgstab(
-                    matvec, b, x0=x0, tol=tol, maxiter=maxiter,
-                    precond=linalg.jacobi_preconditioner(ops.system_diag),
-                ).x
+                return _solve_one(matvec, ops.system_diag, b, x0)
             return jax.vmap(one)(B, X0)
 
     zero_source = getattr(problem, "zero_source", False)
@@ -186,7 +205,7 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
 
     def lift(t):
         return jnp.where(
-            bmask[None, :], problem.boundary_values(midpoints, t), 0.0
+            bmask[None, :], problem.boundary_values(midpoints, t, R=R), 0.0
         )
 
     def step(carry, t):
@@ -205,7 +224,11 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
         return (C_new, C), out
 
     ts = jnp.asarray(t0, C0.dtype) + dt * jnp.arange(1, nt, dtype=C0.dtype)
-    (C_final, _), snaps = jax.lax.scan(step, (C0, C0), ts)
+    # The remat trade of the single-species adjoint (run_time_loop): the
+    # reverse pass re-solves each step once instead of storing every
+    # Krylov residual.
+    step_fn = jax.checkpoint(step) if differentiable else step
+    (C_final, _), snaps = jax.lax.scan(step_fn, (C0, C0), ts)
     if store_solutions:
         solutions = jnp.concatenate([C0[None], snaps], axis=0)
     else:

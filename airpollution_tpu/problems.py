@@ -660,16 +660,18 @@ class MultiSpeciesProblem:
         t_col = jnp.full(xy.shape[:-1] + (1,), t, dtype=xy.dtype)
         return jnp.concatenate([xy, t_col], axis=-1)
 
-    def boundary_values(self, xy, t):
+    def boundary_values(self, xy, t, R=None):
         """(K, N) Dirichlet values at scalar time ``t``.
 
         The coupled system's true boundary data is the chemistry mixture
         of the per-species transport boundary values — when the oracle
         applies this IS ``analytical_solution``; otherwise the wrapped
         problems' own ``boundary_fn`` values are stacked (exact for the
-        homogeneous-BC problems of the reference family)."""
+        homogeneous-BC problems of the reference family). ``R`` overrides
+        the stored mechanism (traced chemistry-rate fitting,
+        diagnostics/inverse.fit_chemistry)."""
         if self.has_analytical:
-            return self.analytical_solution(xy, t)
+            return self.analytical_solution(xy, t, R=R)
         xyt = self._xyt(xy, t)
         return jnp.stack([p.boundary_fn(xyt) for p in self.species])
 
@@ -678,11 +680,12 @@ class MultiSpeciesProblem:
         xyt = self._xyt(xy, t)
         return jnp.stack([p.source_term(xyt) for p in self.species])
 
-    def analytical_solution(self, xy, t):
+    def analytical_solution(self, xy, t, R=None):
         """(K, N) exact coupled solution at scalar time ``t`` (oracle).
 
         ``expm(-R t)`` applied across the stack of uncoupled transport
-        solutions; requires :attr:`has_analytical`."""
+        solutions; requires :attr:`has_analytical`. ``R`` overrides the
+        stored mechanism (traced rate fitting)."""
         if not self.has_analytical:
             raise ValueError(
                 "the expm-mixture oracle needs shared (v, D) and "
@@ -690,9 +693,10 @@ class MultiSpeciesProblem:
             )
         from jax.scipy.linalg import expm
 
+        R = self.R if R is None else jnp.asarray(R, self.R.dtype)
         xyt = self._xyt(xy, t)
         phi = jnp.stack([p.analytical_solution(xyt) for p in self.species])
-        E = expm(-jnp.asarray(t, self.R.dtype) * self.R)
+        E = expm(-jnp.asarray(t, R.dtype) * R)
         return jnp.einsum("kj,jn->kn", E.astype(phi.dtype), phi)
 
 
