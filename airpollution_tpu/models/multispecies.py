@@ -251,13 +251,37 @@ class MultiSpeciesSolver:
                  stiffness_convention: str = "correct",
                  solver_method: str = "bicgstab", chebyshev_iters: int = 8,
                  source_quadrature: str = "mass_lumped",
-                 matvec_impl: str = "auto"):
+                 matvec_impl: str = "auto", splitting: str = "auto",
+                 transport_solver_kwargs=None):
         if time_scheme_order not in (1, 2):
             raise ValueError(
                 f"Order {time_scheme_order} numerical scheme not implemented"
             )
         if solver_method not in ("bicgstab", "chebyshev"):
             raise ValueError(f"unknown solver_method {solver_method}")
+        if splitting not in ("auto", "strang", "commute"):
+            raise ValueError(f"unknown splitting {splitting}")
+        commute_ok = problem.shared_transport and problem.zero_source
+        if splitting == "commute" and not commute_ok:
+            raise ValueError(
+                "splitting='commute' is exact only for shared (v, D) and "
+                "zero sources (the chemistry and transport operators act "
+                "on different axes and commute; sources break it) — use "
+                "splitting='strang'"
+            )
+        # The commute route factorizes the coupled solve into K
+        # independent single-species transport solves + an expm(-R t)
+        # output mixture, unlocking EVERY single-species fast path
+        # (fused VMEM/HBM Pallas kernels included) for multi-species
+        # runs. 'auto' picks it whenever it is exact.
+        self.splitting = ("commute" if commute_ok else "strang") \
+            if splitting == "auto" else splitting
+        self.transport_solver_kwargs = dict(transport_solver_kwargs or {})
+        if self.transport_solver_kwargs and self.splitting != "commute":
+            raise ValueError(
+                "transport_solver_kwargs configure the single-species "
+                "CRBESolver of the commute route only"
+            )
         if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         if matvec_impl in ("stencil", "uniform"):
@@ -378,9 +402,73 @@ class MultiSpeciesSolver:
 
         return jax.jit(solve_impl)
 
+    def _solve_commute(self, store_solutions: bool):
+        """The factorized route: K independent single-species transport
+        solves + an expm(-R t) species mixture applied to the stored
+        rows.
+
+        Exact (not a splitting approximation) because with shared (v, D)
+        and zero sources the chemistry operator acts on the species axis
+        and the transport step on the space axis of the (K, N) state —
+        ``(E_h (x) I)(I (x) T)(E_h (x) I) = E (x) T`` — so n steps
+        telescope to ``expm(-R t_n) (x) T^n``. The boundary lift commutes
+        the same way: the mixed uncoupled lifts ARE the coupled boundary
+        values (problems.MultiSpeciesProblem.boundary_values). Each
+        species reuses the FULL single-species machinery — pass
+        ``transport_solver_kwargs`` (e.g. ``matvec_impl='fused'``,
+        ``snapshot_every=k``) through to CRBESolver; note each species
+        compiles its own program (problem constants are baked into the
+        jitted closures).
+        """
+        import time
+
+        from airpollution_tpu.models.crbe import CRBESolver
+
+        base = dict(
+            time_scheme_order=self.time_scheme_order,
+            solver_tol=self.solver_tol,
+            solver_maxiter=self.solver_maxiter,
+            stiffness_convention=self.stiffness_convention,
+            solver_method=self.solver_method,
+            chebyshev_iters=self.chebyshev_iters,
+            matvec_impl=self.matvec_impl,
+        )
+        base.update(self.transport_solver_kwargs)
+        if getattr(self, "_transport_solvers", None) is None:
+            self._transport_solvers = [
+                CRBESolver(self.domain, sp, self.mesh_data, **base)
+                for sp in self.problem.species
+            ]
+            # Shared (v, D): one assembly serves every species.
+            ops0 = self._transport_solvers[0].build_global_matrices()
+            for s in self._transport_solvers[1:]:
+                s._ops = ops0
+
+        t_start = time.time()
+        per_species = [
+            s.solve(store_solutions=store_solutions)
+            for s in self._transport_solvers
+        ]
+        S = jnp.stack(per_species)  # (K, rows, N)
+        n_rows = S.shape[1]
+        md = self.mesh_data
+        if store_solutions and n_rows > 1:
+            k_snap = (md.nt - 1) // (n_rows - 1)
+            t_rows = self.dt * k_snap * jnp.arange(n_rows, dtype=S.dtype)
+        else:
+            t_rows = jnp.asarray([self.domain.T], dtype=S.dtype)
+        R = self.problem.R.astype(S.dtype)
+        E_all = jax.vmap(lambda t: expm(-t * R))(t_rows)  # (rows, K, K)
+        mixed = jnp.einsum("tkj,jtn->tkn", E_all, S)
+        self.solutions = jax.block_until_ready(mixed)
+        self.solve_time = time.time() - t_start
+        return self.solutions
+
     def solve(self, store_solutions: bool = True):
         import time
 
+        if self.splitting == "commute":
+            return self._solve_commute(store_solutions)
         ops = self._require_ops()
         key = (store_solutions,)
         fn = self._solve_fn_cache.get(key)

@@ -51,7 +51,8 @@ def test_R_zero_matches_single_species_shared_operator():
     assert msp.shared_transport and msp.has_analytical
 
     md = _mesh(12, domain, nt=17)
-    solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2)
+    solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                splitting="strang")
     sols = solver.solve()
     assert sols.shape == (17, 2, md.number_of_segments)
 
@@ -73,7 +74,7 @@ def test_R_zero_matches_single_species_stacked_operators():
     assert not msp.shared_transport
 
     md = _mesh(12, domain, nt=17)
-    solver = MultiSpeciesSolver(domain, msp, md)
+    solver = MultiSpeciesSolver(domain, msp, md, splitting="strang")
     sols = solver.solve()
 
     for k, sp in enumerate(species):
@@ -97,7 +98,7 @@ def test_chemistry_only_is_exact_matrix_exponential():
     msp = MultiSpeciesProblem(species, R)
 
     md = _mesh(10, domain, nt=9)
-    solver = MultiSpeciesSolver(domain, msp, md)
+    solver = MultiSpeciesSolver(domain, msp, md, splitting="strang")
     sols = solver.solve()
 
     C0 = np.asarray(msp.initial_conditions(md.midpoints))
@@ -117,7 +118,8 @@ def test_decay_chain_oracle_under_refinement():
     errs = {}
     for ms in (16, 32):
         md = _mesh(ms, domain, nt=65)
-        solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2)
+        solver = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                    splitting="strang")
         solver.solve(store_solutions=False)
         errs[ms] = solver.compute_errors()
 
@@ -138,11 +140,11 @@ def test_family_fast_paths_match_ell():
     md = _mesh(12, domain, nt=17)
 
     ref = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
-                             matvec_impl="ell")
+                             matvec_impl="ell", splitting="strang")
     sols_ell = ref.solve()
     for impl in ("stencil", "uniform"):
         fast = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
-                                  matvec_impl=impl)
+                                  matvec_impl=impl, splitting="strang")
         assert fast._use_stencil()
         sols = fast.solve()
         np.testing.assert_allclose(np.asarray(sols), np.asarray(sols_ell),
@@ -164,13 +166,44 @@ def test_chebyshev_matches_bicgstab():
     msp = MultiSpeciesProblem(species, R)
     md = _mesh(16, domain, nt=17)
 
-    ref = MultiSpeciesSolver(domain, msp, md)
+    ref = MultiSpeciesSolver(domain, msp, md, splitting="strang")
     u_ref = ref.solve(store_solutions=False)
     cheb = MultiSpeciesSolver(domain, msp, md, solver_method="chebyshev",
-                              chebyshev_iters=16)
+                              chebyshev_iters=16, splitting="strang")
     u_cheb = cheb.solve(store_solutions=False)
     np.testing.assert_allclose(np.asarray(u_cheb), np.asarray(u_ref),
                                atol=2e-6)
+
+
+def test_commute_route_matches_strang():
+    """splitting='commute' (K independent transport solves + expm
+    mixture at output — exact for shared transport, zero sources) agrees
+    with the Strang loop to solver tolerance, for the full trajectory
+    and final-state-only; 'auto' selects it exactly when it is exact."""
+    domain = Domain(T=4.0)
+    R = np.array([[0.3, -0.1], [-0.2, 0.4]])
+    msp = MultiSpeciesProblem((Problem(sigma=1.0), Problem(sigma=2.0)), R)
+    md = _mesh(12, domain, nt=17)
+
+    auto = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2)
+    assert auto.splitting == "commute"
+    strang = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                splitting="strang")
+    sols_c = auto.solve()
+    sols_s = strang.solve()
+    assert sols_c.shape == sols_s.shape
+    np.testing.assert_allclose(np.asarray(sols_c), np.asarray(sols_s),
+                               atol=5e-7)
+    u_c = auto.solve(store_solutions=False)
+    np.testing.assert_allclose(np.asarray(u_c[0]), np.asarray(sols_c[-1]),
+                               atol=1e-12)
+
+    # Sources break the commutation -> refused / not auto-selected.
+    sourced = MultiSpeciesProblem(
+        (GaussianSourceProblem(), Problem()), np.zeros((2, 2)))
+    assert MultiSpeciesSolver(domain, sourced, md).splitting == "strang"
+    with pytest.raises(ValueError, match="commute"):
+        MultiSpeciesSolver(domain, sourced, md, splitting="commute")
 
 
 def test_fit_chemistry_recovers_chain_rates():
