@@ -153,6 +153,42 @@ class MeshData:
         plt.close()
 
 
+def boundary_side_masks(mesh_data):
+    """Per-side boolean masks over segment DOFs of the box boundary.
+
+    Returns ``{'left', 'right', 'bottom', 'top'} -> (n_seg,) bool`` where
+    a mask is True for boundary edges lying on that side (their midpoints
+    sit exactly on it — boundary edges run along the box walls). The wall
+    coordinates are taken from the ACTUAL mesh extent (min/max of the
+    vertex coordinates), not from the Domain, mirroring the patch-
+    constants convention (models/crbe.CRBESolver._patch_pieces); the
+    isclose atol matches Domain.is_boundary (utils/common.py:87-97).
+    Mesh views without geometry (family-layout views) raise.
+    """
+    md = mesh_data
+    if not hasattr(md, "points") or not hasattr(md, "boundary_mask"):
+        raise ValueError(
+            "boundary_side_masks needs a full MeshData (a family-layout "
+            "view carries no geometry) — Robin boundaries are supported "
+            "on the general ELL solve paths only"
+        )
+    pts = np.asarray(md.points, dtype=np.float64)
+    mid = np.asarray(md.midpoints, dtype=np.float64)
+    bmask = np.asarray(md.boundary_mask)
+    xmin, xmax = pts[:, 0].min(), pts[:, 0].max()
+    ymin, ymax = pts[:, 1].min(), pts[:, 1].max()
+
+    def on(coord, wall):
+        return bmask & np.isclose(coord, wall, rtol=0.0, atol=1e-10)
+
+    return {
+        "left": jnp.asarray(on(mid[:, 0], xmin)),
+        "right": jnp.asarray(on(mid[:, 0], xmax)),
+        "bottom": jnp.asarray(on(mid[:, 1], ymin)),
+        "top": jnp.asarray(on(mid[:, 1], ymax)),
+    }
+
+
 def structured_grid(mesh_data):
     """(xmin, ymin, h) of the structured vertex grid, as host floats.
 

@@ -172,6 +172,60 @@ class GlobalOperators(NamedTuple):
     system_diag: jax.Array  # diagonal of the masked system (Jacobi)
 
 
+def reject_robin(problem, where: str):
+    """Loud gate for solve paths whose boundary handling is all-Dirichlet
+    (family-layout masks, fused kernels, distributed stripe solvers):
+    silently treating Robin DOFs as Dirichlet would zero deposition
+    walls. The general ELL scan path (CRBESolver matvec_impl='ell') and
+    models/unsteady's scan chunks support Robin."""
+    if getattr(problem, "robin_sides", None):
+        raise ValueError(
+            f"Robin boundaries (problem.robin_sides) are not supported "
+            f"by {where} — use the general ELL path "
+            f"(CRBESolver matvec_impl='ell')"
+        )
+
+
+def robin_terms(mesh_data, problem):
+    """Boundary terms of a problem's Robin spec (problems.AdDifProblem.
+    robin_sides): ``(dirichlet_mask, robin_mask, robin_alpha)``.
+
+    With no Robin sides this is ``(boundary_mask, None, None)`` — the
+    reference's all-Dirichlet semantics. Otherwise the named sides leave
+    the Dirichlet set (their DOFs become unknowns) and the flux law
+    ``-D dc/dn = alpha c - g`` enters the weak form as boundary edge
+    integrals. The CR basis is identically 1 along its own edge and every
+    other basis function integrates to zero along it, so the boundary
+    mass matrix is exactly diagonal: ``robin_alpha`` is the per-DOF
+    ``alpha * |e|`` vector added to the spatial-operator diagonal at
+    assembly, and the g-load is ``g(mid_e, t) * |e|`` on Robin DOFs
+    (run_time_loop). One-point edge quadrature — same order as the
+    element.
+    """
+    robin = getattr(problem, "robin_sides", None)
+    if not robin:
+        return mesh_data.boundary_mask, None, None
+    from airpollution_tpu.mesh.data import boundary_side_masks
+    from airpollution_tpu.problems import SIDE_NORMALS
+
+    unknown = set(robin) - set(SIDE_NORMALS)
+    if unknown:
+        raise ValueError(
+            f"unknown robin_sides {sorted(unknown)} — expected a subset "
+            f"of {sorted(SIDE_NORMALS)}"
+        )
+    side_masks = boundary_side_masks(mesh_data)
+    robin_mask = jnp.zeros_like(mesh_data.boundary_mask)
+    alpha_vec = jnp.zeros_like(mesh_data.segment_lengths)
+    for side, alpha in robin.items():
+        m = side_masks[side]
+        robin_mask = robin_mask | m
+        alpha_vec = alpha_vec + jnp.where(
+            m, alpha * mesh_data.segment_lengths, 0.0
+        )
+    return mesh_data.boundary_mask & ~robin_mask, robin_mask, alpha_vec
+
+
 def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
              stiffness_convention: str = "correct",
              coeff_time=None) -> GlobalOperators:
@@ -240,6 +294,14 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     if not (isinstance(r, (int, float)) and r == 0.0):
         ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(r * mass_diag)
         ka_vals = ka_flat.reshape(ka_vals.shape)
+    # Robin/deposition boundaries: the flux law's alpha * |e| boundary
+    # integral is diagonal for CR (see robin_terms), so like reaction it
+    # folds into ka once and every downstream consumer (the CN RHS, the
+    # system below, the Jacobi diagonal, the solver adjoint) inherits it.
+    dirichlet_mask, _, robin_alpha = robin_terms(md, problem)
+    if robin_alpha is not None:
+        ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(robin_alpha)
+        ka_vals = ka_flat.reshape(ka_vals.shape)
     ka = sparse.EllMatrix(vals=ka_vals, cols=K.cols)
 
     c = {1: 1.0, 2: 0.5}[time_scheme_order]
@@ -251,7 +313,7 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
         vals=flat.reshape(sys_vals.shape), cols=ka.cols
     )
     system = sparse.ell_mask_dirichlet_rows(
-        system, md.boundary_mask, ell_diag_slot
+        system, dirichlet_mask, ell_diag_slot
     )
     system_diag = sparse.ell_diagonal(system, ell_diag_slot)
 
@@ -301,7 +363,29 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                          "counts (the solve is an implicit primitive)")
     md = mesh_data
     midpoints = md.midpoints
-    bmask = md.boundary_mask
+    # Robin sides leave the Dirichlet set: bmask below masks only true
+    # Dirichlet DOFs (RHS zeroing, warm-start zeroing, boundary lift);
+    # Robin DOFs are solved like interior unknowns (their alpha * |e|
+    # operator term was folded into ka/system at assembly).
+    bmask, robin_mask, _ = robin_terms(md, problem)
+    robin_load = None
+    if robin_mask is not None:
+        from airpollution_tpu.mesh.data import boundary_side_masks
+
+        side_masks = boundary_side_masks(md)
+        lengths = md.segment_lengths
+        robin_items = sorted(problem.robin_sides)
+
+        def robin_load(t):
+            # g-load with one-point edge quadrature: g(mid_e, t) * |e| on
+            # Robin DOFs. The default robin_g returns zeros, which XLA
+            # constant-folds away — pure-deposition runs pay nothing.
+            load = jnp.zeros_like(lengths)
+            for side in robin_items:
+                g = problem.robin_g(midpoints, t, side)
+                load = load + jnp.where(side_masks[side], lengths * g, 0.0)
+            return load
+
     nt = md.nt
     if matvec is None:
         matvec = partial(sparse.ell_matvec, ops.system)
@@ -355,6 +439,10 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
             s = _source_at(t) if order == 1 \
                 else 0.5 * (_source_at(t) + _source_at(t - dt))
             b = b + dt * ops.mass_diag * s
+        if robin_load is not None:
+            gl = robin_load(t) if order == 1 \
+                else 0.5 * (robin_load(t) + robin_load(t - dt))
+            b = b + dt * gl
         return jnp.where(bmask, 0.0, b)  # crbe.py:402
 
     def step(carry, t):
@@ -513,6 +601,26 @@ class CRBESolver:
                     "(canvas operator), or 'fused_hbm' with "
                     "solver_method='chebyshev' (canvas stripe kernel)"
                 )
+        # Robin/deposition boundaries (problems.AdDifProblem.robin_sides):
+        # supported on the general ELL scan path — the fast paths derive
+        # their boundary masks from the all-Dirichlet geometric mask and
+        # would treat Robin DOFs as Dirichlet. 'auto' routes to ELL;
+        # anything else refuses rather than silently mis-handling walls.
+        self._robin = getattr(problem, "robin_sides", None) or None
+        if self._robin:
+            if matvec_impl not in ("auto", "ell"):
+                raise ValueError(
+                    "Robin boundaries (problem.robin_sides) are supported "
+                    "on the general ELL path only — use matvec_impl='ell' "
+                    "(or 'auto')"
+                )
+            if assembly == "patch":
+                raise ValueError(
+                    "Robin boundaries need full assembly (the alpha*|e| "
+                    "boundary terms are per-DOF) — assembly='patch' is "
+                    "translation-invariant"
+                )
+            matvec_impl = "ell"
         if (
             matvec_impl == "auto"
             and not self._variable_coefficients
@@ -595,12 +703,14 @@ class CRBESolver:
 
     def boundary_values(self, t):
         """Dense boundary-lift vector at time t (crbe.py:367-379): exact
-        boundary data on boundary DOFs, zero elsewhere."""
+        boundary data on Dirichlet DOFs, zero elsewhere (Robin DOFs are
+        unknowns — no lift)."""
         md = self.mesh_data
         t_col = jnp.full((md.midpoints.shape[0], 1), t, dtype=md.midpoints.dtype)
         xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
         vals = self.problem.boundary_fn(xyt)
-        return jnp.where(md.boundary_mask, vals, 0.0)
+        dmask, _, _ = robin_terms(md, self.problem)
+        return jnp.where(dmask, vals, 0.0)
 
     def _use_stencil(self) -> bool:
         if self.matvec_impl == "ell":

@@ -47,7 +47,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import expm
 
-from airpollution_tpu.models.crbe import GlobalOperators, assemble
+from airpollution_tpu.models.crbe import (GlobalOperators, assemble,
+                                          reject_robin)
 from airpollution_tpu.ops import linalg, sparse
 
 __all__ = ["MultiSpeciesSolver", "run_multispecies_loop", "stack_operators"]
@@ -86,6 +87,9 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     matrix ``R``, which may be passed explicitly as a TRACED override of
     ``problem.R`` (the basis of diagnostics/inverse.fit_chemistry).
     """
+    reject_robin(problem, "the multi-species loop")
+    for sp in getattr(problem, "species", ()):
+        reject_robin(sp, "the multi-species loop")
     md = mesh_data
     midpoints = md.midpoints
     bmask = md.boundary_mask
@@ -284,6 +288,9 @@ class MultiSpeciesSolver:
             )
         if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
+        reject_robin(problem, "MultiSpeciesSolver")
+        for sp in problem.species:
+            reject_robin(sp, "MultiSpeciesSolver")
         if matvec_impl in ("stencil", "uniform"):
             if not problem.shared_transport:
                 raise ValueError(

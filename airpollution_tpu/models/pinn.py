@@ -341,6 +341,13 @@ class PINN:
                  fourier_scale=1.0, hard_ic=False):
         if activation not in _ACTIVATIONS:
             raise ValueError(f"Activation function {activation} not implemented")
+        if getattr(problem, "robin_sides", None):
+            raise ValueError(
+                "Robin boundaries (problem.robin_sides) are a FEM feature "
+                "— the PINN boundary loss trains Dirichlet data "
+                "(problem.boundary_fn) on every side and would fit wrong "
+                "values on deposition walls; use CRBESolver"
+            )
         self.layers = list(layers)
         self.problem = problem
         self.domain = domain

@@ -32,7 +32,7 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 
-from airpollution_tpu.models.crbe import assemble, run_time_loop
+from airpollution_tpu.models.crbe import assemble, robin_terms, run_time_loop
 
 # One compiled chunk program per (mesh id, static config): the chunk
 # body is traced in (u0, t0) and the problem pytree, so sweeps and
@@ -158,9 +158,20 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         )
     n_chunks = n_steps // k
     dt = float(md.domain.T) / n_steps
+    if fused and getattr(problem, "robin_sides", None):
+        raise ValueError(
+            "Robin boundaries run on the general scan chunks — use "
+            "matvec_impl='scan' (the stripe kernel's masks are "
+            "all-Dirichlet)"
+        )
+    # The chunk view carries geometry so run_time_loop can derive Robin
+    # side masks; the lift-strip below must mask only true DIRICHLET
+    # rows (Robin DOFs are unknowns whose values live in the carry).
     view = SimpleNamespace(midpoints=md.midpoints,
-                           boundary_mask=md.boundary_mask, nt=k + 1)
-    bmask = md.boundary_mask
+                           boundary_mask=md.boundary_mask, nt=k + 1,
+                           points=md.points,
+                           segment_lengths=md.segment_lengths)
+    bmask = robin_terms(md, problem)[0]
 
     if fused:
         chunk = _fused_chunk(md, dt, k, time_scheme_order,

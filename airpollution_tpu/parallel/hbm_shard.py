@@ -145,6 +145,9 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     6M DOFs, mirroring models/crbe — the sizes this solver targets are
     exactly where global assembly OOMs (24 GB at 2049^2, CLAUDE.md).
     """
+    from airpollution_tpu.models.crbe import reject_robin
+
+    reject_robin(problem, "the distributed stripe solver")
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("hbm halo solver requires a structured mesh")
@@ -441,6 +444,9 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     and serial solves agree to rounding. Requires assembled
     ``GlobalOperators`` (variable coefficients have no patch mode).
     """
+    from airpollution_tpu.models.crbe import reject_robin
+
+    reject_robin(problem, "the distributed canvas stripe solver")
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("canvas halo solver requires a structured mesh")

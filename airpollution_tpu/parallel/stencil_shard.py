@@ -163,6 +163,9 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     The entire nt-1 step loop runs inside one ``shard_map``; per matvec
     the only communication is two 1-row ppermutes.
     """
+    from airpollution_tpu.models.crbe import reject_robin
+
+    reject_robin(problem, "the halo-exchange solver")
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("halo solver requires a structured mesh")

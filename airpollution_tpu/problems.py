@@ -39,16 +39,62 @@ def _register_problem_pytree(cls, fields):
     problem instances (models/pinn.py)."""
 
     def flatten(p):
-        return tuple(getattr(p, f) for f in fields), None
+        # robin_sides is STATIC configuration (the alphas are baked into
+        # the assembled operator, not traced), carried as hashable aux
+        # data so instances configured via attribute assignment survive
+        # tree round-trips (jit argument passing, vmap, checkpointing).
+        rb = getattr(p, "robin_sides", None)
+        aux = None if rb is None else tuple(sorted(rb.items()))
+        return tuple(getattr(p, f) for f in fields), aux
 
-    def unflatten(_, children):
+    def unflatten(aux, children):
         obj = object.__new__(cls)
         for f, c in zip(fields, children):
             setattr(obj, f, c)
+        if aux is not None:
+            obj.robin_sides = dict(aux)
         return obj
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls
+
+
+# Outward unit normals of the box sides, keyed by the side names a
+# ``robin_sides`` spec may use (AdDifProblem.robin_sides).
+SIDE_NORMALS = {
+    "left": (-1.0, 0.0),
+    "right": (1.0, 0.0),
+    "bottom": (0.0, -1.0),
+    "top": (0.0, 1.0),
+}
+
+
+def exact_robin_g(problem, xy, t, side):
+    """Manufactured Robin data from a problem's analytical solution.
+
+    Returns ``g = alpha c_ex + D dc_ex/dn`` on the given side, so that the
+    exact solution satisfies the Robin law ``-D dc/dn = alpha c - g``
+    exactly — the manufactured-solution route for verifying Robin solves
+    against problems that carry a closed form (the normal derivative is
+    obtained by autodiff of ``analytical_solution``). Assign as the
+    problem's ``robin_g`` (e.g. ``p.robin_g = partial(exact_robin_g, p)``
+    via a subclass override) to run an MMS convergence study.
+    """
+    xy = jnp.asarray(xy)
+    alpha = problem.robin_sides[side]
+    nx, ny = SIDE_NORMALS[side]
+    t_arr = jnp.asarray(t, dtype=xy.dtype)
+
+    def c_of_xy(p):
+        xyt = jnp.concatenate([p, t_arr[None]])[None, :]
+        return problem.analytical_solution(xyt)[0]
+
+    c = problem.analytical_solution(
+        jnp.concatenate([xy, jnp.full((xy.shape[0], 1), t_arr)], axis=1)
+    )
+    grad = jax.vmap(jax.grad(c_of_xy))(xy)
+    dcdn = nx * grad[:, 0] + ny * grad[:, 1]
+    return alpha * c + problem.D * dcdn
 
 
 class AdDifProblem(abc.ABC):
@@ -88,6 +134,36 @@ class AdDifProblem(abc.ABC):
     # per-DOF coefficients and remain exact. A CLASS attribute so it
     # stays static under jit tracing of problem pytrees.
     variable_coefficients = False
+
+    # Boundary-condition specification beyond the reference's all-sides
+    # Dirichlet (crbe.py:397-404): ``None`` keeps every boundary DOF
+    # Dirichlet; a dict mapping side names ('left', 'right', 'bottom',
+    # 'top') to Robin coefficients alpha imposes the flux law
+    #
+    #     -D dc/dn = alpha c - g        on the named sides,
+    #
+    # the natural boundary condition of the CR weak form. alpha = 0 is a
+    # homogeneous Neumann (no-flux/reflecting) wall; alpha = v_d > 0 is
+    # the standard dry-deposition condition of air-quality models
+    # (deposition velocity v_d removes mass at rate v_d * c); ``g``
+    # (:meth:`robin_g`, default 0) is the inhomogeneity, used e.g. for
+    # manufactured-solution verification. Sides not named stay
+    # Dirichlet. Because the CR basis function is identically 1 along
+    # its own edge (phi_i = 1 - 2 lambda_i and lambda_i = 0 there) and
+    # every other basis function integrates to zero along it, the
+    # boundary integrals are DIAGONAL: the whole condition enters the
+    # spatial operator as alpha * |e| on Robin-edge diagonal slots plus
+    # a g * |e| load — see models/crbe.robin_terms. Static (not traced);
+    # supported on the general ELL solve paths.
+    robin_sides = None
+
+    def robin_g(self, xy, t, side):
+        """Robin inhomogeneity g(x, y, t) on the named side (see
+        ``robin_sides``). Default 0 (pure deposition / no-flux walls);
+        override for inhomogeneous flux data. ``side`` is a static
+        string — per-side outward normals are in ``SIDE_NORMALS``."""
+        xy = jnp.asarray(xy)
+        return jnp.zeros(xy.shape[0], dtype=xy.dtype)
 
     # True when v or D additionally vary in TIME. The hooks then take a
     # second argument t (``velocity_at(xy, t)`` etc.); solvers assemble
