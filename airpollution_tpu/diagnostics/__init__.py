@@ -10,6 +10,10 @@ from airpollution_tpu.diagnostics.inverse import (
     solve_multispecies_snapshots,
     solve_snapshots,
 )
+from airpollution_tpu.diagnostics.ensemble import (
+    ensemble_forecast,
+    stack_problems,
+)
 from airpollution_tpu.diagnostics.analysis import (
     ComprehensiveAnalysis,
     center_of_mass_over_time,
@@ -23,6 +27,8 @@ from airpollution_tpu.diagnostics.analysis import (
 
 __all__ = [
     "ComprehensiveAnalysis",
+    "ensemble_forecast",
+    "stack_problems",
     "fit_chemistry",
     "fit_diffusion",
     "fit_parameters",

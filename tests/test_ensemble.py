@@ -1,0 +1,100 @@
+"""Ensemble forecasting (diagnostics/ensemble.py).
+
+Member solves are one vmap over stacked problem pytrees (assembly
+included) — the oracle is the serial solver run per member. Statistics
+and exceedance maps are checked against their numpy definitions, and the
+trial-sharded variant must equal the unsharded one exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpollution_tpu.diagnostics import ensemble_forecast, stack_problems
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import CRBESolver
+from airpollution_tpu.problems import Domain, Problem, SquarePulseProblem
+
+
+def _mesh(nt=9, ms=8):
+    return MeshData(create_mesh(ms, 20.0), Domain(T=2.0), nt=nt,
+                    dtype=jnp.float64)
+
+
+def test_members_match_serial_solver():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    Ds = [0.05, 0.1, 0.4]
+    problems = [Problem(v=(1.0, 0.5), D=d) for d in Ds]
+    out = ensemble_forecast(md, domain, problems)
+    assert out["members"].shape == (3, md.number_of_segments)
+    for k, d in enumerate(Ds):
+        s = CRBESolver(domain, Problem(v=(1.0, 0.5), D=d), md,
+                       matvec_impl="ell")
+        ref = s.solve(store_solutions=False)[0]
+        np.testing.assert_allclose(np.asarray(out["members"][k]),
+                                   np.asarray(ref), atol=1e-10)
+
+
+def test_statistics_and_exceedance_definitions():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    problems = [Problem(D=d) for d in (0.05, 0.1, 0.2, 0.4)]
+    taus = (0.01, 0.05)
+    out = ensemble_forecast(md, domain, problems, thresholds=taus)
+    m = np.asarray(out["members"])
+    np.testing.assert_allclose(np.asarray(out["mean"]), m.mean(0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["std"]), m.std(0, ddof=1),
+                               rtol=1e-9, atol=1e-15)
+    exc = np.asarray(out["exceedance"])
+    assert exc.shape == (2, md.number_of_segments)
+    for i, tau in enumerate(taus):
+        np.testing.assert_allclose(exc[i], (m > tau).mean(0), rtol=1e-12)
+
+
+def test_identical_members_have_zero_spread():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    out = ensemble_forecast(md, domain, [Problem(D=0.1)] * 3)
+    np.testing.assert_allclose(np.asarray(out["std"]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["members"][0]),
+                               np.asarray(out["members"][2]), atol=0)
+
+
+def test_single_member_std_is_zero_not_nan():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    out = ensemble_forecast(md, domain, [Problem(D=0.1)])
+    assert np.isfinite(np.asarray(out["std"])).all()
+    np.testing.assert_allclose(np.asarray(out["std"]), 0.0, atol=0)
+
+
+def test_sharded_matches_unsharded():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    problems = [Problem(D=d) for d in (0.05, 0.1, 0.2)]  # 3 on 8 devices
+    base = ensemble_forecast(md, domain, problems, thresholds=(0.02,))
+    mesh = jax.make_mesh((len(jax.devices()),), ("trial",))
+    sharded = ensemble_forecast(md, domain, problems, thresholds=(0.02,),
+                                mesh=mesh)
+    for key in ("members", "mean", "std", "exceedance"):
+        np.testing.assert_allclose(np.asarray(sharded[key]),
+                                   np.asarray(base[key]), atol=1e-11)
+
+
+def test_mixed_problem_classes_rejected():
+    domain = Domain(T=2.0)
+    md = _mesh()
+    with pytest.raises(ValueError, match="share a problem class"):
+        ensemble_forecast(md, domain, [Problem(), SquarePulseProblem()])
+    with pytest.raises(ValueError, match="empty"):
+        ensemble_forecast(md, domain, [])
+
+
+def test_stack_problems_stacks_leaves():
+    ps = [Problem(D=d) for d in (0.1, 0.2)]
+    batched = stack_problems(ps)
+    np.testing.assert_allclose(np.asarray(batched.D), [0.1, 0.2])
+    assert batched.v.shape == (2, 2)
