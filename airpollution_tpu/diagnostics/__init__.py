@@ -3,6 +3,7 @@ plus differentiable-solve inverse problems (parameter estimation)."""
 
 from airpollution_tpu.diagnostics.inverse import (
     fit_chemistry,
+    fit_deposition,
     fit_diffusion,
     fit_parameters,
     fit_source,
@@ -30,6 +31,7 @@ __all__ = [
     "ensemble_forecast",
     "stack_problems",
     "fit_chemistry",
+    "fit_deposition",
     "fit_diffusion",
     "fit_parameters",
     "fit_source",

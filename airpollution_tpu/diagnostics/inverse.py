@@ -36,26 +36,32 @@ from airpollution_tpu.problems import Problem
 
 
 def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
-           tol, maxiter, store_solutions):
+           tol, maxiter, store_solutions, robin_alpha=None):
     """Differentiable solve; (nt, n) when storing, (1, n) otherwise.
 
     Traceable in ``problem`` (a pytree). Structured meshes run the
     whole loop in family-grid layout with the gather-free stencil matvec
     (the ELL gather is ~20x slower on TPU, ops/stencil.py) — same
     permute-in/permute-out scheme as CRBESolver._build_solve_fn.
+
+    ``robin_alpha``: traced per-side deposition velocities overriding the
+    problem's static ``robin_sides`` values (models/crbe.robin_terms).
+    Robin problems always take the ELL branch — the family-layout masks
+    are all-Dirichlet.
     """
     md = mesh_data
     # Static python float (crbe.py:233 semantics) — md.time_discr would be
     # a tracer under jit.
     dt = float(md.domain.T) / (md.nt - 1)
     ops = assemble(md, problem, dt, time_scheme_order,
-                   stiffness_convention)
+                   stiffness_convention, robin_alpha=robin_alpha)
     u0 = problem.initial_condition_fn(md.midpoints)
     base = dict(problem=problem, dt=dt, order=time_scheme_order, tol=tol,
                 maxiter=maxiter, store_solutions=store_solutions,
                 differentiable=True)
 
-    if getattr(md, "structured_n", None) is None:
+    if (getattr(md, "structured_n", None) is None
+            or getattr(problem, "robin_sides", None)):
         sols, _ = run_time_loop(ops, u0, mesh_data=md, **base)
         return sols
 
@@ -89,7 +95,8 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
 def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
                       stiffness_convention: str = "correct",
-                      tol: float = 1e-9, maxiter: int = 200):
+                      tol: float = 1e-9, maxiter: int = 200,
+                      robin_alpha=None):
     """Differentiable CRBE solve returning the boundary-lifted final state.
 
     Pure and traceable in ``problem``: composes with ``jax.grad``,
@@ -97,13 +104,15 @@ def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
     """
     return _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
                   stiffness_convention=stiffness_convention, tol=tol,
-                  maxiter=maxiter, store_solutions=False)[0]
+                  maxiter=maxiter, store_solutions=False,
+                  robin_alpha=robin_alpha)[0]
 
 
 def solve_snapshots(problem, mesh_data, *, indices=None,
                     time_scheme_order: int = 1,
                     stiffness_convention: str = "correct",
-                    tol: float = 1e-9, maxiter: int = 200):
+                    tol: float = 1e-9, maxiter: int = 200,
+                    robin_alpha=None):
     """Differentiable solve returning solution snapshots.
 
     ``indices`` selects time rows (default: all nt). Trajectory
@@ -111,7 +120,8 @@ def solve_snapshots(problem, mesh_data, *, indices=None,
     """
     sols = _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
                   stiffness_convention=stiffness_convention, tol=tol,
-                  maxiter=maxiter, store_solutions=True)
+                  maxiter=maxiter, store_solutions=True,
+                  robin_alpha=robin_alpha)
     if indices is None:
         return sols
     return sols[jnp.asarray(indices)]
@@ -492,6 +502,87 @@ def solve_multispecies_snapshots(problem, mesh_data, *, R=None,
     if indices is None:
         return sols
     return sols[jnp.asarray(indices)]
+
+
+def fit_deposition(observed, mesh_data, problem, *, alpha0: float = 0.1,
+                   snapshot_indices=None, sensor_indices=None,
+                   steps: int = 150, lr: float = 0.1,
+                   time_scheme_order: int = 1, tol: float = 1e-9,
+                   maxiter: int = 200, cache_key=None):
+    """Deposition-velocity estimation: recover the per-side Robin alphas
+    of ``problem.robin_sides`` from concentration observations.
+
+    The surface-exchange analogue of :func:`fit_source`: transport is
+    known and the unknown is how fast the walls remove mass — the
+    deposition velocities v_d in the flux law ``-D dc/dn = v_d c``
+    (models/crbe.robin_terms). The alphas are optimized in log space
+    (positivity) as TRACED overrides of the static ``robin_sides``
+    values, flowing through the assembled operator diagonal into every
+    implicit step's adjoint. Deposition signal lives near the walls, so
+    trajectory observations (``snapshot_indices``) or near-wall sensors
+    identify the rates far better than a single interior snapshot.
+
+    Returns ``({side: alpha}, losses)``.
+    """
+    robin = getattr(problem, "robin_sides", None)
+    if not robin:
+        raise ValueError("problem.robin_sides names the deposition sides "
+                         "to estimate")
+    sides = sorted(robin)
+    observed = jnp.asarray(observed)
+    idx = tuple(int(i) for i in snapshot_indices) \
+        if snapshot_indices is not None else None
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
+
+    def predict(q):
+        alphas = {s: jnp.exp(q["log_alpha"][i])
+                  for i, s in enumerate(sides)}
+        if idx is None:
+            pred = solve_final_state(
+                problem, mesh_data, time_scheme_order=time_scheme_order,
+                tol=tol, maxiter=maxiter, robin_alpha=alphas,
+            )
+        else:
+            pred = solve_snapshots(
+                problem, mesh_data, indices=list(idx),
+                time_scheme_order=time_scheme_order, tol=tol,
+                maxiter=maxiter, robin_alpha=alphas,
+            )
+        if sens is not None:
+            pred = pred[..., jnp.asarray(sens)]
+        return pred
+
+    opt = optax.adam(lr)
+
+    def train_step(params, opt_state, obs):
+        def loss_fn(q):
+            return jnp.mean((predict(q) - obs) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    dtype = mesh_data.midpoints.dtype
+    params = {"log_alpha": jnp.log(jnp.full(len(sides), alpha0, dtype))}
+    if cache_key is not None:
+        full_key = (
+            "fit_deposition", cache_key, id(mesh_data), idx, sens,
+            tuple(sides), int(time_scheme_order), float(tol),
+            int(maxiter), float(lr),
+        )
+        step_fn = _fit_cache_get(full_key, lambda: jax.jit(train_step))
+    else:
+        step_fn = jax.jit(train_step)
+
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, observed)
+        losses.append(float(loss))
+    alphas = {s: float(jnp.exp(params["log_alpha"][i]))
+              for i, s in enumerate(sides)}
+    return alphas, losses
 
 
 def fit_chemistry(observed, mesh_data, species, *, make_R=None,

@@ -186,9 +186,15 @@ def reject_robin(problem, where: str):
         )
 
 
-def robin_terms(mesh_data, problem):
+def robin_terms(mesh_data, problem, alpha_override=None):
     """Boundary terms of a problem's Robin spec (problems.AdDifProblem.
     robin_sides): ``(dirichlet_mask, robin_mask, robin_alpha)``.
+
+    ``alpha_override``: optional dict mapping the SAME side names to
+    TRACED alpha scalars — the masks and Dirichlet reduction stay static
+    (robin_sides is static pytree aux) while the coefficient values flow
+    through assembly, which is what deposition-velocity estimation
+    differentiates (diagnostics/inverse.fit_deposition).
 
     With no Robin sides this is ``(boundary_mask, None, None)`` — the
     reference's all-Dirichlet semantics. Otherwise the named sides leave
@@ -214,10 +220,17 @@ def robin_terms(mesh_data, problem):
             f"unknown robin_sides {sorted(unknown)} — expected a subset "
             f"of {sorted(SIDE_NORMALS)}"
         )
+    if alpha_override is not None and set(alpha_override) != set(robin):
+        raise ValueError(
+            f"alpha_override sides {sorted(alpha_override)} must match "
+            f"robin_sides {sorted(robin)}"
+        )
     side_masks = boundary_side_masks(mesh_data)
     robin_mask = jnp.zeros_like(mesh_data.boundary_mask)
     alpha_vec = jnp.zeros_like(mesh_data.segment_lengths)
     for side, alpha in robin.items():
+        if alpha_override is not None:
+            alpha = alpha_override[side]
         m = side_masks[side]
         robin_mask = robin_mask | m
         alpha_vec = alpha_vec + jnp.where(
@@ -228,7 +241,7 @@ def robin_terms(mesh_data, problem):
 
 def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
              stiffness_convention: str = "correct",
-             coeff_time=None) -> GlobalOperators:
+             coeff_time=None, robin_alpha=None) -> GlobalOperators:
     """Assemble all global operators in one pass (crbe.py:326-362 analogue).
 
     ``coeff_time``: evaluation time for TIME-VARYING coefficient hooks
@@ -298,9 +311,13 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     # integral is diagonal for CR (see robin_terms), so like reaction it
     # folds into ka once and every downstream consumer (the CN RHS, the
     # system below, the Jacobi diagonal, the solver adjoint) inherits it.
-    dirichlet_mask, _, robin_alpha = robin_terms(md, problem)
-    if robin_alpha is not None:
-        ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(robin_alpha)
+    dirichlet_mask, _, robin_vec = robin_terms(
+        md, problem, alpha_override=robin_alpha
+    )
+    if robin_vec is not None:
+        ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(
+            robin_vec.astype(ka_vals.dtype)
+        )
         ka_vals = ka_flat.reshape(ka_vals.shape)
     ka = sparse.EllMatrix(vals=ka_vals, cols=K.cols)
 

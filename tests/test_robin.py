@@ -164,3 +164,26 @@ def test_robin_survives_problem_pytree_roundtrip():
     leaves, treedef = jax.tree_util.tree_flatten(p)
     q = jax.tree_util.tree_unflatten(treedef, leaves)
     assert q.robin_sides == p.robin_sides
+
+
+def test_fit_deposition_recovers_velocities():
+    """Recover two distinct wall deposition velocities from a 1%-noisy
+    solution trajectory through the differentiable ELL solve (traced
+    alpha override of the static robin_sides, inverse.fit_deposition)."""
+    from airpollution_tpu.diagnostics import inverse
+
+    domain = Domain(T=2.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=17, dtype=jnp.float64)
+    truth = {"right": 0.6, "top": 0.15}
+    p = SquarePulseProblem(v=(0.0, 0.0), D=1.0, lo=10.0, hi=20.0)
+    p.robin_sides = dict(truth)
+    idx = [4, 8, 12, 16]
+    obs = inverse.solve_snapshots(p, md, indices=idx)
+    rng = np.random.default_rng(0)
+    obs = obs * (1.0 + 0.01 * rng.standard_normal(obs.shape))
+
+    alphas, losses = inverse.fit_deposition(
+        obs, md, p, alpha0=0.25, snapshot_indices=idx, steps=250, lr=0.05)
+    assert losses[-1] < 0.1 * losses[0]
+    for side, a_true in truth.items():
+        assert abs(alphas[side] - a_true) / a_true < 0.08, (side, alphas)
