@@ -114,6 +114,20 @@ def _solve_time_varying(args, domain, problem, md):
     }))
 
 
+def _parse_robin(spec: str):
+    """'bottom=0.01,top=0' -> {'bottom': 0.01, 'top': 0.0} (side names
+    validated by models/crbe.robin_terms)."""
+    out = {}
+    for part in spec.split(","):
+        side, eq, val = part.partition("=")
+        if not eq:
+            raise SystemExit(
+                f"--robin expects side=alpha pairs, got {part!r}"
+            )
+        out[side.strip()] = float(val)
+    return out
+
+
 def _errors_or_none(compute, problem):
     """Error triple against the analytical solution, or Nones when the
     problem has no closed form (square_pulse, gaussian_source)."""
@@ -135,6 +149,11 @@ def cmd_solve(args):
     from airpollution_tpu.models.crbe import CRBESolver
 
     domain, problem = _domain_problem(args)
+    if args.robin:
+        # Deposition/no-flux walls change the true solution, so the
+        # closed-form error columns are diagnostics only (exact again
+        # under a manufactured robin_g, problems.exact_robin_g).
+        problem.robin_sides = _parse_robin(args.robin)
     md = _mesh_data(args, domain)
     if getattr(problem, "time_varying", False):
         return _solve_time_varying(args, domain, problem, md)
@@ -276,6 +295,94 @@ def cmd_fit_source(args):
     }))
 
 
+def cmd_ensemble(args):
+    """Ensemble forecast under perturbed transport: K members with
+    lognormal D and Gaussian v drawn around the CLI values, integrated
+    as one vmapped solve (diagnostics.ensemble.ensemble_forecast)."""
+    import time
+
+    import numpy as np
+
+    import airpollution_tpu as apt
+    from airpollution_tpu.diagnostics import ensemble_forecast
+
+    domain, _ = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    rng = np.random.default_rng(args.seed)
+    Ds = np.exp(rng.normal(np.log(args.D), args.d_spread, args.members))
+    Vs = rng.normal(args.v, args.v_spread, (args.members, 2))
+    if args.problem == "gaussian":
+        problems = [apt.Problem(v=tuple(v), D=float(d), sigma=args.sigma)
+                    for v, d in zip(Vs, Ds)]
+    elif args.problem == "square_pulse":
+        problems = [apt.SquarePulseProblem(v=tuple(v), D=float(d))
+                    for v, d in zip(Vs, Ds)]
+    else:
+        raise SystemExit(
+            "ensemble supports --problem gaussian or square_pulse"
+        )
+    taus = tuple(args.thresholds)
+    t0 = time.time()
+    out = ensemble_forecast(md, domain, problems, order=args.order,
+                            thresholds=taus)
+    wall = time.time() - t0
+    if args.save:
+        np.savez(args.save, mean=np.asarray(out["mean"]),
+                 std=np.asarray(out["std"]),
+                 exceedance=np.asarray(out.get("exceedance", [])),
+                 thresholds=np.asarray(taus),
+                 midpoints=np.asarray(md.midpoints))
+        print(f"saved ensemble products to {args.save}", file=sys.stderr)
+    exc = out.get("exceedance")
+    print(json.dumps({
+        "method": "ensemble", "members": args.members,
+        "mesh_size": args.mesh_size, "nt": args.nt, "order": args.order,
+        "mean_field_max": float(out["mean"].max()),
+        "spread_max": float(out["std"].max()),
+        "exceedance_mean": {str(t): float(exc[i].mean())
+                            for i, t in enumerate(taus)} if exc is not None
+        else {},
+        "wall_s": round(wall, 3),
+    }))
+
+
+def cmd_fit_deposition(args):
+    """Deposition-velocity estimation from a saved trajectory: the CLI
+    face of diagnostics.inverse.fit_deposition."""
+    import numpy as np
+
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import load_field
+
+    domain, problem = _domain_problem(args)
+    if not args.robin:
+        raise SystemExit("fit-deposition needs --robin side=...,side=... "
+                         "naming the walls to estimate")
+    problem.robin_sides = _parse_robin(args.robin)
+    md = _mesh_data(args, domain)
+    observed, times = load_field(args.observed)
+    if observed.ndim != 2 or times is None:
+        raise SystemExit(
+            "fit-deposition needs a trajectory .npz with times "
+            "(solve --robin ... --save --save_all)"
+        )
+    dt = domain.T / (args.nt - 1)
+    indices = [int(round(float(t) / dt)) for t in np.asarray(times)]
+    rows = [k for k, i in enumerate(indices) if i > 0]
+    idx = [indices[k] for k in rows]
+    obs = np.asarray(observed)[rows]
+    alphas, losses = inverse.fit_deposition(
+        obs, md, problem, alpha0=args.alpha0, snapshot_indices=idx,
+        steps=args.steps, lr=args.lr,
+    )
+    print(json.dumps({
+        "method": "fit_deposition", "alphas": alphas,
+        "n_snapshots": len(idx),
+        "misfit_first": float(losses[0]), "misfit_last": float(losses[-1]),
+        "steps": args.steps,
+    }))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="airpollution_tpu",
                                 description=__doc__.splitlines()[0])
@@ -327,6 +434,12 @@ def build_parser():
 
     sp = sub.add_parser("solve", help="CRBE FEM solve")
     common(sp)
+    sp.add_argument("--robin", default="",
+                    help="Robin/deposition walls as side=alpha pairs, "
+                         "e.g. --robin bottom=0.01,top=0 (alpha=0: "
+                         "no-flux wall; alpha=v_d: dry deposition; "
+                         "unnamed sides stay Dirichlet; forces the ELL "
+                         "path)")
     sp.add_argument("--order", type=int, default=1, choices=(1, 2))
     sp.add_argument("--matvec_impl", default="auto",
                     choices=("auto", "ell", "stencil", "uniform", "pallas",
@@ -394,6 +507,42 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=300)
     sp.add_argument("--lr", type=float, default=0.1)
     sp.set_defaults(fn=cmd_fit_source)
+
+    sp = sub.add_parser(
+        "ensemble",
+        help="Ensemble forecast under perturbed transport parameters",
+    )
+    common(sp)
+    sp.add_argument("--order", type=int, default=2, choices=(1, 2))
+    sp.add_argument("--members", type=int, default=32)
+    sp.add_argument("--d_spread", type=float, default=0.3,
+                    help="lognormal sigma of the D perturbation")
+    sp.add_argument("--v_spread", type=float, default=0.15,
+                    help="Gaussian sigma per wind component")
+    sp.add_argument("--thresholds", type=float, nargs="+",
+                    default=[0.01, 0.03],
+                    help="exceedance thresholds for P(c > tau) maps")
+    sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--save", default="",
+                    help="save mean/std/exceedance products to .npz")
+    sp.set_defaults(fn=cmd_ensemble)
+
+    sp = sub.add_parser(
+        "fit-deposition",
+        help="Estimate wall deposition velocities from observations",
+    )
+    common(sp)
+    sp.add_argument("--robin", required=True,
+                    help="side=alpha pairs naming the walls to estimate "
+                         "(values are static defaults; the fit optimizes "
+                         "traced overrides)")
+    sp.add_argument("--observed", required=True,
+                    help=".npz trajectory from solve --robin ... "
+                         "--save --save_all (times included)")
+    sp.add_argument("--alpha0", type=float, default=0.1)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--lr", type=float, default=0.05)
+    sp.set_defaults(fn=cmd_fit_deposition)
     return p
 
 

@@ -113,3 +113,36 @@ def test_cli_turning_wind_solve(in_tmp_dir, capsys):
     assert res["method"] == "crbe_quasi_static"
     assert res["reassemble_every"] == 3
     assert res["rel_l2"] is not None and np.isfinite(res["rel_l2"])
+
+
+def test_cli_robin_solve_and_fit_deposition_roundtrip(in_tmp_dir, capsys):
+    cli.main(["solve", "--mesh_size", "8", "--nt", "9",
+              "--problem", "square_pulse", "--v", "0", "0", "--D", "1.0",
+              "--robin", "right=0.5,top=0.5", "--order", "1",
+              "--save", "robin_obs.npz", "--save_all"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe"
+    assert os.path.exists("robin_obs.npz")
+
+    cli.main(["fit-deposition", "--mesh_size", "8", "--nt", "9",
+              "--problem", "square_pulse", "--v", "0", "0", "--D", "1.0",
+              "--robin", "right=0.5,top=0.5",
+              "--observed", "robin_obs.npz",
+              "--alpha0", "0.2", "--steps", "60", "--lr", "0.1"])
+    fit = _last_json(capsys)
+    assert fit["misfit_last"] < fit["misfit_first"]
+    # f32 CLI + tiny mesh: both walls recovered to the right magnitude.
+    for side in ("right", "top"):
+        assert abs(fit["alphas"][side] - 0.5) < 0.2, fit["alphas"]
+
+
+def test_cli_ensemble_products(in_tmp_dir, capsys):
+    cli.main(["ensemble", "--mesh_size", "8", "--nt", "9",
+              "--members", "4", "--thresholds", "0.01", "0.05",
+              "--save", "ens.npz"])
+    res = _last_json(capsys)
+    assert res["method"] == "ensemble" and res["members"] == 4
+    assert 0.0 <= res["exceedance_mean"]["0.01"] <= 1.0
+    data = np.load("ens.npz")
+    assert data["mean"].shape == data["std"].shape
+    assert data["exceedance"].shape[0] == 2
