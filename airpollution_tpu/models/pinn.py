@@ -256,7 +256,49 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
         ic_loss = jnp.mean(jnp.square(ic_pred - ic_target))
     bc_pred = ansatz_apply(params, xyt_bc, activation, problem, hard_ic,
                            t_final)
-    bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
+    robin = getattr(problem, "robin_sides", None)
+    if not robin:
+        bc_loss = jnp.mean(jnp.square(bc_pred - bc_target))
+    else:
+        # Robin walls (problems.AdDifProblem.robin_sides — STATIC pytree
+        # aux, so the branch resolves at trace time): on named sides the
+        # boundary residual is the flux law D dc/dn + alpha c - g
+        # instead of the Dirichlet mismatch. sample_boundary_points
+        # blocks sides contiguously in the fixed order below, so the
+        # robin rows are static slices; dc/dn is one vmapped grad over
+        # the robin subset (scalar D only — the FEM path handles tensor
+        # D through the weak form, the PINN flux residual does not).
+        from airpollution_tpu.problems import SIDE_NORMALS
+
+        n_side = xyt_bc.shape[0] // 4
+        side_order = ("left", "right", "bottom", "top")
+        unknown = set(robin) - set(side_order)
+        if unknown:
+            raise ValueError(
+                f"unknown robin_sides {sorted(unknown)} — expected a "
+                f"subset of {sorted(side_order)}"
+            )
+
+        def u_point(p):
+            return ansatz_apply(params, p, activation, problem, hard_ic,
+                                t_final)[0]
+
+        res = bc_pred - bc_target
+        for i, s in enumerate(side_order):
+            if s not in robin:
+                continue
+            lo, hi = i * n_side, (i + 1) * n_side
+            pts = xyt_bc[lo:hi]
+            grad = jax.vmap(jax.grad(u_point))(pts)
+            nx, ny = SIDE_NORMALS[s]
+            dcdn = nx * grad[:, 0] + ny * grad[:, 1]
+            g = problem.robin_g(pts[:, :2], pts[:, 2], s)
+            flux_res = (problem.D * dcdn + robin[s] * bc_pred[lo:hi, 0]
+                        - g)
+            # Traced problem leaves may be x64 while the model is f32 —
+            # keep the residual in the model's dtype.
+            res = res.at[lo:hi, 0].set(flux_res.astype(res.dtype))
+        bc_loss = jnp.mean(jnp.square(res))
 
     lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
                   lambda_weights["bc"])
@@ -341,13 +383,6 @@ class PINN:
                  fourier_scale=1.0, hard_ic=False):
         if activation not in _ACTIVATIONS:
             raise ValueError(f"Activation function {activation} not implemented")
-        if getattr(problem, "robin_sides", None):
-            raise ValueError(
-                "Robin boundaries (problem.robin_sides) are a FEM feature "
-                "— the PINN boundary loss trains Dirichlet data "
-                "(problem.boundary_fn) on every side and would fit wrong "
-                "values on deposition walls; use CRBESolver"
-            )
         self.layers = list(layers)
         self.problem = problem
         self.domain = domain
@@ -897,6 +932,11 @@ class PINN:
         calls (fused Adam moments live in ``self._parallel_state``)."""
         from airpollution_tpu.parallel import pinn_parallel
 
+        if getattr(self.problem, "robin_sides", None):
+            raise ValueError(
+                "Robin boundaries run on the serial trainer only — the "
+                "parallel trainer's boundary loss is Dirichlet-only"
+            )
         # Cache the jitted shard_map trainer like the serial path does —
         # rebuilding per call would recompile the full epoch scan on every
         # continuation chunk. The problem is a TRACED argument of the

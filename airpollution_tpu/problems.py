@@ -59,6 +59,14 @@ def _register_problem_pytree(cls, fields):
     return cls
 
 
+# Public alias: USER problem subclasses (e.g. overriding robin_g or the
+# source) must register themselves to be passed as traced arguments to
+# the jitted trainers/sweeps — registration does not extend to
+# subclasses. Closure-captured problems (CRBESolver) need no
+# registration.
+register_problem_pytree = _register_problem_pytree
+
+
 # Outward unit normals of the box sides, keyed by the side names a
 # ``robin_sides`` spec may use (AdDifProblem.robin_sides).
 SIDE_NORMALS = {
@@ -83,16 +91,18 @@ def exact_robin_g(problem, xy, t, side):
     xy = jnp.asarray(xy)
     alpha = problem.robin_sides[side]
     nx, ny = SIDE_NORMALS[side]
-    t_arr = jnp.asarray(t, dtype=xy.dtype)
+    # t: scalar (the FEM loop passes one step time) or per-point (N,)
+    # (the PINN boundary loss passes each collocation point's own t).
+    ts = jnp.broadcast_to(jnp.asarray(t, dtype=xy.dtype), (xy.shape[0],))
 
-    def c_of_xy(p):
-        xyt = jnp.concatenate([p, t_arr[None]])[None, :]
+    def c_of_xy(p, ti):
+        xyt = jnp.concatenate([p, ti[None]])[None, :]
         return problem.analytical_solution(xyt)[0]
 
     c = problem.analytical_solution(
-        jnp.concatenate([xy, jnp.full((xy.shape[0], 1), t_arr)], axis=1)
+        jnp.concatenate([xy, ts[:, None]], axis=1)
     )
-    grad = jax.vmap(jax.grad(c_of_xy))(xy)
+    grad = jax.vmap(jax.grad(c_of_xy))(xy, ts)
     dcdn = nx * grad[:, 0] + ny * grad[:, 1]
     return alpha * c + problem.D * dcdn
 
@@ -161,7 +171,9 @@ class AdDifProblem(abc.ABC):
         """Robin inhomogeneity g(x, y, t) on the named side (see
         ``robin_sides``). Default 0 (pure deposition / no-flux walls);
         override for inhomogeneous flux data. ``side`` is a static
-        string — per-side outward normals are in ``SIDE_NORMALS``."""
+        string — per-side outward normals are in ``SIDE_NORMALS``.
+        ``t`` is a scalar (FEM step time) or per-point (N,) array (PINN
+        boundary collocation times)."""
         xy = jnp.asarray(xy)
         return jnp.zeros(xy.shape[0], dtype=xy.dtype)
 

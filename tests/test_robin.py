@@ -115,6 +115,13 @@ class _RobinPlume(Problem):
         return exact_robin_g(self, xy, t, side)
 
 
+# Subclasses must self-register to be traced arguments of the jitted
+# PINN trainer (problems.register_problem_pytree).
+from airpollution_tpu.problems import register_problem_pytree  # noqa: E402
+
+register_problem_pytree(_RobinPlume, ("v", "D", "sigma", "reaction"))
+
+
 def test_robin_mms_matches_exact_solution_and_converges():
     domain = Domain()
     errs = {}
@@ -150,10 +157,16 @@ def test_robin_rejected_on_fast_and_parallel_paths():
     # 'auto' routes to ELL and solves.
     solver = CRBESolver(domain, p, md)
     assert solver.matvec_impl == "ell"
+    # The PARALLEL PINN trainer is Dirichlet-only.
     from airpollution_tpu.models.pinn import PINN
 
-    with pytest.raises(ValueError, match="FEM feature"):
-        PINN([3, 8, 1], p, domain)
+    model = PINN([3, 8, 1], p, domain)
+    with pytest.raises(ValueError, match="serial trainer"):
+        import jax
+
+        mesh = jax.make_mesh((len(jax.devices()), 1), ("dp", "tp"))
+        model.train_parallel(mesh, {"pde": 8, "ic": 4, "bc": 4}, 1, 1e-3,
+                             {"pde": 1.0, "ic": 1.0, "bc": 1.0})
 
 
 def test_robin_survives_problem_pytree_roundtrip():
@@ -187,3 +200,71 @@ def test_fit_deposition_recovers_velocities():
     assert losses[-1] < 0.1 * losses[0]
     for side, a_true in truth.items():
         assert abs(alphas[side] - a_true) / a_true < 0.08, (side, alphas)
+
+
+def test_pinn_robin_flux_residual_matches_finite_differences():
+    """The PINN boundary loss on a Robin side is the flux residual
+    D dc/dn + alpha c - g of the NETWORK — validated against a central
+    finite-difference normal derivative of the same network."""
+    import jax
+    from airpollution_tpu.models import pinn as pinn_mod
+
+    domain = Domain(T=2.0)
+    p = SquarePulseProblem(v=(0.0, 0.0), D=0.7)
+    p.robin_sides = {"right": 0.4}
+    model = pinn_mod.PINN([3, 6, 1], p, domain, activation="tanh", seed=3)
+
+    n_bc = 16  # 4 per side, contiguous in order left/right/bottom/top
+    rng = np.random.default_rng(0)
+    xyt_bc = np.zeros((n_bc, 3))
+    xyt_bc[:, 2] = rng.uniform(0, 2, n_bc)
+    ys = rng.uniform(-20, 20, n_bc)
+    xs = rng.uniform(-20, 20, n_bc)
+    xyt_bc[0:4, 0], xyt_bc[0:4, 1] = -20.0, ys[0:4]     # left
+    xyt_bc[4:8, 0], xyt_bc[4:8, 1] = 20.0, ys[4:8]      # right (robin)
+    xyt_bc[8:12, 0], xyt_bc[8:12, 1] = xs[8:12], -20.0  # bottom
+    xyt_bc[12:16, 0], xyt_bc[12:16, 1] = xs[12:16], 20.0  # top
+    xyt_bc = jnp.asarray(xyt_bc, jnp.float64)
+    params = jax.tree.map(lambda a: a.astype(jnp.float64), model.params)
+
+    bc_target = jnp.asarray(p.boundary_fn(xyt_bc)).reshape(-1, 1)
+    xyt_pde = xyt_bc  # unused by the bc term
+    ic = xyt_bc[:4]
+    ic_t = bc_target[:4]
+    lw = {"pde": 0.0, "ic": 0.0, "bc": 3.0}
+    _, (_, _, bc_loss) = pinn_mod.composite_loss(
+        params, p, xyt_pde, ic, ic_t, xyt_bc, bc_target, lw, None, "tanh")
+
+    def fwd(pts):
+        return np.asarray(pinn_mod.mlp_apply(params, jnp.asarray(pts),
+                                             "tanh"))[:, 0]
+
+    eps = 1e-6
+    res = fwd(xyt_bc) - np.asarray(bc_target)[:, 0]  # dirichlet rows
+    pr = np.asarray(xyt_bc[4:8])
+    dplus, dminus = pr.copy(), pr.copy()
+    dplus[:, 0] += eps
+    dminus[:, 0] -= eps
+    dcdn = (fwd(dplus) - fwd(dminus)) / (2 * eps)  # outward normal = +x
+    res[4:8] = 0.7 * dcdn + 0.4 * fwd(pr)  # g = 0 default
+    np.testing.assert_allclose(float(bc_loss), np.mean(res ** 2),
+                               rtol=1e-6)
+
+
+def test_pinn_robin_mms_training_improves():
+    """Short PINN training on the manufactured Robin plume: the loss and
+    the boundary term both drop, errors stay finite (the full-accuracy
+    campaign lives in the FEM MMS test; this pins the trainable path)."""
+    from airpollution_tpu.models.pinn import PINN
+
+    domain = Domain()
+    p = _RobinPlume(v=(1.6, 0.0), D=0.1)
+    model = PINN([3, 12, 12, 1], p, domain, activation="tanh", seed=0)
+    batch = {"pde": 256, "ic": 64, "bc": 64}
+    hist = model.train(batch, 300, 1e-3,
+                       {"pde": 1.0, "ic": 10.0, "bc": 10.0})
+    assert hist["total_loss"][-1] < 0.5 * hist["total_loss"][0]
+    assert hist["bc_loss"][-1] < hist["bc_loss"][0]
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    rel, l2, mx = model.compute_errors(md, p.analytical_solution)
+    assert np.isfinite([rel, l2, mx]).all()
