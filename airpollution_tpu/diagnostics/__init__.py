@@ -7,6 +7,7 @@ from airpollution_tpu.diagnostics.inverse import (
     fit_diffusion,
     fit_parameters,
     fit_source,
+    receptor_footprint,
     solve_final_state,
     solve_multispecies_snapshots,
     solve_snapshots,
@@ -35,6 +36,7 @@ __all__ = [
     "fit_diffusion",
     "fit_parameters",
     "fit_source",
+    "receptor_footprint",
     "solve_final_state",
     "solve_multispecies_snapshots",
     "solve_snapshots",

@@ -504,6 +504,71 @@ def solve_multispecies_snapshots(problem, mesh_data, *, R=None,
     return sols[jnp.asarray(indices)]
 
 
+def receptor_footprint(mesh_data, domain, problem, receptor_indices, *,
+                       time_scheme_order: int = 1,
+                       stiffness_convention: str = "correct",
+                       tol: float = 1e-9, maxiter: int = 200):
+    """Adjoint source-attribution (footprint) maps for receptors.
+
+    For each receptor DOF r, the map ``F_r[j] = d c(x_r, T) / d s_j`` —
+    the sensitivity of the final-time reading at a monitoring station to
+    a STEADY per-DOF emission field s (entering each implicit step as
+    the corrected lumped-mass load ``dt·M·s``, models/crbe.run_time_loop
+    semantics). This is the standard receptor-oriented inverse-modeling
+    product (which emitters can influence this station, and by how
+    much): ONE adjoint solve per receptor, obtained here by ``jacrev``
+    of the differentiable time loop with the emission field as the
+    traced argument — no finite differences over whole solves.
+
+    Returns ``(len(receptor_indices), n_seg)``. Transport (v, D,
+    reaction, Robin walls) comes from ``problem``; its own source term
+    does not enter the sensitivity (the map is linear in s, evaluated at
+    s = 0, and the PDE is linear). ELL path (general meshes).
+    """
+    md = mesh_data
+    dt = float(md.domain.T) / (md.nt - 1)
+    ops = assemble(md, problem, dt, time_scheme_order,
+                   stiffness_convention)
+    n = md.number_of_segments
+    u0 = jnp.zeros((n,), md.midpoints.dtype)
+    rec = jnp.asarray([int(i) for i in receptor_indices])
+
+    class _FieldSourceProxy:
+        """Transport/boundary semantics of ``problem`` with a traced
+        per-DOF steady emission vector as the source (closure arg)."""
+
+        zero_source = False
+        robin_sides = getattr(problem, "robin_sides", None)
+
+        def __init__(self, s_vec):
+            self._s = s_vec
+
+        def source_term(self, xyt):
+            return self._s
+
+        def robin_g(self, xy, t, side):
+            return problem.robin_g(xy, t, side)
+
+        @staticmethod
+        def boundary_fn(xyt):
+            # Sensitivity of the homogeneous-in-s problem: the lift is
+            # s-independent, and a zero lift keeps the map exact for
+            # the superposed solution (linear PDE).
+            return jnp.zeros(xyt.shape[0], xyt.dtype)
+
+    def readings(s_vec):
+        proxy = _FieldSourceProxy(s_vec)
+        sols, _ = run_time_loop(
+            ops, u0, mesh_data=md, problem=proxy, dt=dt,
+            order=time_scheme_order, tol=tol, maxiter=maxiter,
+            store_solutions=False, differentiable=True,
+        )
+        return sols[0][rec]
+
+    return jax.jit(jax.jacrev(readings))(jnp.zeros((n,),
+                                                   md.midpoints.dtype))
+
+
 def fit_deposition(observed, mesh_data, problem, *, alpha0: float = 0.1,
                    snapshot_indices=None, sensor_indices=None,
                    steps: int = 150, lr: float = 0.1,

@@ -268,3 +268,58 @@ def test_pinn_robin_mms_training_improves():
     md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
     rel, l2, mx = model.compute_errors(md, p.analytical_solution)
     assert np.isfinite([rel, l2, mx]).all()
+
+
+def test_receptor_footprint_matches_finite_differences():
+    """Adjoint source-attribution map vs brute-force perturbation: the
+    footprint row F_r must equal (c_eps(x_r, T) - c_0(x_r, T)) / eps for
+    a steady unit-source bump at any emitter DOF (the PDE is linear in
+    s, so the 'finite' difference is exact up to solver tolerance)."""
+    from airpollution_tpu.diagnostics import inverse, receptor_footprint
+    from airpollution_tpu.models.crbe import run_time_loop
+
+    domain = Domain(T=2.0)
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    p = Problem(v=(1.0, 0.5), D=0.2)
+    receptors = [int(md.number_of_segments // 2), 7]
+    F = np.asarray(receptor_footprint(md, domain, p, receptors))
+    assert F.shape == (2, md.number_of_segments)
+    assert np.isfinite(F).all() and np.abs(F).max() > 0
+
+    # Brute force at a few emitter DOFs via the sourced linear solve.
+    import jax
+
+    dt = float(domain.T) / (md.nt - 1)
+    from airpollution_tpu.models.crbe import assemble
+
+    ops = assemble(md, p, dt, 1, "correct")
+    n = md.number_of_segments
+    rng = np.random.default_rng(1)
+    probe = rng.choice(n, 4, replace=False)
+
+    def reading(s_vec):
+        class _P:
+            zero_source = False
+
+            @staticmethod
+            def source_term(xyt):
+                return s_vec
+
+            @staticmethod
+            def boundary_fn(xyt):
+                return jnp.zeros(xyt.shape[0], xyt.dtype)
+
+        sols, _ = run_time_loop(
+            ops, jnp.zeros((n,), jnp.float64), mesh_data=md, problem=_P,
+            dt=dt, order=1, tol=1e-12, maxiter=400,
+            store_solutions=False)
+        return np.asarray(sols[0])[receptors]
+
+    base = reading(jnp.zeros((n,), jnp.float64))
+    for j in probe:
+        e = jnp.zeros((n,), jnp.float64).at[int(j)].set(1.0)
+        delta = reading(e) - base
+        # Both sides are Krylov solves (adjoint tol 1e-9, probe tol
+        # 1e-12) — agreement to solver tolerance, not bitwise.
+        np.testing.assert_allclose(F[:, int(j)], delta, rtol=1e-4,
+                                   atol=1e-12)
