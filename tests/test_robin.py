@@ -323,3 +323,22 @@ def test_receptor_footprint_matches_finite_differences():
         # 1e-12) — agreement to solver tolerance, not bitwise.
         np.testing.assert_allclose(F[:, int(j)], delta, rtol=1e-4,
                                    atol=1e-12)
+
+
+def test_receptor_footprint_extends_upwind():
+    """Physics of the adjoint map: with wind v=(1, 0) a receptor is
+    influenced by UPWIND emitters — the footprint mass at x < x_r must
+    dominate the mass at x > x_r."""
+    from airpollution_tpu.diagnostics import receptor_footprint
+
+    domain = Domain(T=4.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=17, dtype=jnp.float64)
+    mid = np.asarray(md.midpoints)
+    # Receptor near the domain center.
+    r = int(np.argmin(np.abs(mid[:, 0]) + np.abs(mid[:, 1])))
+    p = Problem(v=(1.0, 0.0), D=0.3)
+    F = np.asarray(receptor_footprint(md, domain, p, [r]))[0]
+    x_r = mid[r, 0]
+    upwind = F[mid[:, 0] < x_r - 1.0].sum()
+    downwind = F[mid[:, 0] > x_r + 1.0].sum()
+    assert upwind > 5.0 * max(downwind, 0.0), (upwind, downwind)
