@@ -270,3 +270,62 @@ def plot_pinn_interpolated_solution(model, t, mesh_data,
     plt.savefig(base + ".png", dpi=500)
     plt.close(fig)
     print(f"Saved at {base}.pdf/png")
+
+
+def plot_exceedance_maps(mesh_data, exceedance, thresholds,
+                         save_dir="results", name="exceedance"):
+    """Alert-probability panels P(c(x, T) > tau) from an ensemble
+    forecast (diagnostics/ensemble.ensemble_forecast 'exceedance'
+    product): one tricontourf per threshold on the midpoint
+    triangulation, probability colormap fixed to [0, 1]."""
+    plt, mtri = _mpl()
+    md = mesh_data
+    os.makedirs(save_dir, exist_ok=True)
+    midpoints = np.asarray(md.midpoints)
+    t2s = np.asarray(md.triangle_to_segments)
+    triang = mtri.Triangulation(midpoints[:, 0], midpoints[:, 1], t2s)
+    exc = np.asarray(exceedance)
+    n = exc.shape[0]
+    fig, axs = plt.subplots(1, n, figsize=(6 * n, 5.5), squeeze=False)
+    levels = np.linspace(0.0, 1.0, 21)
+    for ax, probs, tau in zip(axs[0], exc, thresholds):
+        c = ax.tricontourf(triang, probs, levels=levels, cmap="magma",
+                           vmin=0.0, vmax=1.0)
+        ax.set_title(f"P(c > {tau:g}) at t = T")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.colorbar(c, ax=ax)
+    plt.tight_layout()
+    path = f"{save_dir}/{name}.png"
+    plt.savefig(path, dpi=300)
+    plt.close(fig)
+    return path
+
+
+def plot_footprint(mesh_data, footprint, receptor_index,
+                   save_dir="results", name="footprint"):
+    """Receptor source-attribution map (diagnostics.receptor_footprint
+    row): the adjoint sensitivity of one station's final-time reading to
+    a steady per-DOF emission field, with the receptor marked."""
+    plt, mtri = _mpl()
+    md = mesh_data
+    os.makedirs(save_dir, exist_ok=True)
+    midpoints = np.asarray(md.midpoints)
+    t2s = np.asarray(md.triangle_to_segments)
+    triang = mtri.Triangulation(midpoints[:, 0], midpoints[:, 1], t2s)
+    F = np.asarray(footprint)
+    fig, ax = plt.subplots(figsize=(8, 6.5))
+    c = ax.tricontourf(triang, F, 30, cmap="viridis")
+    rx, ry = midpoints[int(receptor_index)]
+    ax.plot([rx], [ry], marker="*", markersize=16, color="red",
+            markeredgecolor="white", linestyle="none", label="receptor")
+    ax.legend(loc="upper right")
+    ax.set_title("Receptor footprint  dc(x_r, T) / ds_j")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    fig.colorbar(c, ax=ax)
+    plt.tight_layout()
+    path = f"{save_dir}/{name}.png"
+    plt.savefig(path, dpi=300)
+    plt.close(fig)
+    return path

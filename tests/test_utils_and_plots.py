@@ -130,3 +130,22 @@ def test_solver_and_pinn_plots_write_files(tmp_path):
     assert "error_evolution.png" in made
     assert any(f.startswith("loss_history") for f in made)
     assert len([f for f in made if f.endswith(".png")]) >= 5
+
+
+def test_exceedance_and_footprint_plots_write_files(tmp_path):
+    import jax.numpy as jnp
+
+    from airpollution_tpu.diagnostics import (ensemble_forecast,
+                                              receptor_footprint)
+
+    domain = Domain(T=2.0)
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9, dtype=jnp.float64)
+    out = ensemble_forecast(md, domain,
+                            [Problem(D=d) for d in (0.05, 0.1, 0.3)],
+                            thresholds=(0.01, 0.05))
+    p1 = plots.plot_exceedance_maps(md, out["exceedance"], (0.01, 0.05),
+                                    save_dir=str(tmp_path))
+    F = receptor_footprint(md, domain, Problem(v=(1.0, 0.0), D=0.2), [7])
+    p2 = plots.plot_footprint(md, F[0], 7, save_dir=str(tmp_path))
+    assert os.path.exists(p1) and os.path.getsize(p1) > 0
+    assert os.path.exists(p2) and os.path.getsize(p2) > 0
