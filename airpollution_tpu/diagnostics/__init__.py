@@ -13,6 +13,7 @@ from airpollution_tpu.diagnostics.inverse import (
     solve_snapshots,
 )
 from airpollution_tpu.diagnostics.ensemble import (
+    enkf_update,
     ensemble_forecast,
     stack_problems,
 )
@@ -29,6 +30,7 @@ from airpollution_tpu.diagnostics.analysis import (
 
 __all__ = [
     "ComprehensiveAnalysis",
+    "enkf_update",
     "ensemble_forecast",
     "stack_problems",
     "fit_chemistry",

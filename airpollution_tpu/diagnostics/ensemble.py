@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from airpollution_tpu.models.crbe import assemble, reject_robin, run_time_loop
 
-__all__ = ["stack_problems", "ensemble_forecast"]
+__all__ = ["stack_problems", "ensemble_forecast", "enkf_update"]
 
 
 def stack_problems(problems):
@@ -131,3 +131,53 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
         return out
 
     return stats(members)
+
+
+@jax.jit
+def _enkf_update(members, y, sensors, obs_std, eps):
+    X = members                                   # (K, n) forecast
+    K_ens = X.shape[0]
+    S = X[:, sensors]                             # (K, m) at stations
+    A = X - X.mean(axis=0)                        # (K, n) anomalies
+    As = S - S.mean(axis=0)                       # (K, m)
+    # Sample covariances never materialize at (n, n): the gain is built
+    # from (n, m) and (m, m) matmuls — MXU work, K and m are small.
+    C = (As.T @ As) / (K_ens - 1)                 # (m, m) = H P H^T
+    C = C + (obs_std ** 2) * jnp.eye(C.shape[0], dtype=X.dtype)
+    PHt = (A.T @ As) / (K_ens - 1)                # (n, m) = P H^T
+    innov = (y[None, :] + eps) - S                # (K, m) perturbed-obs
+    # x_a = x_f + P H^T C^{-1} innov, solved not inverted.
+    return X + innov @ jnp.linalg.solve(C, PHt.T)
+
+
+def enkf_update(members, observations, sensor_indices, obs_std, key):
+    """Stochastic ensemble-Kalman analysis step (perturbed observations).
+
+    ``members`` is the (K, n_seg) forecast ensemble (e.g.
+    ``ensemble_forecast(...)["members"]``), ``observations`` the (m,)
+    station readings at ``sensor_indices``, ``obs_std`` the observation
+    noise level (R = obs_std^2 I). Each member is nudged toward its own
+    noise-perturbed copy of the observations through the Kalman gain
+    built from the ensemble sample covariance (Evensen 1994/Burgers et
+    al. 1998) — the analysis ensemble's sample statistics are consistent
+    with the Kalman posterior. The covariance never materializes at
+    (n, n): the gain is (n, m) x (m, m) matmuls with small m, K.
+
+    No localization is applied — appropriate for the moderate state
+    sizes of 2D forecasting; at K << n with dense networks consider
+    thinning the sensor set. Returns the (K, n_seg) analysis ensemble.
+    """
+    X = jnp.asarray(members)
+    y = jnp.asarray(observations, X.dtype)
+    sensors = jnp.asarray([int(i) for i in sensor_indices])
+    if y.shape != (sensors.shape[0],):
+        raise ValueError(
+            f"observations {y.shape} must match sensor_indices "
+            f"({sensors.shape[0]},)"
+        )
+    if X.shape[0] < 2:
+        raise ValueError("EnKF needs at least 2 ensemble members")
+    eps = obs_std * jax.random.normal(
+        key, (X.shape[0], sensors.shape[0]), X.dtype
+    )
+    return _enkf_update(X, y, sensors, jnp.asarray(obs_std, X.dtype), eps)
