@@ -128,6 +128,27 @@ def _parse_robin(spec: str):
     return out
 
 
+def _trajectory_rows(domain, args, observed, times, cmd):
+    """Map saved snapshot times onto this run's time grid, dropping t=0
+    (the IC row carries no source/deposition information). JAX gather
+    clamps out-of-range indices silently, so a trajectory saved at a
+    finer nt than the fit's --nt must fail loudly here."""
+    import numpy as np
+
+    dt = domain.T / (args.nt - 1)
+    indices = [int(round(float(t) / dt)) for t in np.asarray(times)]
+    bad = [i for i in indices if i > args.nt - 1]
+    if bad:
+        raise SystemExit(
+            f"{cmd}: observed snapshot times map to step indices {bad} "
+            f"outside this run's grid (--nt {args.nt}); re-run with the "
+            f"--nt the trajectory was saved with"
+        )
+    rows = [k for k, i in enumerate(indices) if i > 0]
+    idx = [indices[k] for k in rows]
+    return np.asarray(observed)[rows], idx
+
+
 def _errors_or_none(compute, problem):
     """Error triple against the analytical solution, or Nones when the
     problem has no closed form (square_pulse, gaussian_source)."""
@@ -266,13 +287,8 @@ def cmd_fit_source(args):
         )
     if times is None:
         raise SystemExit("observed .npz carries no times array")
-    dt = domain.T / (args.nt - 1)
-    # Map saved snapshot times onto this run's time grid; drop t=0 (the
-    # IC row carries no source information).
-    indices = [int(round(float(t) / dt)) for t in np.asarray(times)]
-    rows = [k for k, i in enumerate(indices) if i > 0]
-    idx = [indices[k] for k in rows]
-    obs = np.asarray(observed)[rows]
+    obs, idx = _trajectory_rows(domain, args, observed, times,
+                                "fit-source")
     sensors = None
     if args.sensors and args.sensors < md.number_of_segments:
         rng = np.random.default_rng(args.sensor_seed)
@@ -349,8 +365,6 @@ def cmd_ensemble(args):
 def cmd_fit_deposition(args):
     """Deposition-velocity estimation from a saved trajectory: the CLI
     face of diagnostics.inverse.fit_deposition."""
-    import numpy as np
-
     from airpollution_tpu.diagnostics import inverse
     from airpollution_tpu.io.checkpoint import load_field
 
@@ -366,11 +380,8 @@ def cmd_fit_deposition(args):
             "fit-deposition needs a trajectory .npz with times "
             "(solve --robin ... --save --save_all)"
         )
-    dt = domain.T / (args.nt - 1)
-    indices = [int(round(float(t) / dt)) for t in np.asarray(times)]
-    rows = [k for k, i in enumerate(indices) if i > 0]
-    idx = [indices[k] for k in rows]
-    obs = np.asarray(observed)[rows]
+    obs, idx = _trajectory_rows(domain, args, observed, times,
+                                "fit-deposition")
     alphas, losses = inverse.fit_deposition(
         obs, md, problem, alpha0=args.alpha0, snapshot_indices=idx,
         steps=args.steps, lr=args.lr,

@@ -51,6 +51,31 @@ def stack_problems(problems):
     )
 
 
+# Jitted forecast programs, keyed per (mesh, options, device-mesh) —
+# see the cache note inside ensemble_forecast. Bounded like
+# inverse._FIT_STEP_CACHE (id(mesh_data) keys would otherwise pin dead
+# meshes forever).
+_FORECAST_FN_CACHE: dict = {}
+_FORECAST_FN_CACHE_MAX = 8
+
+
+@jax.jit
+def _ensemble_stats_plain(m):
+    return {
+        "members": m,
+        "mean": m.mean(axis=0),
+        "std": m.std(axis=0, ddof=1) if m.shape[0] > 1
+        else jnp.zeros_like(m[0]),
+    }
+
+
+@jax.jit
+def _ensemble_stats(m, taus):
+    out = _ensemble_stats_plain(m)
+    out["exceedance"] = (m[None, :, :] > taus[:, None, None]).mean(axis=1)
+    return out
+
+
 def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
                       maxiter=200, stiffness_convention="correct",
                       source_quadrature="mass_lumped", thresholds=(),
@@ -77,21 +102,52 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
     n_members = len(problems)
     batched = stack_problems(problems)
 
-    def solve_one(problem):
-        ops = assemble(md, problem, dt, order, stiffness_convention)
-        u0 = jnp.asarray(
-            problem.initial_condition_fn(md.midpoints), md.midpoints.dtype
-        )
-        sols, _ = run_time_loop(
-            ops, u0, mesh_data=md, problem=problem, dt=dt, order=order,
-            tol=tol, maxiter=maxiter, store_solutions=False,
-            source_quadrature=source_quadrature,
-        )
-        return sols[0]
+    # One jitted program per (mesh, options, device-mesh) — NOT per call:
+    # the assimilation cycle (forecast -> enkf_update -> forecast) would
+    # otherwise retrace+recompile the full vmapped scan every cycle
+    # (~minutes per compile on the remote TPU tunnel). Follows the
+    # module-cache convention of inverse._fit_cache_get / the PINN
+    # trainer cache; jit itself handles new member counts / problem
+    # treedefs within one cached callable.
+    key = (id(md), float(dt), int(order), float(tol), int(maxiter),
+           stiffness_convention, source_quadrature,
+           None if mesh is None else (id(mesh), axis))
+    solve_batch = _FORECAST_FN_CACHE.get(key)
+    if solve_batch is None:
 
-    if mesh is None:
-        members = jax.jit(jax.vmap(solve_one))(batched)
-    else:
+        def solve_one(problem):
+            ops = assemble(md, problem, dt, order, stiffness_convention)
+            u0 = jnp.asarray(
+                problem.initial_condition_fn(md.midpoints),
+                md.midpoints.dtype,
+            )
+            sols, _ = run_time_loop(
+                ops, u0, mesh_data=md, problem=problem, dt=dt,
+                order=order, tol=tol, maxiter=maxiter,
+                store_solutions=False,
+                source_quadrature=source_quadrature,
+            )
+            return sols[0]
+
+        if mesh is None:
+            solve_batch = jax.jit(jax.vmap(solve_one))
+        else:
+            sharded = jax.shard_map(
+                jax.vmap(solve_one), mesh=mesh,
+                in_specs=P(axis), out_specs=P(axis), check_vma=False,
+            )
+            # Replicate on the way out: slicing off the padding members
+            # of a trial-sharded array is ambiguous, and the statistics
+            # reduce over the member axis anyway.
+            solve_batch = jax.jit(
+                sharded,
+                out_shardings=jax.NamedSharding(mesh, P()),
+            )
+        _FORECAST_FN_CACHE[key] = solve_batch
+        while len(_FORECAST_FN_CACHE) > _FORECAST_FN_CACHE_MAX:
+            _FORECAST_FN_CACHE.pop(next(iter(_FORECAST_FN_CACHE)))
+
+    if mesh is not None:
         n_dev = mesh.shape[axis]
         n_pad = (-n_members) % n_dev
         if n_pad:
@@ -101,36 +157,12 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
                 ),
                 batched,
             )
-        fn = jax.shard_map(
-            jax.vmap(solve_one), mesh=mesh,
-            in_specs=P(axis), out_specs=P(axis), check_vma=False,
-        )
-        members = jax.jit(fn)(batched)
-        # Replicate before stripping the padding members: slicing a
-        # trial-sharded array is ambiguous, and the statistics below
-        # reduce over the member axis anyway.
-        members = jax.jit(
-            lambda m: m,
-            out_shardings=jax.NamedSharding(mesh, P()),
-        )(members)[:n_members]
+    members = solve_batch(batched)[:n_members]
 
     taus = jnp.asarray(list(thresholds), members.dtype)
-
-    @jax.jit
-    def stats(m):
-        out = {
-            "members": m,
-            "mean": m.mean(axis=0),
-            "std": m.std(axis=0, ddof=1) if n_members > 1
-            else jnp.zeros_like(m[0]),
-        }
-        if taus.size:
-            out["exceedance"] = (
-                m[None, :, :] > taus[:, None, None]
-            ).mean(axis=1)
-        return out
-
-    return stats(members)
+    out = dict(_ensemble_stats(members, taus)) if taus.size \
+        else dict(_ensemble_stats_plain(members))
+    return out
 
 
 @jax.jit

@@ -526,7 +526,9 @@ def receptor_footprint(mesh_data, domain, problem, receptor_indices, *,
     s = 0, and the PDE is linear). ELL path (general meshes).
     """
     md = mesh_data
-    dt = float(md.domain.T) / (md.nt - 1)
+    # domain is authoritative for the horizon (ensemble_forecast
+    # convention); mismatching the mesh's own domain is a caller error.
+    dt = float(domain.T) / (md.nt - 1)
     ops = assemble(md, problem, dt, time_scheme_order,
                    stiffness_convention)
     n = md.number_of_segments

@@ -200,11 +200,17 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
             u_next = jnp.where(bmask, 0.0, sols[-1])
             return (sols[1:] if store_solutions else sols[-1:]), u_next
 
+    robin = getattr(problem, "robin_sides", None)
     cache_key = (id(md), type(problem), k, time_scheme_order,
                  stiffness_convention, float(tol), int(maxiter), solver,
                  int(chebyshev_iters), bool(extrapolate_warm_start),
                  bool(differentiable), source_quadrature,
-                 bool(store_solutions), matvec_impl)
+                 bool(store_solutions), matvec_impl,
+                 # The closure bakes the lift-strip bmask (reduced by
+                 # Robin sides) — a cache hit across different Robin
+                 # specs would silently zero deposition-wall DOFs in
+                 # the carry at every chunk boundary.
+                 None if not robin else tuple(sorted(robin.items())))
     if cache_key in _CHUNK_CACHE:
         chunk_fn = _CHUNK_CACHE[cache_key]
     else:

@@ -98,8 +98,6 @@ def main():
     for i, tau in enumerate(taus):
         exc_fem = np.asarray(out["exceedance"][i])
         exc_true = np.asarray((exact > tau).mean(0))
-        # Probability-weighted area (lumped) of the alert region.
-        w = np.asarray(md.segment_lengths)
         rows.append({
             "threshold": tau,
             "fem_exceedance_mean": float(exc_fem.mean()),
