@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import expm
 
 from airpollution_tpu.models.crbe import (GlobalOperators, assemble,
-                                          reject_robin)
+                                          robin_terms)
 from airpollution_tpu.ops import linalg, sparse
 
 __all__ = ["MultiSpeciesSolver", "run_multispecies_loop", "stack_operators"]
@@ -87,12 +87,15 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     matrix ``R``, which may be passed explicitly as a TRACED override of
     ``problem.R`` (the basis of diagnostics/inverse.fit_chemistry).
     """
-    reject_robin(problem, "the multi-species loop")
-    for sp in getattr(problem, "species", ()):
-        reject_robin(sp, "the multi-species loop")
     md = mesh_data
     midpoints = md.midpoints
-    bmask = md.boundary_mask
+    # Robin/deposition walls (per-species spec, common side partition —
+    # validated by MultiSpeciesProblem): the named sides leave the
+    # Dirichlet mask; the alpha * |e| terms were folded into each
+    # species' assembled operator. The homogeneous flux law only (g = 0,
+    # also validated), so the RHS needs no load. robin_terms raises on
+    # family-layout views — Robin runs are ELL-only.
+    bmask = robin_terms(md, problem.species[0])[0]
     nt = md.nt
     K, _ = C0.shape
     stacked = ops.mass_diag.ndim == 2
@@ -288,9 +291,17 @@ class MultiSpeciesSolver:
             )
         if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
-        reject_robin(problem, "MultiSpeciesSolver")
-        for sp in problem.species:
-            reject_robin(sp, "MultiSpeciesSolver")
+        # Robin/deposition walls (species-level spec): ELL path only —
+        # the family-layout masks are all-Dirichlet. 'auto' routes to
+        # ELL; explicit fast paths refuse.
+        if any(getattr(sp, "robin_sides", None) for sp in problem.species):
+            if matvec_impl in ("stencil", "uniform"):
+                raise ValueError(
+                    "Robin walls (species robin_sides) are supported on "
+                    "the general ELL path only — use matvec_impl='ell' "
+                    "(or 'auto')"
+                )
+            matvec_impl = "ell"
         if matvec_impl in ("stencil", "uniform"):
             if not problem.shared_transport:
                 raise ValueError(

@@ -708,6 +708,32 @@ class MultiSpeciesProblem:
             raise ValueError(
                 f"R must be ({K}, {K}) for {K} species, got {self.R.shape}"
             )
+        # Robin/deposition walls: deposition velocities are SPECIES
+        # properties (O3 and NO2 deposit at different rates), so the
+        # spec lives on the wrapped problems — but the Dirichlet/Robin
+        # PARTITION must be common (the vmapped transport loop applies
+        # one mask set across the (K, N) state). Alphas may differ;
+        # differing alphas make the transport operators per-species
+        # (see shared_transport).
+        sides0 = frozenset(getattr(self.species[0], "robin_sides", None)
+                           or ())
+        for k, p in enumerate(self.species[1:], start=1):
+            sides = frozenset(getattr(p, "robin_sides", None) or ())
+            if sides != sides0:
+                raise ValueError(
+                    f"species {k} names Robin sides {sorted(sides)} but "
+                    f"species 0 names {sorted(sides0)} — all species "
+                    "must share the Dirichlet/Robin partition "
+                    "(deposition velocities may differ)"
+                )
+        for k, p in enumerate(self.species):
+            if (getattr(p, "robin_sides", None)
+                    and type(p).robin_g is not AdDifProblem.robin_g):
+                raise ValueError(
+                    f"species {k} overrides robin_g — multi-species "
+                    "Robin walls support the homogeneous flux law only "
+                    "(deposition/no-flux; g = 0)"
+                )
 
     @property
     def n_species(self):
@@ -719,13 +745,18 @@ class MultiSpeciesProblem:
 
     @property
     def shared_transport(self):
-        """True when all species share (v, D) — one assembled operator."""
+        """True when all species share (v, D) AND identical Robin specs
+        — one assembled operator serves every species (deposition alphas
+        enter the operator diagonal, so differing velocities make the
+        operators per-species)."""
         import numpy as np
 
         p0 = self.species[0]
+        rb0 = getattr(p0, "robin_sides", None)
         return all(
             np.allclose(np.asarray(p.v), np.asarray(p0.v))
             and np.allclose(np.asarray(p.D), np.asarray(p0.D))
+            and getattr(p, "robin_sides", None) == rb0
             for p in self.species[1:]
         )
 

@@ -263,3 +263,112 @@ def test_sourced_species_match_single_species_runs():
         np.testing.assert_allclose(
             np.asarray(sols[:, k, :]), np.asarray(ref_sols), atol=1e-10
         )
+
+
+def test_robin_neumann_box_mass_follows_chemistry_ode():
+    """Species-dependent walls, sharpest oracle: with v=0 and no-flux
+    (alpha=0) walls the discrete transport conserves each species' lumped
+    mass EXACTLY (1^T K = 0), and the Strang chemistry half-steps are
+    exact expm factors acting on the species axis — so the lumped mass
+    VECTOR follows the mechanism ODE dm/dt = -R m to solver tolerance:
+    m(t_n) = expm(-R t_n) m(0)."""
+    from airpollution_tpu.problems import SquarePulseProblem
+
+    domain = Domain(T=2.0)
+    md = _mesh(10, domain, nt=9)
+    neumann = {"left": 0.0, "right": 0.0, "bottom": 0.0, "top": 0.0}
+    species = []
+    for lo, hi in ((8.0, 12.0), (4.0, 9.0)):
+        sp = SquarePulseProblem(v=(0.0, 0.0), D=0.8, lo=lo, hi=hi)
+        sp.robin_sides = dict(neumann)
+        species.append(sp)
+    R = np.array([[0.5, 0.0], [-0.5, 0.2]])  # A -> B, B removal
+    prob = MultiSpeciesProblem(species, R)
+    solver = MultiSpeciesSolver(domain, prob, md, splitting="strang",
+                                solver_tol=1e-12)
+    assert solver.matvec_impl == "ell"
+    sols = solver.solve()  # (nt, K, N)
+
+    m_diag = np.asarray(solver._require_ops().mass_diag)
+    masses = np.einsum("n,tkn->tk", m_diag, np.asarray(sols))
+    dt = domain.T / (md.nt - 1)
+    for step in range(md.nt):
+        expect = scipy.linalg.expm(-R * step * dt) @ masses[0]
+        np.testing.assert_allclose(masses[step], expect, rtol=1e-9)
+
+
+def test_robin_species_dependent_deposition_rates():
+    """Distinct deposition velocities per species force the stacked
+    per-species operators (shared_transport False) and the faster
+    depositor loses more mass; with R = 0 there is no chemistry mixing
+    so each species' mass is monotone."""
+    from airpollution_tpu.problems import SquarePulseProblem
+
+    domain = Domain(T=2.0)
+    md = _mesh(10, domain, nt=9)
+    alphas = (0.8, 0.05)
+    species = []
+    for a in alphas:
+        sp = SquarePulseProblem(v=(0.0, 0.0), D=1.0, lo=10.0, hi=20.0)
+        sp.robin_sides = {s: a for s in ("left", "right", "bottom",
+                                         "top")}
+        species.append(sp)
+    prob = MultiSpeciesProblem(species, np.zeros((2, 2)))
+    assert not prob.shared_transport  # alphas differ -> stacked ops
+    solver = MultiSpeciesSolver(domain, prob, md, solver_tol=1e-12)
+    sols = np.asarray(solver.solve())
+    m_diag = np.asarray(solver._require_ops().mass_diag)  # (K, n)
+    masses = np.einsum("kn,tkn->tk", m_diag, sols)
+    assert (np.diff(masses, axis=0) <= 1e-12).all()
+    loss = 1.0 - masses[-1] / masses[0]
+    assert loss[0] > 3.0 * loss[1], loss
+
+
+def test_robin_commute_route_matches_strang():
+    """Equal Robin specs keep shared_transport True, so 'auto' picks the
+    exact commute factorization; it must match the Strang loop on the
+    same no-flux problem (both ELL)."""
+    from airpollution_tpu.problems import SquarePulseProblem
+
+    domain = Domain(T=2.0)
+    md = _mesh(8, domain, nt=9)
+    species = []
+    for lo, hi in ((8.0, 12.0), (4.0, 9.0)):
+        sp = SquarePulseProblem(v=(0.0, 0.0), D=0.5, lo=lo, hi=hi)
+        sp.robin_sides = {"right": 0.2, "top": 0.2}
+        species.append(sp)
+    R = np.array([[0.4, 0.0], [-0.4, 0.1]])
+    prob = MultiSpeciesProblem(species, R)
+    assert prob.shared_transport
+    s_auto = MultiSpeciesSolver(domain, prob, md, solver_tol=1e-12)
+    assert s_auto.splitting == "commute"
+    a = np.asarray(s_auto.solve())
+    s_strang = MultiSpeciesSolver(domain, prob, md, splitting="strang",
+                                  solver_tol=1e-12)
+    b = np.asarray(s_strang.solve())
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_robin_validation_side_partition_and_g():
+    from airpollution_tpu.problems import SquarePulseProblem, exact_robin_g
+
+    p1 = SquarePulseProblem()
+    p1.robin_sides = {"bottom": 0.1}
+    p2 = SquarePulseProblem()
+    with pytest.raises(ValueError, match="partition"):
+        MultiSpeciesProblem([p1, p2], np.zeros((2, 2)))
+
+    class _GPlume(Problem):
+        robin_sides = {"bottom": 0.1}
+
+        def robin_g(self, xy, t, side):
+            return exact_robin_g(self, xy, t, side)
+
+    with pytest.raises(ValueError, match="robin_g"):
+        MultiSpeciesProblem([_GPlume()], np.zeros((1, 1)))
+    p3 = SquarePulseProblem()
+    p3.robin_sides = {"bottom": 0.1}
+    with pytest.raises(ValueError, match="ELL path"):
+        MultiSpeciesSolver(Domain(), MultiSpeciesProblem(
+            [p3], np.zeros((1, 1))), _mesh(6, Domain(), 5),
+            matvec_impl="stencil", splitting="strang")
