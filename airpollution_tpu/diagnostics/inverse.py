@@ -46,8 +46,10 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     ``robin_alpha``: traced per-side deposition velocities overriding the
     problem's static ``robin_sides`` values (models/crbe.robin_terms).
-    Robin problems always take the ELL branch — the family-layout masks
-    are all-Dirichlet.
+    Robin problems ride the per-DOF stencil family branch on structured
+    meshes (the alpha diagonal is in the extracted coefficients and the
+    reduced Dirichlet masks derive in family order) — never the
+    translation-invariant uniform extraction.
     """
     md = mesh_data
     # Static python float (crbe.py:233 semantics) — md.time_discr would be
@@ -60,8 +62,7 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
                 maxiter=maxiter, store_solutions=store_solutions,
                 differentiable=True)
 
-    if (getattr(md, "structured_n", None) is None
-            or getattr(problem, "robin_sides", None)):
+    if getattr(md, "structured_n", None) is None:
         sols, _ = run_time_loop(ops, u0, mesh_data=md, **base)
         return sols
 
@@ -69,8 +70,9 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     pattern = stencil_mod.get_pattern(md)
     fam_view = stencil_mod.family_view(md, pattern)
-    if pattern.n >= 3 and not getattr(problem, "variable_coefficients",
-                                      False):
+    if (pattern.n >= 3
+            and not getattr(problem, "variable_coefficients", False)
+            and not getattr(problem, "robin_sides", None)):
         # Translation-invariant operator (ops/uniform.py): the 15 scalar
         # coefficients are a traced gather from the assembled values, so
         # d(consts)/d(D, v) flows exactly as through the canvas gather —

@@ -168,24 +168,32 @@ def boundary_side_masks(mesh_data):
     md = mesh_data
     if not hasattr(md, "points") or not hasattr(md, "boundary_mask"):
         raise ValueError(
-            "boundary_side_masks needs a full MeshData (a family-layout "
-            "view carries no geometry) — Robin boundaries are supported "
-            "on the general ELL solve paths only"
+            "boundary_side_masks needs geometry (points/midpoints/"
+            "boundary_mask) — this mesh view carries none; Robin "
+            "boundaries run on the per-DOF solve paths only"
         )
-    pts = np.asarray(md.points, dtype=np.float64)
-    mid = np.asarray(md.midpoints, dtype=np.float64)
-    bmask = np.asarray(md.boundary_mask)
+    # Pure jnp: views may be constructed INSIDE a jit trace (the inverse
+    # fits build the family view per traced step), where a numpy
+    # conversion of the permuted midpoints would fail. On concrete
+    # inputs everything folds to constants.
+    # No f64 cast: wall midpoints equal the wall coordinate EXACTLY in
+    # the mesh's own dtype (both edge endpoints sit on the wall, and the
+    # mean of equal values is exact), and requesting f64 without x64
+    # enabled would warn/downcast on TPU runs.
+    pts = jnp.asarray(md.points)
+    mid = jnp.asarray(md.midpoints)
+    bmask = jnp.asarray(md.boundary_mask)
     xmin, xmax = pts[:, 0].min(), pts[:, 0].max()
     ymin, ymax = pts[:, 1].min(), pts[:, 1].max()
 
     def on(coord, wall):
-        return bmask & np.isclose(coord, wall, rtol=0.0, atol=1e-10)
+        return bmask & jnp.isclose(coord, wall, rtol=0.0, atol=1e-10)
 
     return {
-        "left": jnp.asarray(on(mid[:, 0], xmin)),
-        "right": jnp.asarray(on(mid[:, 0], xmax)),
-        "bottom": jnp.asarray(on(mid[:, 1], ymin)),
-        "top": jnp.asarray(on(mid[:, 1], ymax)),
+        "left": on(mid[:, 0], xmin),
+        "right": on(mid[:, 0], xmax),
+        "bottom": on(mid[:, 1], ymin),
+        "top": on(mid[:, 1], ymax),
     }
 
 

@@ -174,15 +174,15 @@ class GlobalOperators(NamedTuple):
 
 def reject_robin(problem, where: str):
     """Loud gate for solve paths whose boundary handling is all-Dirichlet
-    (family-layout masks, fused kernels, distributed stripe solvers):
-    silently treating Robin DOFs as Dirichlet would zero deposition
-    walls. The general ELL scan path (CRBESolver matvec_impl='ell') and
-    models/unsteady's scan chunks support Robin."""
+    (translation-invariant fast paths, fused kernels, distributed stripe
+    solvers): silently treating Robin DOFs as Dirichlet would zero
+    deposition walls. The per-DOF coefficient paths (ELL and the family
+    stencil matvec) and models/unsteady's scan chunks support Robin."""
     if getattr(problem, "robin_sides", None):
         raise ValueError(
             f"Robin boundaries (problem.robin_sides) are not supported "
-            f"by {where} — use the general ELL path "
-            f"(CRBESolver matvec_impl='ell')"
+            f"by {where} — use the serial per-DOF paths "
+            f"(CRBESolver matvec_impl='ell'/'stencil'/'auto')"
         )
 
 
@@ -619,17 +619,21 @@ class CRBESolver:
                     "solver_method='chebyshev' (canvas stripe kernel)"
                 )
         # Robin/deposition boundaries (problems.AdDifProblem.robin_sides):
-        # supported on the general ELL scan path — the fast paths derive
-        # their boundary masks from the all-Dirichlet geometric mask and
-        # would treat Robin DOFs as Dirichlet. 'auto' routes to ELL;
-        # anything else refuses rather than silently mis-handling walls.
+        # supported on the per-DOF coefficient scan paths — ELL, and the
+        # family-layout stencil/pallas matvecs (the assembled alpha*|e|
+        # diagonal rides the extracted coefficients; robin_terms derives
+        # the reduced Dirichlet masks in family order via family_view's
+        # geometry). Everything translation-invariant (uniform operator,
+        # patch assembly, fused kernels) would treat Robin DOFs as
+        # Dirichlet and refuses loudly. 'auto' keeps its normal routing
+        # (stencil on structured meshes, ELL otherwise).
         self._robin = getattr(problem, "robin_sides", None) or None
         if self._robin:
-            if matvec_impl not in ("auto", "ell"):
+            if matvec_impl not in ("auto", "ell", "stencil", "pallas"):
                 raise ValueError(
-                    "Robin boundaries (problem.robin_sides) are supported "
-                    "on the general ELL path only — use matvec_impl='ell' "
-                    "(or 'auto')"
+                    "Robin boundaries (problem.robin_sides) run on the "
+                    "per-DOF coefficient paths only — use matvec_impl="
+                    "'ell', 'stencil', 'pallas' (or 'auto')"
                 )
             if assembly == "patch":
                 raise ValueError(
@@ -637,9 +641,9 @@ class CRBESolver:
                     "boundary terms are per-DOF) — assembly='patch' is "
                     "translation-invariant"
                 )
-            matvec_impl = "ell"
         if (
             matvec_impl == "auto"
+            and not self._robin
             and not self._variable_coefficients
             and assembly != "full"
             and preconditioner != "spectral"

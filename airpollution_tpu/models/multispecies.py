@@ -93,8 +93,9 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     # validated by MultiSpeciesProblem): the named sides leave the
     # Dirichlet mask; the alpha * |e| terms were folded into each
     # species' assembled operator. The homogeneous flux law only (g = 0,
-    # also validated), so the RHS needs no load. robin_terms raises on
-    # family-layout views — Robin runs are ELL-only.
+    # also validated), so the RHS needs no load. Works in family layout
+    # too: family_view carries geometry, so robin_terms derives the
+    # reduced masks in family order.
     bmask = robin_terms(md, problem.species[0])[0]
     nt = md.nt
     K, _ = C0.shape
@@ -291,17 +292,21 @@ class MultiSpeciesSolver:
             )
         if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
-        # Robin/deposition walls (species-level spec): ELL path only —
-        # the family-layout masks are all-Dirichlet. 'auto' routes to
-        # ELL; explicit fast paths refuse.
+        # Robin/deposition walls (species-level spec): the per-DOF paths
+        # only — ELL always; the family stencil matvec when transport is
+        # shared (equal alphas; the assembled alpha*|e| diagonal rides
+        # the extracted coefficients and robin_terms derives the reduced
+        # masks in family order). The translation-invariant uniform
+        # operator refuses. 'auto' keeps its routing: stencil for shared
+        # transport on structured meshes, ELL otherwise (stacked
+        # per-species operators are ELL-only anyway).
         if any(getattr(sp, "robin_sides", None) for sp in problem.species):
-            if matvec_impl in ("stencil", "uniform"):
+            if matvec_impl == "uniform":
                 raise ValueError(
-                    "Robin walls (species robin_sides) are supported on "
-                    "the general ELL path only — use matvec_impl='ell' "
-                    "(or 'auto')"
+                    "Robin walls (species robin_sides) break translation "
+                    "invariance — use matvec_impl='ell', 'stencil', or "
+                    "'auto'"
                 )
-            matvec_impl = "ell"
         if matvec_impl in ("stencil", "uniform"):
             if not problem.shared_transport:
                 raise ValueError(

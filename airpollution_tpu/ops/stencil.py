@@ -227,7 +227,15 @@ def get_pattern(mesh_data) -> StencilPattern:
 def family_view(mesh_data, pattern: StencilPattern = None, *, perm=None):
     """Static mesh-data stand-in with fields permuted to family layout,
     for running run_time_loop entirely in family order. Pass either a
-    pattern or a bare ``perm`` array (the only field consumed)."""
+    pattern or a bare ``perm`` array (the only field consumed).
+
+    Carries enough geometry (permuted midpoints/lengths + the vertex
+    coordinates, which only supply the box extent) for
+    models/crbe.robin_terms to derive Robin side masks IN FAMILY ORDER —
+    the per-DOF stencil coefficients already contain the assembled
+    alpha * |e| diagonal, so the stencil scan path supports Robin walls
+    exactly. The translation-invariant uniform/patch extractions do not
+    (Robin breaks uniformity on boundary rows) and stay gated off."""
     if perm is None:
         perm = pattern.perm
     perm = jnp.asarray(perm)
@@ -235,6 +243,8 @@ def family_view(mesh_data, pattern: StencilPattern = None, *, perm=None):
     class _FamView:
         midpoints = mesh_data.midpoints[perm]
         boundary_mask = mesh_data.boundary_mask[perm]
+        segment_lengths = mesh_data.segment_lengths[perm]
+        points = mesh_data.points
         nt = mesh_data.nt
 
     return _FamView

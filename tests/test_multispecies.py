@@ -286,8 +286,12 @@ def test_robin_neumann_box_mass_follows_chemistry_ode():
     prob = MultiSpeciesProblem(species, R)
     solver = MultiSpeciesSolver(domain, prob, md, splitting="strang",
                                 solver_tol=1e-12)
-    assert solver.matvec_impl == "ell"
-    sols = solver.solve()  # (nt, K, N)
+    sols = solver.solve()  # (nt, K, N) — 'auto' family stencil path
+    sols_ell = MultiSpeciesSolver(domain, prob, md, splitting="strang",
+                                  solver_tol=1e-12,
+                                  matvec_impl="ell").solve()
+    np.testing.assert_allclose(np.asarray(sols), np.asarray(sols_ell),
+                               atol=1e-10)
 
     m_diag = np.asarray(solver._require_ops().mass_diag)
     masses = np.einsum("n,tkn->tk", m_diag, np.asarray(sols))
@@ -368,7 +372,7 @@ def test_robin_validation_side_partition_and_g():
         MultiSpeciesProblem([_GPlume()], np.zeros((1, 1)))
     p3 = SquarePulseProblem()
     p3.robin_sides = {"bottom": 0.1}
-    with pytest.raises(ValueError, match="ELL path"):
+    with pytest.raises(ValueError, match="translation"):
         MultiSpeciesSolver(Domain(), MultiSpeciesProblem(
             [p3], np.zeros((1, 1))), _mesh(6, Domain(), 5),
-            matvec_impl="stencil", splitting="strang")
+            matvec_impl="uniform", splitting="strang")

@@ -150,13 +150,19 @@ def test_robin_rejected_on_fast_and_parallel_paths():
     md = MeshData(create_mesh(6, 20.0), domain, nt=5, dtype=jnp.float64)
     p = SquarePulseProblem()
     p.robin_sides = {"bottom": 0.1}
-    with pytest.raises(ValueError, match="ELL path"):
-        CRBESolver(domain, p, md, matvec_impl="stencil")
+    with pytest.raises(ValueError, match="per-DOF"):
+        CRBESolver(domain, p, md, matvec_impl="fused")
+    with pytest.raises(ValueError, match="per-DOF"):
+        CRBESolver(domain, p, md, matvec_impl="uniform")
     with pytest.raises(ValueError, match="full assembly"):
         CRBESolver(domain, p, md, assembly="patch")
-    # 'auto' routes to ELL and solves.
-    solver = CRBESolver(domain, p, md)
-    assert solver.matvec_impl == "ell"
+    # 'auto' keeps its routing (stencil family path on this structured
+    # mesh) and the per-DOF paths agree under Robin.
+    sols_auto = CRBESolver(domain, p, md, solver_tol=1e-12).solve()
+    sols_ell = CRBESolver(domain, p, md, matvec_impl="ell",
+                          solver_tol=1e-12).solve()
+    np.testing.assert_allclose(np.asarray(sols_auto),
+                               np.asarray(sols_ell), atol=1e-10)
     # The PARALLEL PINN trainer is Dirichlet-only.
     from airpollution_tpu.models.pinn import PINN
 
