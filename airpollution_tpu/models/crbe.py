@@ -174,10 +174,11 @@ class GlobalOperators(NamedTuple):
 
 def reject_robin(problem, where: str):
     """Loud gate for solve paths whose boundary handling is all-Dirichlet
-    (translation-invariant fast paths, fused kernels, distributed stripe
-    solvers): silently treating Robin DOFs as Dirichlet would zero
-    deposition walls. The per-DOF coefficient paths (ELL and the family
-    stencil matvec) and models/unsteady's scan chunks support Robin."""
+    (translation-invariant fast paths, distributed stripe solvers):
+    silently treating Robin DOFs as Dirichlet would zero deposition
+    walls. The per-DOF coefficient paths (ELL, the family stencil
+    matvec, the canvas fused kernels) and models/unsteady's scan chunks
+    support Robin."""
     if getattr(problem, "robin_sides", None):
         raise ValueError(
             f"Robin boundaries (problem.robin_sides) are not supported "
@@ -619,21 +620,26 @@ class CRBESolver:
                     "solver_method='chebyshev' (canvas stripe kernel)"
                 )
         # Robin/deposition boundaries (problems.AdDifProblem.robin_sides):
-        # supported on the per-DOF coefficient scan paths — ELL, and the
-        # family-layout stencil/pallas matvecs (the assembled alpha*|e|
-        # diagonal rides the extracted coefficients; robin_terms derives
-        # the reduced Dirichlet masks in family order via family_view's
-        # geometry). Everything translation-invariant (uniform operator,
-        # patch assembly, fused kernels) would treat Robin DOFs as
-        # Dirichlet and refuses loudly. 'auto' keeps its normal routing
-        # (stencil on structured meshes, ELL otherwise).
+        # supported on the per-DOF coefficient paths — ELL, the
+        # family-layout stencil/pallas matvecs, and the CANVAS fused
+        # kernels (the assembled alpha*|e| diagonal rides the extracted
+        # coefficients; robin_terms derives the reduced Dirichlet masks,
+        # which reach the VMEM kernel as interior-mask inputs and the
+        # HBM stripe kernel as widened rectangle bounds,
+        # ops/pallas_hbm.robin_rect_bounds). Everything translation-
+        # invariant (uniform operator/kernels, patch assembly) would
+        # treat Robin DOFs as Dirichlet and refuses loudly. 'auto' keeps
+        # its normal routing (stencil on structured meshes, ELL
+        # otherwise).
         self._robin = getattr(problem, "robin_sides", None) or None
         if self._robin:
-            if matvec_impl not in ("auto", "ell", "stencil", "pallas"):
+            if matvec_impl not in ("auto", "ell", "stencil", "pallas",
+                                   "fused", "fused_hbm"):
                 raise ValueError(
                     "Robin boundaries (problem.robin_sides) run on the "
                     "per-DOF coefficient paths only — use matvec_impl="
-                    "'ell', 'stencil', 'pallas' (or 'auto')"
+                    "'ell', 'stencil', 'pallas', 'fused'/'fused_hbm' "
+                    "(canvas operator), or 'auto'"
                 )
             if assembly == "patch":
                 raise ValueError(
@@ -641,6 +647,22 @@ class CRBESolver:
                     "boundary terms are per-DOF) — assembly='patch' is "
                     "translation-invariant"
                 )
+            if matvec_impl in ("fused", "fused_hbm"):
+                if fused_operator == "uniform":
+                    raise ValueError(
+                        "Robin boundaries break translation invariance "
+                        "on wall rows — the fused paths need the canvas "
+                        "operator (fused_operator='canvas' or 'auto')"
+                    )
+                from airpollution_tpu.problems import AdDifProblem
+
+                if type(problem).robin_g is not AdDifProblem.robin_g:
+                    raise ValueError(
+                        "the fused kernels support homogeneous Robin "
+                        "walls only (g = 0, the deposition law) — this "
+                        "problem overrides robin_g; use the scan paths "
+                        "(matvec_impl='stencil'/'ell')"
+                    )
         if (
             matvec_impl == "auto"
             and not self._robin
@@ -900,11 +922,12 @@ class CRBESolver:
             from airpollution_tpu.ops import pallas_solver
 
             use_ka = self.time_scheme_order == 2
-            # Variable coefficients force the canvas operator (the
-            # explicit fused_operator='uniform' case already raised in
-            # __init__).
+            # Variable coefficients and Robin walls force the canvas
+            # operator (the explicit fused_operator='uniform' cases
+            # already raised in __init__).
             uniform = (self.fused_operator != "canvas"
-                       and not self._variable_coefficients)
+                       and not self._variable_coefficients
+                       and not self._robin)
             if uniform and md.structured_n < 3:
                 if self.fused_operator == "uniform":
                     raise ValueError(
@@ -994,7 +1017,12 @@ class CRBESolver:
             # constants: embedded constants are serialized into every
             # compile (at 4097^2 the perm/inv/midpoints/mask closures are
             # ~850 MB and overflow the remote-compile transport).
-            self._solve_aux = (perm, inv, md.midpoints, md.boundary_mask)
+            # Under Robin the mask is the REDUCED Dirichlet set
+            # (robin_terms — wall DOFs are unknowns): it drives the
+            # kernel interior masks, the masked mass, and the boundary
+            # lift, exactly like run_time_loop's bmask.
+            dmask = robin_terms(md, self.problem)[0]
+            self._solve_aux = (perm, inv, md.midpoints, dmask)
 
             def solve_impl(ops: GlobalOperators, u0, aux):
                 perm_a, inv_a, midpoints_a, bmask_a = aux
@@ -1081,6 +1109,12 @@ class CRBESolver:
 
                         kiters = self.chebyshev_iters
                         bounds = self._cheb_bounds
+                        # Robin walls widen the in-kernel interior
+                        # rectangles (the masks/coefficients above came
+                        # from the reduced mask already).
+                        rect = pallas_hbm.robin_rect_bounds(
+                            pattern.c, self._robin
+                        ) if self._robin else None
 
                         def run_kernel(u_start_fam, steps, t0=0.0):
                             src_kw = dict(
@@ -1095,6 +1129,7 @@ class CRBESolver:
                                 n_steps=steps, n_iters=kiters,
                                 bounds=bounds, use_ka=use_ka,
                                 extrapolate=self.extrapolate_warm_start,
+                                rect=rect,
                                 interpret=interpret, **src_kw,
                             )
                     else:
@@ -1291,6 +1326,7 @@ class CRBESolver:
         elif (
             self.matvec_impl in ("uniform", "fused", "fused_hbm")
             and not self._variable_coefficients
+            and not self._robin  # wall rows break the uniform surrogate
             and self._use_stencil()
             and self.mesh_data.structured_n >= 3
         ):

@@ -42,12 +42,17 @@ _CHUNK_CACHE_MAX = 8
 
 
 def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
-                 source_quadrature, interpret):
+                 source_quadrature, interpret, dmask=None, rect=None):
     """Chunk body on the CANVAS stripe kernel: assemble at the chunk
     midpoint, extract the per-DOF coefficient stack, re-estimate the
     Chebyshev interval (the operator changes with the wind), run the
     whole chunk fused. Same (out_rows, u_next) contract as the scan
-    chunk; out is the boundary-lifted final row."""
+    chunk; out is the boundary-lifted final row.
+
+    ``dmask``/``rect``: Robin support — the REDUCED Dirichlet mask
+    (models/crbe.robin_terms) and the widened interior-rectangle bounds
+    (ops/pallas_hbm.robin_rect_bounds); the per-chunk assembly already
+    folds the alpha * |e| wall diagonal into the coefficients."""
     from functools import partial
 
     import jax
@@ -61,7 +66,7 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
     pattern = stencil_mod.get_pattern(md)
     perm = jnp.asarray(pattern.perm)
     inv = jnp.asarray(pattern.inv_perm)
-    bmask = md.boundary_mask
+    bmask = md.boundary_mask if dmask is None else dmask
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     use_ka = order == 2
@@ -93,7 +98,8 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
         u_fam = pallas_hbm.fused_solve_canvas_hbm(
             pattern, coeffs, mass_fam, inv_diag_fam, u0_c[perm],
             n_steps=k, n_iters=iters, bounds=bounds, use_ka=use_ka,
-            extrapolate=extrapolate, interpret=interpret, **src_kw,
+            extrapolate=extrapolate, rect=rect, interpret=interpret,
+            **src_kw,
         )
         u_hom = u_fam[inv]
         t_end = jnp.asarray(t0_c + k * dt, u_hom.dtype)
@@ -158,12 +164,16 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         )
     n_chunks = n_steps // k
     dt = float(md.domain.T) / n_steps
-    if fused and getattr(problem, "robin_sides", None):
-        raise ValueError(
-            "Robin boundaries run on the general scan chunks — use "
-            "matvec_impl='scan' (the stripe kernel's masks are "
-            "all-Dirichlet)"
-        )
+    robin = getattr(problem, "robin_sides", None) or None
+    if fused and robin:
+        from airpollution_tpu.problems import AdDifProblem
+
+        if type(problem).robin_g is not AdDifProblem.robin_g:
+            raise ValueError(
+                "the fused chunk path supports homogeneous Robin walls "
+                "only (g = 0, the deposition law) — this problem "
+                "overrides robin_g; use matvec_impl='scan'"
+            )
     # The chunk view carries geometry so run_time_loop can derive Robin
     # side masks; the lift-strip below must mask only true DIRICHLET
     # rows (Robin DOFs are unknowns whose values live in the carry).
@@ -174,10 +184,21 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     bmask = robin_terms(md, problem)[0]
 
     if fused:
+        rect = None
+        if robin:
+            from airpollution_tpu.ops import (
+                pallas_hbm,
+                stencil as stencil_mod,
+            )
+
+            rect = pallas_hbm.robin_rect_bounds(
+                stencil_mod.get_pattern(md).c, robin
+            )
         chunk = _fused_chunk(md, dt, k, time_scheme_order,
                              stiffness_convention, chebyshev_iters,
                              extrapolate_warm_start, source_quadrature,
-                             fused_interpret)
+                             fused_interpret, dmask=bmask if robin
+                             else None, rect=rect)
     else:
         def chunk(u0_c, t0_c, prob):
             # Operator frozen at the chunk midpoint (quasi-static; the
@@ -212,10 +233,15 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                  # the carry at every chunk boundary.
                  None if not robin else tuple(sorted(robin.items())))
     if cache_key in _CHUNK_CACHE:
-        chunk_fn = _CHUNK_CACHE[cache_key]
+        chunk_fn = _CHUNK_CACHE[cache_key][0]
     else:
         chunk_fn = jax.jit(chunk)
-        _CHUNK_CACHE[cache_key] = chunk_fn
+        # Store md alongside the closure: the key carries id(md), and a
+        # garbage-collected mesh could otherwise recycle its id — a hit
+        # would then run a closure baked over a DIFFERENT mesh's
+        # geometry/masks. The strong reference pins the id for the
+        # entry's lifetime (eviction releases it).
+        _CHUNK_CACHE[cache_key] = (chunk_fn, md)
         while len(_CHUNK_CACHE) > _CHUNK_CACHE_MAX:
             _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
 

@@ -144,7 +144,7 @@ def choose_tile(n: int, extrapolate: bool, halo: int,
     return s_1d, _lane_pad(n)
 
 
-def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype):
+def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype, rect=None):
     """Per-family interior rectangle mask CANVASES for a window of w_rows
     canvas rows x w_lanes canvas lanes starting at global (ws, ls)
     (UniformSpec.interior_rects). Materialized once per tile so every
@@ -158,17 +158,44 @@ def _stripe_masks(c, ws, w_rows, ls, w_lanes, dtype):
     the only upward-pulling stencil terms (``roll(x, 1, 0)``) feed the
     H family, whose global row 0 is masked (``gr >= 1``), so negative
     rows are written by the in-window iterations but never read by an
-    unmasked interior row and never DMA'd back."""
+    unmasked interior row and never DMA'd back. (With ``rect`` opening
+    the bottom wall that argument shifts to the COEFFICIENTS: H row 0's
+    below-neighbor entries are zero in the assembled operator, so the
+    wrapped/zero-filled values it reads never contribute — canvas
+    kernels only; the uniform kernels keep the default rect.)
+
+    ``rect``: Dirichlet bounds ``(h_lo, h_hi, v_lo, v_hi)`` — Robin
+    walls (models/crbe.robin_terms) leave the Dirichlet set, and on a
+    structured mesh each wall is one whole family row/column: bottom/top
+    are H rows 0/c, left/right are V columns 0/c (D touches no wall).
+    Default ``(1, c, 1, c)`` is the all-Dirichlet reference interior;
+    see :func:`robin_rect_bounds`."""
+    h_lo, h_hi, v_lo, v_hi = rect if rect is not None else (1, c, 1, c)
     gr = ws + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
     ci = ls + jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
-    rowH = ((gr >= 1) & (gr < c)).astype(dtype)
+    rowH = ((gr >= h_lo) & (gr < h_hi)).astype(dtype)
     rowV = (gr < c).astype(dtype)
     colH = (ci < c).astype(dtype)
-    colV = ((ci >= 1) & (ci < c)).astype(dtype)
+    colV = ((ci >= v_lo) & (ci < v_hi)).astype(dtype)
     mH = rowH * colH
     mV = rowV * colV
     mD = rowV * colH  # D: rows < c, cols < c
     return mH, mV, mD
+
+
+def robin_rect_bounds(c, robin_sides):
+    """Family-rectangle Dirichlet bounds for a Robin side spec: named
+    sides leave the Dirichlet set, widening the interior rectangle by
+    exactly their wall row/column (H rows for bottom/top, V columns for
+    left/right — the D family has no wall DOFs). The per-DOF canvas
+    coefficients already carry the alpha * |e| wall terms (folded at
+    models/crbe.assemble), so the bounds are the ONLY kernel-side
+    change Robin needs on the canvas stripe path."""
+    sides = robin_sides or ()
+    return (0 if "bottom" in sides else 1,
+            c + 1 if "top" in sides else c,
+            0 if "left" in sides else 1,
+            c + 1 if "right" in sides else c)
 
 
 def _step_kernel(
@@ -475,7 +502,7 @@ def _canvas_step_kernel(
     n_iters: int, has_ka: bool, extrapolate: bool,
     int_start: int = 0, n_stripes: int | None = None,
     source_fn=None, source_steady: bool = False,
-    source_lumped: bool = True,
+    source_lumped: bool = True, rect=None,
 ):
     """One implicit time step with PER-DOF coefficient canvases, streamed
     over full-lane row stripes (the spatially-varying-coefficient
@@ -498,8 +525,11 @@ def _canvas_step_kernel(
     halo pollution creeps one row per matvec as before. The rectangle
     masks are still computed (from iota) for the warm-start masking and
     the Crank-Nicolson ``(1 - mask) u`` boundary-identity term — on a
-    structured mesh the Dirichlet set IS the family rectangle boundary,
-    independent of the coefficient fields.
+    structured mesh the Dirichlet set IS a family rectangle boundary,
+    independent of the coefficient fields. Robin walls widen that
+    rectangle by their wall row/column (``rect``, see
+    :func:`robin_rect_bounds`): their DOFs are unknowns whose alpha
+    terms already live in the coefficient canvases.
 
     Crank-Nicolson uses the VMEM canvas kernel's identity
     (ops/pallas_solver.py docstring): b = 2 M_masked u + (1 - mask) u
@@ -593,7 +623,7 @@ def _canvas_step_kernel(
         def compute(slot, i):
             ws = ws_of(i)
             masks = _stripe_masks(c, row0_ref[0] + ws, W, 0, n_lane,
-                                  dtype)
+                                  dtype, rect=rect)
             cw = win_c[slot]
             m3 = (cw[15], cw[16], cw[17])
             id3 = (cw[18], cw[19], cw[20])
@@ -719,7 +749,7 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
                            stripe_rows: int | None = None,
                            source_fn=None, source_steady: bool = False,
                            source_lumped: bool = True, grid=None,
-                           t0=0.0, dt=None,
+                           t0=0.0, dt=None, rect=None,
                            interpret: bool = False):
     """Whole time loop with the canvas-operator stripe kernel (Chebyshev).
 
@@ -734,7 +764,11 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
     kernel's envelope (and gives them a Chebyshev path at any size — the
     VMEM canvas kernel is BiCGStab-only); the practical ceiling is the
     global ELL assembly, not this kernel. Returns the final homogeneous
-    state in family layout (boundary lift is the caller's)."""
+    state in family layout (boundary lift is the caller's).
+
+    ``rect``: Dirichlet rectangle bounds for Robin walls
+    (:func:`robin_rect_bounds`) — the caller's masks/coefficients must
+    then derive from the REDUCED Dirichlet mask (models/crbe.robin_terms)."""
     from airpollution_tpu.ops.pallas_solver import coeff_canvases
 
     if n_steps == 0:
@@ -781,6 +815,7 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
         n_lane=n_lane, n_iters=n_iters, has_ka=use_ka,
         extrapolate=extrapolate, source_fn=source_fn,
         source_steady=source_steady, source_lumped=source_lumped,
+        rect=rect,
     )
     scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
                pltpu.VMEM((2, 3, W, n_lane), dtype)]

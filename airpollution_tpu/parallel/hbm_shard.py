@@ -443,10 +443,28 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     caches (models/crbe._check_chebyshev_applicable), so distributed
     and serial solves agree to rounding. Requires assembled
     ``GlobalOperators`` (variable coefficients have no patch mode).
-    """
-    from airpollution_tpu.models.crbe import reject_robin
 
-    reject_robin(problem, "the distributed canvas stripe solver")
+    Robin/deposition walls (problem.robin_sides, homogeneous g only —
+    the deposition law) are supported exactly like the serial canvas
+    stripe path: the assembled alpha * |e| wall diagonal rides the
+    sharded coefficient stack, the masks/lift derive from the REDUCED
+    Dirichlet set (models/crbe.robin_terms), and the in-kernel interior
+    rectangles widen by the Robin wall rows/columns
+    (ops/pallas_hbm.robin_rect_bounds) — global bounds, so block
+    sharding is unaffected.
+    """
+    from airpollution_tpu.models.crbe import robin_terms
+
+    robin = getattr(problem, "robin_sides", None) or None
+    if robin:
+        from airpollution_tpu.problems import AdDifProblem
+
+        if type(problem).robin_g is not AdDifProblem.robin_g:
+            raise ValueError(
+                "the distributed canvas stripe solver supports "
+                "homogeneous Robin walls only (g = 0) — this problem "
+                "overrides robin_g; use the serial scan paths"
+            )
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("canvas halo solver requires a structured mesh")
@@ -489,6 +507,8 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
 
         _grid_pack = jnp.asarray(list(structured_grid(md)) + [float(dt)])
 
+    rect = pallas_hbm.robin_rect_bounds(c, robin) if robin else None
+
     def _build_step_call(dtype):
         kernel = partial(
             pallas_hbm._canvas_step_kernel, c=c, n_pad=ext_rows, S=S,
@@ -498,6 +518,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             source_fn=problem.source_xy if sourced else None,
             source_steady=src_steady,
             source_lumped=source_quadrature == "mass_lumped",
+            rect=rect,
         )
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -623,8 +644,10 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
         )
 
     jitted = jax.jit(solve_impl)
-    aux = (perm, inv, jnp.asarray(md.midpoints),
-           jnp.asarray(md.boundary_mask))
+    # Reduced Dirichlet set under Robin (== boundary_mask without):
+    # drives the masked mass in the coefficient stack and the lift.
+    dmask = robin_terms(md, problem)[0]
+    aux = (perm, inv, jnp.asarray(md.midpoints), jnp.asarray(dmask))
 
     @jax.jit
     def _operand_fn(ops: GlobalOperators, u0, perm, bmask):

@@ -351,3 +351,50 @@ def test_uniform_builder_points_to_canvas_builder():
     mesh = make_mesh({"mp": 8})
     with pytest.raises(ValueError, match="build_canvas_hbm_halo_solver"):
         build_hbm_halo_solver(mesh, md, p, 10.0 / 12.0)
+
+
+def test_canvas_shard_robin_walls_match_serial():
+    """Robin/deposition walls on the distributed canvas solver: the
+    widened interior rectangles are GLOBAL bounds, so the block-sharded
+    solve must equal the serial canvas stripe path to rounding (both
+    share the eager ELL spectral interval). Walls on all four sides
+    exercise every bound, including the device-0 bottom and device-7
+    top blocks."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(12, 20.0), domain, nt=9,
+                  dtype=jnp.float64)
+    from airpollution_tpu.problems import SquarePulseProblem
+
+    p = SquarePulseProblem(v=(0.3, -0.2), D=0.8, lo=5.0, hi=19.0)
+    p.robin_sides = {"bottom": 0.4, "top": 0.1, "left": 0.2,
+                     "right": 0.3}
+    serial = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                        time_scheme_order=2, solver_method="chebyshev",
+                        chebyshev_iters=10, snapshot_every=4)
+    traj_serial = np.asarray(serial.solve(store_solutions=True))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(
+        mesh, md, p, serial.dt, order=2, iters=10, snapshot_every=4,
+        stripe_rows=8, interpret=True,
+    )
+    traj = np.asarray(solver(serial._require_ops(),
+                             serial.set_initial_condition()))
+    assert traj.shape == traj_serial.shape
+    np.testing.assert_allclose(traj, traj_serial, atol=1e-12)
+
+    # Deposition walls remove mass (vs the closed-box invariant).
+    m = np.asarray(serial.global_mass_diag)
+    masses = traj @ m
+    assert masses[-1] < masses[0]
+
+    # robin_g overrides stay on the scan paths.
+    class _G(SquarePulseProblem):
+        def robin_g(self, xy, t, side):
+            return jnp.ones(xy.shape[0], xy.dtype)
+
+    pg = _G()
+    pg.robin_sides = {"bottom": 0.1}
+    with pytest.raises(ValueError, match="robin_g"):
+        build_canvas_hbm_halo_solver(mesh, md, pg, serial.dt,
+                                     interpret=True)

@@ -151,11 +151,23 @@ def test_robin_rejected_on_fast_and_parallel_paths():
     p = SquarePulseProblem()
     p.robin_sides = {"bottom": 0.1}
     with pytest.raises(ValueError, match="per-DOF"):
-        CRBESolver(domain, p, md, matvec_impl="fused")
-    with pytest.raises(ValueError, match="per-DOF"):
         CRBESolver(domain, p, md, matvec_impl="uniform")
+    with pytest.raises(ValueError, match="canvas"):
+        # Fused paths need the per-DOF canvas operator under Robin.
+        CRBESolver(domain, p, md, matvec_impl="fused",
+                   fused_operator="uniform")
     with pytest.raises(ValueError, match="full assembly"):
         CRBESolver(domain, p, md, assembly="patch")
+
+    class _GProblem(SquarePulseProblem):
+        def robin_g(self, xy, t, side):
+            return jnp.ones(xy.shape[0], xy.dtype)
+
+    pg = _GProblem()
+    pg.robin_sides = {"bottom": 0.1}
+    with pytest.raises(ValueError, match="robin_g"):
+        # The fused kernels evaluate no g-load (deposition scope).
+        CRBESolver(domain, pg, md, matvec_impl="fused")
     # 'auto' keeps its routing (stencil family path on this structured
     # mesh) and the per-DOF paths agree under Robin.
     sols_auto = CRBESolver(domain, p, md, solver_tol=1e-12).solve()
@@ -348,3 +360,81 @@ def test_receptor_footprint_extends_upwind():
     upwind = F[mid[:, 0] < x_r - 1.0].sum()
     downwind = F[mid[:, 0] > x_r + 1.0].sum()
     assert upwind > 5.0 * max(downwind, 0.0), (upwind, downwind)
+
+# --- Robin on the fused canvas kernels -------------------------------------
+# The per-DOF canvas coefficients carry the assembled alpha * |e| wall
+# diagonal, so the fused paths need only the REDUCED Dirichlet mask:
+# the VMEM canvas kernel takes it as interior-mask input canvases, the
+# HBM canvas stripe kernel as widened interior-rectangle bounds
+# (ops/pallas_hbm.robin_rect_bounds). Oracles: the scan paths, whose
+# Robin handling is MMS-validated above.
+
+
+@pytest.mark.kernels
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("robin", [
+    {"bottom": 0.1, "left": 0.05},              # mixed Robin/Dirichlet
+    {"bottom": 0.1, "top": 0.2, "left": 0.05, "right": 0.15},  # no Dirichlet
+])
+def test_robin_fused_vmem_matches_scan(order, robin):
+    """VMEM canvas kernel (BiCGStab, fixed iterations) == stencil scan at
+    the same iteration count, under Robin walls (f64: same algorithm,
+    different layout/reduction order)."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=7, dtype=jnp.float64)
+    p = SquarePulseProblem()
+    p.robin_sides = dict(robin)
+    ref = CRBESolver(domain, p, md, matvec_impl="stencil",
+                     time_scheme_order=order,
+                     solver_tol=1e-30, solver_maxiter=5)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused",
+                       time_scheme_order=order, fused_iters=5)
+    assert fused.fused_operator != "uniform"
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=1e-10)
+    # Deposition sanity: the walls removed mass vs the all-Dirichlet-free
+    # closed box (v=0 problems conserve; here just require finiteness and
+    # nonzero state).
+    assert np.all(np.isfinite(u_fused)) and np.abs(u_fused).max() > 0
+
+
+@pytest.mark.kernels
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (2, True)])
+def test_robin_fused_hbm_matches_ell_truth(order, extrapolate):
+    """HBM canvas stripe kernel (Chebyshev, widened rect bounds) converges
+    to the same implicit trajectory as the tight-tolerance ELL scan under
+    Robin walls. ms=33 so stripes clamp at both canvas edges (the
+    widened H-row/V-column bounds are exercised at every wall)."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(33, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = SquarePulseProblem()
+    p.robin_sides = {"bottom": 0.3, "top": 0.1, "right": 0.2}
+    truth = CRBESolver(domain, p, md, matvec_impl="ell",
+                       time_scheme_order=order, solver_tol=1e-13,
+                       solver_maxiter=400)
+    u_ref = np.asarray(truth.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=30,
+                       time_scheme_order=order,
+                       extrapolate_warm_start=extrapolate)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=5e-9)
+
+
+@pytest.mark.kernels
+def test_robin_fused_strided_snapshots_match_scan():
+    """Strided fused trajectories under Robin: every snapshot row (lift on
+    the REDUCED Dirichlet set only) matches the scan path's rows."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=7, dtype=jnp.float64)
+    p = SquarePulseProblem()
+    p.robin_sides = {"bottom": 0.2, "left": 0.1}
+    ref = CRBESolver(domain, p, md, matvec_impl="stencil",
+                     solver_tol=1e-30, solver_maxiter=6)
+    sols_ref = np.asarray(ref.solve())[::3]
+    fused = CRBESolver(domain, p, md, matvec_impl="fused",
+                       fused_iters=6, snapshot_every=3)
+    sols_fused = np.asarray(fused.solve(store_solutions=True))
+    assert sols_fused.shape == sols_ref.shape
+    np.testing.assert_allclose(sols_fused, sols_ref, atol=1e-10)

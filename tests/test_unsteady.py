@@ -315,6 +315,9 @@ def test_chunk_cache_distinguishes_robin_specs():
     domain = Domain(T=2.0)
     md = MeshData(create_mesh(10, 20.0), domain, nt=9, dtype=jnp.float64)
 
+    # Start from an empty cache: at capacity an insert+evict keeps the
+    # length constant and the growth assertion below would misfire.
+    unsteady._CHUNK_CACHE.clear()
     p_dir = TurningWindProblem(speed=0.5, omega_t=0.3, D=1.0)
     sols_dir = solve_time_varying(p_dir, md, reassemble_every=2)
     n_keys = len(unsteady._CHUNK_CACHE)
@@ -335,3 +338,35 @@ def test_chunk_cache_distinguishes_robin_specs():
     # this guards against would make the difference exactly 0.0.
     assert diff[wall].max() > 1e-8
     assert np.isfinite(np.asarray(sols_rob)).all()
+
+
+def test_fused_chunks_robin_walls_match_scan_chunks():
+    """Robin/deposition walls on the fused chunk path: the per-chunk
+    assembly folds the alpha * |e| wall diagonal, the kernel widens its
+    interior rectangles, and the lift strips only true Dirichlet rows —
+    so fused chunks must track the (MMS-validated) scan chunks."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.3)
+    p.robin_sides = {"bottom": 0.4, "left": 0.2}
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    kw = dict(reassemble_every=4, time_scheme_order=2,
+              chebyshev_iters=8, extrapolate_warm_start=True,
+              store_solutions=False)
+    ref = solve_time_varying(p, md, solver="chebyshev", **kw)
+    got = solve_time_varying(p, md, matvec_impl="fused_hbm",
+                             fused_interpret=True, **kw)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-4
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
+
+    # robin_g overrides stay on the scan chunks.
+    class _G(TurningWindProblem):
+        def robin_g(self, xy, t, side):
+            return jnp.ones(xy.shape[0], xy.dtype)
+
+    pg = _G()
+    pg.robin_sides = {"bottom": 0.1}
+    with pytest.raises(ValueError, match="robin_g"):
+        solve_time_varying(pg, md, matvec_impl="fused_hbm",
+                           fused_interpret=True, **kw)
