@@ -632,6 +632,7 @@ class CRBESolver:
         # its normal routing (stencil on structured meshes, ELL
         # otherwise).
         self._robin = getattr(problem, "robin_sides", None) or None
+        self._robin_g_fused = False
         if self._robin:
             if matvec_impl not in ("auto", "ell", "stencil", "pallas",
                                    "fused", "fused_hbm"):
@@ -654,15 +655,30 @@ class CRBESolver:
                         "on wall rows — the fused paths need the canvas "
                         "operator (fused_operator='canvas' or 'auto')"
                     )
-                from airpollution_tpu.problems import AdDifProblem
+                from airpollution_tpu import problems as problems_mod
 
-                if type(problem).robin_g is not AdDifProblem.robin_g:
-                    raise ValueError(
-                        "the fused kernels support homogeneous Robin "
-                        "walls only (g = 0, the deposition law) — this "
-                        "problem overrides robin_g; use the scan paths "
-                        "(matvec_impl='stencil'/'ell')"
-                    )
+                if problems_mod.robin_g_customized(problem):
+                    if (type(problem).robin_g_xy
+                            is problems_mod.AdDifProblem.robin_g_xy):
+                        raise ValueError(
+                            "this problem overrides robin_g without an "
+                            "elementwise robin_g_xy — the fused canvas "
+                            "stripe kernel rebuilds wall coordinates "
+                            "from iotas (AdDifProblem.robin_g_xy "
+                            "docstring); override robin_g_xy or use "
+                            "the scan paths (matvec_impl='stencil'/"
+                            "'ell')"
+                        )
+                    if solver_method != "chebyshev":
+                        raise ValueError(
+                            "inhomogeneous Robin flux data (robin_g_xy)"
+                            " on the fused paths runs on the HBM canvas"
+                            " stripe kernel only — solver_method="
+                            "'chebyshev' (the VMEM canvas BiCGStab "
+                            "kernel evaluates no loads); or use the "
+                            "scan paths (matvec_impl='stencil'/'ell')"
+                        )
+                    self._robin_g_fused = True
         if (
             matvec_impl == "auto"
             and not self._robin
@@ -1004,6 +1020,13 @@ class CRBESolver:
                 src_fn = prob.source_xy
                 src_lumped = self.source_quadrature == "mass_lumped"
                 src_grid = structured_grid(self.mesh_data)
+            if self._robin_g_fused and src_grid is None:
+                # Inhomogeneous Robin flux data is evaluated in-kernel
+                # on the wall lines — it needs the same grid scalars as
+                # the source load.
+                from airpollution_tpu.mesh.data import structured_grid
+
+                src_grid = structured_grid(self.mesh_data)
             if self.solver_method == "chebyshev" and getattr(
                 self, "_cheb_bounds", None
             ) is None:
@@ -1116,13 +1139,24 @@ class CRBESolver:
                             pattern.c, self._robin
                         ) if self._robin else None
 
+                        g_fused = self._robin_g_fused
+                        g_fn = self.problem.robin_g_xy if g_fused \
+                            else None
+                        g_sides = tuple(sorted(self._robin)) if g_fused \
+                            else ()
+
                         def run_kernel(u_start_fam, steps, t0=0.0):
                             src_kw = dict(
                                 source_fn=src_fn,
                                 source_steady=src_steady,
-                                source_lumped=src_lumped, grid=src_grid,
-                                t0=t0, dt=dt,
+                                source_lumped=src_lumped,
                             ) if sourced else {}
+                            if g_fused:
+                                src_kw.update(robin_g_fn=g_fn,
+                                              robin_sides=g_sides)
+                            if sourced or g_fused:
+                                src_kw.update(grid=src_grid, t0=t0,
+                                              dt=dt)
                             return pallas_hbm.fused_solve_canvas_hbm(
                                 pattern, coeffs, mass_fam, inv_diag_fam,
                                 u_start_fam,

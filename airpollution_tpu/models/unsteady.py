@@ -60,6 +60,7 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
     from airpollution_tpu.mesh.data import structured_grid
     from airpollution_tpu.ops import linalg, pallas_hbm
     from airpollution_tpu.ops import stencil as stencil_mod
+    from airpollution_tpu.problems import robin_g_customized
 
     if getattr(md, "structured_n", None) is None:
         raise ValueError("fused chunks need a structured mesh")
@@ -93,8 +94,14 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
                 source_steady=bool(getattr(prob, "steady_source",
                                            False)),
                 source_lumped=source_quadrature == "mass_lumped",
-                grid=structured_grid(md), dt=dt, t0=t0_c,
             )
+        g_sides = getattr(prob, "robin_sides", None) or None
+        g_on = bool(g_sides) and robin_g_customized(prob)
+        if g_on:
+            src_kw.update(robin_g_fn=prob.robin_g_xy,
+                          robin_sides=tuple(sorted(g_sides)))
+        if sourced or g_on:
+            src_kw.update(grid=structured_grid(md), dt=dt, t0=t0_c)
         u_fam = pallas_hbm.fused_solve_canvas_hbm(
             pattern, coeffs, mass_fam, inv_diag_fam, u0_c[perm],
             n_steps=k, n_iters=iters, bounds=bounds, use_ka=use_ka,
@@ -166,13 +173,18 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     dt = float(md.domain.T) / n_steps
     robin = getattr(problem, "robin_sides", None) or None
     if fused and robin:
-        from airpollution_tpu.problems import AdDifProblem
+        from airpollution_tpu.problems import (
+            AdDifProblem,
+            robin_g_customized,
+        )
 
-        if type(problem).robin_g is not AdDifProblem.robin_g:
+        if (robin_g_customized(problem)
+                and type(problem).robin_g_xy is AdDifProblem.robin_g_xy):
             raise ValueError(
-                "the fused chunk path supports homogeneous Robin walls "
-                "only (g = 0, the deposition law) — this problem "
-                "overrides robin_g; use matvec_impl='scan'"
+                "this problem overrides robin_g without an elementwise "
+                "robin_g_xy — the fused chunk path evaluates the g-load "
+                "in-kernel (AdDifProblem.robin_g_xy docstring); "
+                "override robin_g_xy or use matvec_impl='scan'"
             )
     # The chunk view carries geometry so run_time_loop can derive Robin
     # side masks; the lift-strip below must mask only true DIRICHLET

@@ -503,6 +503,7 @@ def _canvas_step_kernel(
     int_start: int = 0, n_stripes: int | None = None,
     source_fn=None, source_steady: bool = False,
     source_lumped: bool = True, rect=None,
+    robin_g_fn=None, robin_sides=(),
 ):
     """One implicit time step with PER-DOF coefficient canvases, streamed
     over full-lane row stripes (the spatially-varying-coefficient
@@ -541,9 +542,18 @@ def _canvas_step_kernel(
     (HBM (3, n_pad, n_lane)); outputs u_out [, up_out]; scratch
     win_c (2, 21, W, n_lane), win_u (2, 3, W, n_lane) [, win_up],
     r, d (3, W, n_lane), in_sems (2, 1 + n_states), out_sems
-    (2, n_states)."""
+    (2, n_states).
+
+    ``robin_g_fn`` (elementwise (x, y, t, side) -> g, e.g.
+    ``problem.robin_g_xy``) adds the inhomogeneous Robin flux load
+    ``dt * g * |e|`` on the wall DOF lines of ``robin_sides`` (bottom/
+    top: H-family rows 0/c; left/right: V-family columns 0/c; edge
+    length |e| = h on a structured mesh), rebuilt from iotas like the
+    source load — BE samples t^{n+1}, CN the trapezoid. Requires the
+    same grid scalars as ``source_fn``."""
     n_states = 2 if extrapolate else 1
-    if source_fn is not None:
+    needs_t = source_fn is not None or robin_g_fn is not None
+    if needs_t:
         t_ref, refs = refs[0], refs[1:]
     coeff_src = refs[0]
     u_src = refs[1]
@@ -566,10 +576,18 @@ def _canvas_step_kernel(
     theta = 0.5 * (hi + lo)
     delta = 0.5 * (hi - lo)
     sigma = theta / delta
-    if source_fn is not None:
+    if needs_t:
         s_xmin, s_ymin, s_h, s_dt = (consts[2], consts[3], consts[4],
                                      consts[5])
         s_offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
+    # Wall lines per family: (side, family, line index on the c+1 grid).
+    # D-family edges are never wall edges.
+    g_walls = tuple(
+        (side, fam, line)
+        for side, fam, line in (("bottom", 0, 0), ("top", 0, c),
+                                ("left", 1, 0), ("right", 1, c))
+        if robin_g_fn is not None and side in robin_sides
+    )
 
     def ws_of(i):
         # Sharded-block mode (int_start > 0, parallel/hbm_shard.py):
@@ -658,13 +676,14 @@ def _canvas_step_kernel(
             else:
                 for f in range(3):
                     r_ref[f] = m3[f] * u3[f]
-            if source_fn is not None:
+            if needs_t:
                 gro = (row0_ref[0] + ws).astype(dtype)
                 rif = gro + jax.lax.broadcasted_iota(
                     jnp.int32, (W, 1), 0).astype(dtype)
                 cif = jax.lax.broadcasted_iota(
                     jnp.int32, (1, n_lane), 1).astype(dtype)
 
+            if source_fn is not None:
                 def load_at(f, t):
                     ox, oy = s_offs[f]
                     x = s_xmin + (cif + ox) * s_h
@@ -685,6 +704,39 @@ def _canvas_step_kernel(
                         r_ref[f] = r_ref[f] + 0.5 * (
                             load_at(f, t_new) + load_at(f, t_new - s_dt)
                         )
+            if g_walls:
+                def g_load_at(f, t):
+                    """dt * g(mid, t) * |e| on this family's wall lines
+                    (one-point edge quadrature = run_time_loop's
+                    robin_load; |e| = h for H/V wall edges). rif/cif are
+                    GLOBAL canvas indices, so the line selects correctly
+                    in sharded-block mode too; the rect mask (widened by
+                    the Robin walls) zeroes lane/row padding."""
+                    acc = jnp.zeros((), dtype)
+                    for side, fam, line in g_walls:
+                        if fam != f:
+                            continue
+                        if f == 0:  # H: y fixed on the wall, x varies
+                            x = s_xmin + (cif + 0.5) * s_h
+                            y = s_ymin + line * s_h + 0.0 * cif
+                            sel = rif == line
+                        else:       # V: x fixed on the wall, y varies
+                            x = s_xmin + line * s_h + 0.0 * rif
+                            y = s_ymin + (rif + 0.5) * s_h
+                            sel = cif == line
+                        g = robin_g_fn(x, y, t, side)
+                        acc = acc + jnp.where(sel, g * s_h, 0.0)
+                    return masks[f] * (s_dt * acc)
+
+                t_new = t_ref[0]
+                for f in sorted({fam for _, fam, _ in g_walls}):
+                    if has_ka:  # CN trapezoid (run_time_loop semantics)
+                        r_ref[f] = r_ref[f] + 0.5 * (
+                            g_load_at(f, t_new)
+                            + g_load_at(f, t_new - s_dt)
+                        )
+                    else:       # BE samples t^{n+1}
+                        r_ref[f] = r_ref[f] + g_load_at(f, t_new)
             if extrapolate:
                 for f in range(3):
                     guess = 2.0 * u3[f] - win_up[slot, f]
@@ -750,6 +802,7 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
                            source_fn=None, source_steady: bool = False,
                            source_lumped: bool = True, grid=None,
                            t0=0.0, dt=None, rect=None,
+                           robin_g_fn=None, robin_sides=(),
                            interpret: bool = False):
     """Whole time loop with the canvas-operator stripe kernel (Chebyshev).
 
@@ -768,13 +821,21 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
 
     ``rect``: Dirichlet rectangle bounds for Robin walls
     (:func:`robin_rect_bounds`) — the caller's masks/coefficients must
-    then derive from the REDUCED Dirichlet mask (models/crbe.robin_terms)."""
+    then derive from the REDUCED Dirichlet mask (models/crbe.robin_terms).
+
+    ``robin_g_fn`` + ``robin_sides``: inhomogeneous Robin flux data
+    evaluated in-kernel on the wall lines (see
+    :func:`_canvas_step_kernel`); requires ``grid`` and ``dt`` like
+    ``source_fn`` and should come with the matching ``rect``."""
     from airpollution_tpu.ops.pallas_solver import coeff_canvases
 
     if n_steps == 0:
         return u0_fam
-    if source_fn is not None and (grid is None or dt is None):
-        raise ValueError("source_fn requires grid=(xmin, ymin, h) and dt")
+    needs_t = source_fn is not None or robin_g_fn is not None
+    if needs_t and (grid is None or dt is None):
+        raise ValueError(
+            "source_fn/robin_g_fn require grid=(xmin, ymin, h) and dt"
+        )
     n, c = pattern.n, pattern.c
     dtype = u0_fam.dtype
     depth = n_iters + 1 + (1 if use_ka else 0)
@@ -799,7 +860,7 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
     u = jnp.pad(jnp.stack(to_canvases(pattern, u0_fam)), pad)
 
     parts = [jnp.stack([jnp.asarray(b, dtype) for b in bounds])]
-    if source_fn is not None:
+    if needs_t:
         parts.append(jnp.stack([
             jnp.asarray(grid[0], dtype), jnp.asarray(grid[1], dtype),
             jnp.asarray(grid[2], dtype), jnp.asarray(dt, dtype),
@@ -815,7 +876,8 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
         n_lane=n_lane, n_iters=n_iters, has_ka=use_ka,
         extrapolate=extrapolate, source_fn=source_fn,
         source_steady=source_steady, source_lumped=source_lumped,
-        rect=rect,
+        rect=rect, robin_g_fn=robin_g_fn,
+        robin_sides=tuple(robin_sides),
     )
     scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
                pltpu.VMEM((2, 3, W, n_lane), dtype)]
@@ -824,7 +886,7 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
     scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
     scratch += [pltpu.SemaphoreType.DMA((2, 1 + n_states)),
                 pltpu.SemaphoreType.DMA((2, n_states))]
-    n_smem = 2 + (1 if source_fn is not None else 0)
+    n_smem = 2 + (1 if needs_t else 0)
     step_call = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -841,14 +903,13 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
     )
 
     ts = None
-    if source_fn is not None:
+    if needs_t:
         ts = jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * jnp.arange(
             1, n_steps + 1, dtype=dtype
         ).reshape(n_steps, 1)
 
     def pre(t):
-        return (packed, row0) + ((t,) if source_fn is not None else ()) \
-            + (coeff,)
+        return (packed, row0) + ((t,) if needs_t else ()) + (coeff,)
 
     if extrapolate:
         def step(carry, t):

@@ -457,13 +457,15 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
 
     robin = getattr(problem, "robin_sides", None) or None
     if robin:
-        from airpollution_tpu.problems import AdDifProblem
+        from airpollution_tpu.problems import robin_g_customized
 
-        if type(problem).robin_g is not AdDifProblem.robin_g:
+        if robin_g_customized(problem):
             raise ValueError(
                 "the distributed canvas stripe solver supports "
                 "homogeneous Robin walls only (g = 0) — this problem "
-                "overrides robin_g; use the serial scan paths"
+                "overrides robin_g/robin_g_xy; use the serial paths "
+                "(CRBESolver handles robin_g_xy on the fused_hbm "
+                "kernel)"
             )
     md = mesh_data
     if getattr(md, "structured_n", None) is None:

@@ -77,6 +77,16 @@ SIDE_NORMALS = {
 }
 
 
+def robin_g_customized(problem) -> bool:
+    """True when the problem's Robin inhomogeneity is not identically 0
+    — i.e. it overrides ``robin_g`` or the elementwise ``robin_g_xy``
+    (class-level; the supported override route per their docstrings).
+    The g = 0 (deposition/no-flux) fast paths use this gate."""
+    t = type(problem)
+    return (t.robin_g is not AdDifProblem.robin_g
+            or t.robin_g_xy is not AdDifProblem.robin_g_xy)
+
+
 def exact_robin_g(problem, xy, t, side):
     """Manufactured Robin data from a problem's analytical solution.
 
@@ -173,9 +183,29 @@ class AdDifProblem(abc.ABC):
         override for inhomogeneous flux data. ``side`` is a static
         string — per-side outward normals are in ``SIDE_NORMALS``.
         ``t`` is a scalar (FEM step time) or per-point (N,) array (PINN
-        boundary collocation times)."""
+        boundary collocation times).
+
+        The default delegates to :meth:`robin_g_xy` (which returns 0),
+        so a subclass can provide the inhomogeneity ONCE in elementwise
+        form and have every path — scan, PINN, and the fused canvas
+        stripe kernel — agree on it."""
         xy = jnp.asarray(xy)
-        return jnp.zeros(xy.shape[0], dtype=xy.dtype)
+        return self.robin_g_xy(xy[..., 0], xy[..., 1], t, side)
+
+    def robin_g_xy(self, x, y, t, side):
+        """Elementwise Robin inhomogeneity on separate coordinate arrays
+        (broadcast), the :meth:`source_xy` analogue for the flux law.
+
+        The fused canvas stripe kernel evaluates the g-load on wall
+        coordinate lines rebuilt in-kernel from iotas, so it needs a
+        form without the (..., 2) stacking of :meth:`robin_g`. Default
+        0. Subclasses wanting inhomogeneous flux walls on the fused
+        paths must override THIS hook (direct 2D arithmetic — stacking
+        inside a Mosaic kernel forces a relayout); overriding only
+        :meth:`robin_g` keeps the scan/PINN paths and leaves the fused
+        kernels gated off."""
+        x, y = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(y))
+        return jnp.zeros_like(x)
 
     # True when v or D additionally vary in TIME. The hooks then take a
     # second argument t (``velocity_at(xy, t)`` etc.); solvers assemble
@@ -728,11 +758,11 @@ class MultiSpeciesProblem:
                 )
         for k, p in enumerate(self.species):
             if (getattr(p, "robin_sides", None)
-                    and type(p).robin_g is not AdDifProblem.robin_g):
+                    and robin_g_customized(p)):
                 raise ValueError(
-                    f"species {k} overrides robin_g — multi-species "
-                    "Robin walls support the homogeneous flux law only "
-                    "(deposition/no-flux; g = 0)"
+                    f"species {k} overrides robin_g/robin_g_xy — "
+                    "multi-species Robin walls support the homogeneous "
+                    "flux law only (deposition/no-flux; g = 0)"
                 )
 
     @property

@@ -438,3 +438,123 @@ def test_robin_fused_strided_snapshots_match_scan():
     sols_fused = np.asarray(fused.solve(store_solutions=True))
     assert sols_fused.shape == sols_ref.shape
     np.testing.assert_allclose(sols_fused, sols_ref, atol=1e-10)
+
+
+# --- Inhomogeneous Robin flux data (g != 0) on the fused canvas paths ------
+# The flux law -D dc/dn = alpha c - g with nonzero g: the scan paths
+# evaluate problem.robin_g (MMS-validated above); the HBM canvas stripe
+# kernel evaluates the elementwise problem.robin_g_xy on wall coordinate
+# lines rebuilt from iotas (ops/pallas_hbm._canvas_step_kernel), with the
+# default robin_g DELEGATING to robin_g_xy so both paths share one law.
+
+
+class _GFluxPulse(SquarePulseProblem):
+    """Square pulse with inhomogeneous flux walls: deposition + a
+    time-dependent inflow g on the bottom, a pure Neumann flux inflow on
+    the left (alpha = 0), and a deposition-only top (g = 0 there)."""
+
+    robin_sides = {"bottom": 0.3, "left": 0.0, "top": 0.1}
+
+    def robin_g_xy(self, x, y, t, side):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if side == "bottom":
+            return (0.5 * (1.0 + jnp.sin(0.2 * x)) * (1.0 + 0.3 * t)
+                    + 0.0 * y)
+        if side == "left":
+            return 0.25 * jnp.exp(-(((y - 5.0) / 8.0) ** 2)) + 0.0 * x
+        return jnp.zeros_like(x + y)
+
+
+def test_robin_g_delegation_and_gates():
+    """Default robin_g delegates to robin_g_xy (one law for scan, PINN
+    and fused); g-customized problems are gated off the paths that
+    cannot evaluate the load."""
+    p = _GFluxPulse()
+    xy = jnp.asarray([[1.0, -20.0], [3.0, -20.0]])
+    np.testing.assert_allclose(
+        np.asarray(p.robin_g(xy, 0.5, "bottom")),
+        np.asarray(p.robin_g_xy(xy[:, 0], xy[:, 1], 0.5, "bottom")),
+    )
+    from airpollution_tpu.problems import robin_g_customized
+
+    assert robin_g_customized(p)
+    assert not robin_g_customized(SquarePulseProblem())
+
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(6, 20.0), domain, nt=5, dtype=jnp.float64)
+    # The VMEM canvas kernel (BiCGStab) evaluates no loads.
+    with pytest.raises(ValueError, match="chebyshev"):
+        CRBESolver(domain, p, md, matvec_impl="fused")
+    # robin_g overridden WITHOUT an elementwise robin_g_xy: fused paths
+    # cannot rebuild the load and refuse.
+    class _VectorOnly(SquarePulseProblem):
+        robin_sides = {"bottom": 0.1}
+
+        def robin_g(self, xy, t, side):
+            return jnp.ones(xy.shape[0], xy.dtype)
+
+    with pytest.raises(ValueError, match="robin_g_xy"):
+        CRBESolver(domain, _VectorOnly(), md, matvec_impl="fused_hbm",
+                   solver_method="chebyshev")
+    # The distributed canvas stripe solver stays g = 0 scope.
+    import jax
+
+    from airpollution_tpu.parallel.hbm_shard import (
+        build_canvas_hbm_halo_solver,
+    )
+
+    dev_mesh = jax.make_mesh((1,), ("mp",))
+    with pytest.raises(ValueError, match="robin_g"):
+        build_canvas_hbm_halo_solver(dev_mesh, md, p, 0.25)
+
+
+@pytest.mark.kernels
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (2, True)])
+def test_robin_g_fused_hbm_matches_ell_truth(order, extrapolate):
+    """HBM canvas stripe kernel with the in-kernel g-load converges to
+    the tight-tolerance ELL scan trajectory (BE samples t^{n+1}, CN the
+    trapezoid — run_time_loop's robin_load semantics). ms=33 so stripes
+    clamp at both canvas edges."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(33, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = _GFluxPulse()
+    truth = CRBESolver(domain, p, md, matvec_impl="ell",
+                       time_scheme_order=order, solver_tol=1e-13,
+                       solver_maxiter=400)
+    u_ref = np.asarray(truth.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=30,
+                       time_scheme_order=order,
+                       extrapolate_warm_start=extrapolate)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=5e-9)
+    # The g-load genuinely matters: a pure-deposition run (same alphas,
+    # g = 0) must differ by far more than the comparison tolerance.
+    p0 = SquarePulseProblem()
+    p0.robin_sides = dict(_GFluxPulse.robin_sides)
+    u0 = np.asarray(CRBESolver(
+        domain, p0, md, matvec_impl="ell", time_scheme_order=order,
+        solver_tol=1e-13, solver_maxiter=400,
+    ).solve(store_solutions=False))
+    assert np.abs(u_fused - u0).max() > 1e-3
+
+
+@pytest.mark.kernels
+def test_robin_g_fused_strided_snapshots_match_scan():
+    """Strided fused trajectories with the g-load: each chunked kernel
+    sweep passes its own t0, so the time-dependent bottom inflow must
+    line up with the scan rows chunk by chunk."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=7, dtype=jnp.float64)
+    p = _GFluxPulse()
+    ref = CRBESolver(domain, p, md, matvec_impl="ell",
+                     time_scheme_order=2, solver_tol=1e-13,
+                     solver_maxiter=400)
+    sols_ref = np.asarray(ref.solve())[::3]
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=30,
+                       time_scheme_order=2, snapshot_every=3)
+    sols_fused = np.asarray(fused.solve(store_solutions=True))
+    assert sols_fused.shape == sols_ref.shape
+    np.testing.assert_allclose(sols_fused, sols_ref, atol=5e-9)

@@ -370,3 +370,52 @@ def test_fused_chunks_robin_walls_match_scan_chunks():
     with pytest.raises(ValueError, match="robin_g"):
         solve_time_varying(pg, md, matvec_impl="fused_hbm",
                            fused_interpret=True, **kw)
+
+
+class _GFluxTurning(TurningWindProblem):
+    """Turning wind + an inhomogeneous flux wall: the bottom inflow g
+    varies in x and t, provided ONCE in elementwise form (robin_g_xy;
+    the default robin_g delegates), so the scan chunks and the fused
+    canvas stripe chunks evaluate the same law."""
+
+    robin_sides = {"bottom": 0.4, "left": 0.2}
+
+    def robin_g_xy(self, x, y, t, side):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if side == "bottom":
+            return (0.3 * (1.0 + jnp.cos(0.15 * x)) * (1.0 + 0.5 * t)
+                    + 0.0 * y)
+        return jnp.zeros_like(x + y)
+
+
+_register_problem_pytree(
+    _GFluxTurning,
+    ("v", "D", "speed", "omega_t", "phi0", "sigma", "x0", "y0",
+     "reaction"),
+)
+
+
+def test_fused_chunks_robin_g_matches_scan_chunks():
+    """The in-kernel g-load on the fused chunk path (per-chunk t0,
+    CN trapezoid) tracks the scan chunks' run_time_loop robin_load."""
+    p = _GFluxTurning(speed=1.0, omega_t=0.5, D=0.3)
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    kw = dict(reassemble_every=4, time_scheme_order=2,
+              chebyshev_iters=8, extrapolate_warm_start=True,
+              store_solutions=False)
+    ref = solve_time_varying(p, md, solver="chebyshev", **kw)
+    got = solve_time_varying(p, md, matvec_impl="fused_hbm",
+                             fused_interpret=True, **kw)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-4
+    # Same bounds-estimation wobble budget as the other fused-chunk
+    # equality tests (different matvec layouts for power_bounds).
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
+    # And g genuinely matters: the pure-deposition twin differs.
+    p0 = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.3)
+    p0.robin_sides = dict(_GFluxTurning.robin_sides)
+    ref0 = solve_time_varying(p0, md, solver="chebyshev", **kw)
+    assert float(jnp.max(jnp.abs(ref - ref0))) > 1e-3 * scale
