@@ -658,8 +658,7 @@ class CRBESolver:
                 from airpollution_tpu import problems as problems_mod
 
                 if problems_mod.robin_g_customized(problem):
-                    if (type(problem).robin_g_xy
-                            is problems_mod.AdDifProblem.robin_g_xy):
+                    if not problems_mod.robin_g_xy_provided(problem):
                         raise ValueError(
                             "this problem overrides robin_g without an "
                             "elementwise robin_g_xy — the fused canvas "
@@ -1014,16 +1013,12 @@ class CRBESolver:
                 # parameters (q, xs, ...) are closure constants here —
                 # the fused path is not differentiable/vmappable anyway
                 # (use the scan path for inverse problems).
-                from airpollution_tpu.mesh.data import structured_grid
-
                 prob = self.problem
                 src_fn = prob.source_xy
                 src_lumped = self.source_quadrature == "mass_lumped"
-                src_grid = structured_grid(self.mesh_data)
-            if self._robin_g_fused and src_grid is None:
-                # Inhomogeneous Robin flux data is evaluated in-kernel
-                # on the wall lines — it needs the same grid scalars as
-                # the source load.
+            if sourced or self._robin_g_fused:
+                # The in-kernel loads (source and/or Robin g) rebuild
+                # coordinates from iotas + these grid scalars.
                 from airpollution_tpu.mesh.data import structured_grid
 
                 src_grid = structured_grid(self.mesh_data)

@@ -174,12 +174,12 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     robin = getattr(problem, "robin_sides", None) or None
     if fused and robin:
         from airpollution_tpu.problems import (
-            AdDifProblem,
             robin_g_customized,
+            robin_g_xy_provided,
         )
 
         if (robin_g_customized(problem)
-                and type(problem).robin_g_xy is AdDifProblem.robin_g_xy):
+                and not robin_g_xy_provided(problem)):
             raise ValueError(
                 "this problem overrides robin_g without an elementwise "
                 "robin_g_xy — the fused chunk path evaluates the g-load "

@@ -79,12 +79,23 @@ SIDE_NORMALS = {
 
 def robin_g_customized(problem) -> bool:
     """True when the problem's Robin inhomogeneity is not identically 0
-    — i.e. it overrides ``robin_g`` or the elementwise ``robin_g_xy``
-    (class-level; the supported override route per their docstrings).
-    The g = 0 (deposition/no-flux) fast paths use this gate."""
+    — i.e. it overrides ``robin_g`` or the elementwise ``robin_g_xy``,
+    as a subclass method OR an instance attribute (``p.robin_g =
+    partial(exact_robin_g, p)`` is the documented MMS shortcut, and an
+    instance assignment slipping past this gate would make the g = 0
+    fast paths silently solve different physics than the scan paths)."""
     t = type(problem)
-    return (t.robin_g is not AdDifProblem.robin_g
+    return ("robin_g" in vars(problem) or "robin_g_xy" in vars(problem)
+            or t.robin_g is not AdDifProblem.robin_g
             or t.robin_g_xy is not AdDifProblem.robin_g_xy)
+
+
+def robin_g_xy_provided(problem) -> bool:
+    """True when the problem supplies the ELEMENTWISE inhomogeneity hook
+    (method override or instance attribute) that the fused kernels can
+    evaluate on iota-rebuilt wall lines."""
+    return ("robin_g_xy" in vars(problem)
+            or type(problem).robin_g_xy is not AdDifProblem.robin_g_xy)
 
 
 def exact_robin_g(problem, xy, t, side):

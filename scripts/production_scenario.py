@@ -175,7 +175,8 @@ def main():
 
     rows = []
     for ms, nt, every, iters in zip(args.mesh_sizes, args.nt,
-                                    args.snapshot_every, args.iters):
+                                    args.snapshot_every, args.iters,
+                                    strict=True):
         rows.append(run(ms, nt, every, iters, warm=not args.no_warm))
     if args.write:
         out = os.path.join(os.path.dirname(__file__), "..",

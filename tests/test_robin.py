@@ -558,3 +558,30 @@ def test_robin_g_fused_strided_snapshots_match_scan():
     sols_fused = np.asarray(fused.solve(store_solutions=True))
     assert sols_fused.shape == sols_ref.shape
     np.testing.assert_allclose(sols_fused, sols_ref, atol=5e-9)
+
+
+def test_robin_g_instance_assignment_is_gated():
+    """g assigned as an INSTANCE attribute (the exact_robin_g MMS
+    shortcut, `p.robin_g = partial(exact_robin_g, p)`) must hit the same
+    g = 0 gates as subclass overrides — a miss would make the fused
+    paths silently solve different physics than the scan paths (review
+    finding, round 2)."""
+    from functools import partial
+
+    from airpollution_tpu.problems import (robin_g_customized,
+                                           robin_g_xy_provided)
+
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(6, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = Problem(v=(1.6, 0.0), D=0.1)
+    p.robin_sides = {"right": 0.7}
+    p.robin_g = partial(exact_robin_g, p)
+    assert robin_g_customized(p) and not robin_g_xy_provided(p)
+    with pytest.raises(ValueError, match="robin_g_xy"):
+        CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                   solver_method="chebyshev")
+    # Instance-assigned robin_g_xy counts as the elementwise hook.
+    p2 = _GFluxPulse()
+    base = _GFluxPulse.robin_g_xy
+    p2.robin_g_xy = lambda x, y, t, side: 2.0 * base(p2, x, y, t, side)
+    assert robin_g_xy_provided(p2)
