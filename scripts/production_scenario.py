@@ -9,17 +9,22 @@ unlocked by Robin support on the canvas stripe kernel:
   component zero;
 - **steady stack emission**: a Gaussian source of total rate q near the
   ground, evaluated in-kernel (zero extra HBM traffic);
-- **ground dry deposition**: Robin wall ``-D dc/dn = v_d c`` on the
-  bottom side, a no-flux lid (alpha = 0) on top, clean-air Dirichlet
-  inflow/outflow left/right;
+- **ground surface exchange**: Robin wall on the bottom side — pure
+  dry deposition ``-D dc/dn = v_d c`` by default, or the standard
+  bidirectional compensation-point model ``-D dc/dn = v_d (c -
+  c_comp)`` (NH3-style re-emission; alpha = v_d, g = v_d c_comp via
+  the elementwise ``robin_g_xy`` hook, evaluated in-kernel on the wall
+  line) — plus a no-flux lid (alpha = 0) on top and clean-air
+  Dirichlet inflow/outflow left/right;
 - **Crank-Nicolson** time stepping + strided snapshots, all inside the
   HBM-tiled canvas stripe kernel (ops/pallas_hbm.fused_solve_canvas_hbm).
 
-Physics oracle: the lumped-mass budget. d(mass)/dt = q - deposition -
-outflow; the script integrates the deposition flux sum(alpha |e| c) over
-the bottom-wall DOFs from the snapshots and reports the budget closure.
-The reference (crbe.py:406-433, all-Dirichlet, constant wind, scipy
-spsolve) can express none of these terms.
+Physics oracle: the lumped-mass budget. d(mass)/dt = q - net surface
+exchange - outflow; the script integrates the net flux
+sum(alpha |e| c) - sum(g |e|) over the bottom-wall DOFs from the
+snapshots and reports the budget closure. The reference
+(crbe.py:406-433, all-Dirichlet, constant wind, scipy spsolve) can
+express none of these terms.
 
 Writes results_snapshot/production_scenario.json (when --write).
 """
@@ -59,7 +64,7 @@ class BoundaryLayerEmitter(AdDifProblem):
 
     def __init__(self, ustar=0.2, kappa=0.4, z0=1.0, q=1.0,
                  xs=-10.0, ys=-16.0, sigma_s=1.2, D=0.2, v_d=0.05,
-                 ground=-20.0):
+                 c_comp=0.0, ground=-20.0):
         super().__init__(None, D, 0.0)
         self.ustar = ustar
         self.kappa = kappa
@@ -69,7 +74,24 @@ class BoundaryLayerEmitter(AdDifProblem):
         self.ys = ys
         self.sigma_s = sigma_s
         self.ground = ground
+        self.v_d = v_d
+        self.c_comp = c_comp
         self.robin_sides = {"bottom": v_d, "top": 0.0}
+        if c_comp:
+            # Compensation-point exchange: -D dc/dn = v_d (c - c_comp)
+            # on the ground, i.e. g = v_d * c_comp (re-emission where
+            # the air is cleaner than the surface). Instance-assigned
+            # only when active, so pure-deposition runs keep the
+            # zero-g-load kernel program (the default robin_g delegates
+            # to this hook, so the scan paths see the same law).
+            def _g(x, y, t, side, _g0=v_d * c_comp):
+                x = jnp.asarray(x)
+                y = jnp.asarray(y)
+                if side == "bottom":
+                    return jnp.full_like(x + y, _g0)
+                return jnp.zeros_like(x + y)
+
+            self.robin_g_xy = _g
 
     def _u(self, y):
         z = jnp.maximum(y - self.ground, 0.0)
@@ -98,10 +120,10 @@ class BoundaryLayerEmitter(AdDifProblem):
         return self.source_xy(xyt[..., 0], xyt[..., 1], xyt[..., 2])
 
 
-def run(ms, nt, every, iters, q=1.0, v_d=0.05, warm=True):
+def run(ms, nt, every, iters, q=1.0, v_d=0.05, c_comp=0.0, warm=True):
     mesh = apt.create_mesh(ms, domain_size=20.0)
     domain = apt.Domain()
-    problem = BoundaryLayerEmitter(q=q, v_d=v_d)
+    problem = BoundaryLayerEmitter(q=q, v_d=v_d, c_comp=c_comp)
     md = apt.MeshData(mesh, domain, nt=nt)
     solver = CRBESolver(domain, problem, md, matvec_impl="fused_hbm",
                         solver_method="chebyshev", chebyshev_iters=iters,
@@ -130,31 +152,39 @@ def run(ms, nt, every, iters, q=1.0, v_d=0.05, warm=True):
     dep_rate = Un @ alpha  # instantaneous deposition flux per snapshot
     t_snap = np.arange(U.shape[0]) * every * solver.dt
     emitted = q * t_snap[-1]
+    # Re-emission (compensation point): steady g = v_d * c_comp over
+    # the bottom-wall edges, so the rate is v_d * c_comp * wall length.
+    side = boundary_side_masks(md)
+    bot = np.asarray(side["bottom"])
+    wall_len = float(np.asarray(md.segment_lengths)[bot].sum())
+    reemit_rate = v_d * c_comp * wall_len
     deposited = float(np.trapezoid(dep_rate, t_snap))
+    reemitted = reemit_rate * float(t_snap[-1])
     accumulated = float(mass[-1] - mass[0])
     # Residual = advective/diffusive loss through the Dirichlet
     # inflow/outflow walls + time-integration error of the trapezoid
     # over strided snapshots.
-    outflow = emitted - deposited - accumulated
-    log(f"[{ms}^2] budget: emitted {emitted:.4f}, accumulated "
-        f"{accumulated:.4f}, deposited {deposited:.4f}, "
-        f"outflow+residual {outflow:.4f}")
+    outflow = emitted + reemitted - deposited - accumulated
+    log(f"[{ms}^2] budget: emitted {emitted:.4f} + re-emitted "
+        f"{reemitted:.4f}, accumulated {accumulated:.4f}, deposited "
+        f"{deposited:.4f}, outflow+residual {outflow:.4f}")
 
-    side = boundary_side_masks(md)
-    bot = np.asarray(side["bottom"])
     return {
         "mesh_size": ms, "n_dofs": int(md.number_of_segments),
         "nt": nt, "snapshot_every": every, "chebyshev_iters": iters,
         "scheme": "crank-nicolson", "q": q, "v_d": v_d,
+        "c_comp": c_comp,
         "warm_solve_s": dt_solve,
         "steps_per_sec": (None if dt_solve is None
                           else (nt - 1) / dt_solve),
         "mass_final": float(mass[-1]),
         "emitted": float(emitted),
+        "reemitted": reemitted,
         "accumulated": accumulated,
         "deposited": deposited,
         "outflow_plus_residual": float(outflow),
         "deposited_frac_of_emitted": deposited / emitted,
+        "net_surface_uptake": deposited - reemitted,
         "peak_final": float(Un[-1].max()),
         "ground_mean_final": float(Un[-1][bot].mean()),
     }
@@ -163,21 +193,28 @@ def run(ms, nt, every, iters, q=1.0, v_d=0.05, warm=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh_sizes", type=int, nargs="+",
-                    default=[513, 1025])
-    ap.add_argument("--nt", type=int, nargs="+", default=[1001, 2001])
+                    default=[513, 1025, 513])
+    ap.add_argument("--nt", type=int, nargs="+",
+                    default=[1001, 2001, 1001])
     ap.add_argument("--snapshot_every", type=int, nargs="+",
-                    default=[100, 200])
-    ap.add_argument("--iters", type=int, nargs="+", default=[8, 8])
+                    default=[100, 200, 100])
+    ap.add_argument("--iters", type=int, nargs="+", default=[8, 8, 8])
+    # Surface compensation point per run: 0 = pure deposition; the
+    # third default run re-emits where ground air is cleaner than the
+    # surface (ground-level c ~0.008 in the default plume).
+    ap.add_argument("--c_comp", type=float, nargs="+",
+                    default=[0.0, 0.0, 0.005])
     ap.add_argument("--no_warm", action="store_true")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     log(f"device: {jax.devices()[0]}")
 
     rows = []
-    for ms, nt, every, iters in zip(args.mesh_sizes, args.nt,
-                                    args.snapshot_every, args.iters,
-                                    strict=True):
-        rows.append(run(ms, nt, every, iters, warm=not args.no_warm))
+    for ms, nt, every, iters, cc in zip(args.mesh_sizes, args.nt,
+                                        args.snapshot_every, args.iters,
+                                        args.c_comp, strict=True):
+        rows.append(run(ms, nt, every, iters, c_comp=cc,
+                        warm=not args.no_warm))
     if args.write:
         out = os.path.join(os.path.dirname(__file__), "..",
                            "results_snapshot", "production_scenario.json")
