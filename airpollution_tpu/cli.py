@@ -394,6 +394,40 @@ def cmd_fit_deposition(args):
     }))
 
 
+def cmd_fit_exchange(args):
+    """Joint (v_d, c_comp) surface-exchange estimation from a saved
+    trajectory: the CLI face of diagnostics.inverse.fit_surface_exchange."""
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import load_field
+
+    domain, problem = _domain_problem(args)
+    if not args.robin:
+        raise SystemExit("fit-exchange needs --robin side=...,side=... "
+                         "naming the walls to estimate")
+    problem.robin_sides = _parse_robin(args.robin)
+    md = _mesh_data(args, domain)
+    observed, times = load_field(args.observed)
+    if observed.ndim != 2 or times is None:
+        raise SystemExit(
+            "fit-exchange needs a trajectory .npz with times "
+            "(solve --robin ... --save --save_all)"
+        )
+    obs, idx = _trajectory_rows(domain, args, observed, times,
+                                "fit-exchange")
+    out, losses = inverse.fit_surface_exchange(
+        obs, md, problem, alpha0=args.alpha0, c_comp0=args.c_comp0,
+        snapshot_indices=idx, steps=args.steps, lr=args.lr,
+    )
+    print(json.dumps({
+        "method": "fit_surface_exchange",
+        "exchange": {s: {"v_d": v, "c_comp": c}
+                     for s, (v, c) in out.items()},
+        "n_snapshots": len(idx),
+        "misfit_first": float(losses[0]), "misfit_last": float(losses[-1]),
+        "steps": args.steps,
+    }))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="airpollution_tpu",
                                 description=__doc__.splitlines()[0])
@@ -554,6 +588,24 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=200)
     sp.add_argument("--lr", type=float, default=0.05)
     sp.set_defaults(fn=cmd_fit_deposition)
+
+    sp = sub.add_parser(
+        "fit-exchange",
+        help="Estimate wall (v_d, c_comp) surface exchange jointly",
+    )
+    common(sp)
+    sp.add_argument("--robin", required=True,
+                    help="side=alpha pairs naming the walls to estimate "
+                         "(values are static defaults; the fit optimizes "
+                         "traced overrides)")
+    sp.add_argument("--observed", required=True,
+                    help=".npz trajectory from solve --robin ... "
+                         "--save --save_all (times included)")
+    sp.add_argument("--alpha0", type=float, default=0.1)
+    sp.add_argument("--c_comp0", type=float, default=0.0)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--lr", type=float, default=0.05)
+    sp.set_defaults(fn=cmd_fit_exchange)
     return p
 
 

@@ -4,6 +4,7 @@ plus differentiable-solve inverse problems (parameter estimation)."""
 from airpollution_tpu.diagnostics.inverse import (
     fit_chemistry,
     fit_deposition,
+    fit_surface_exchange,
     fit_diffusion,
     fit_parameters,
     fit_source,
@@ -35,6 +36,7 @@ __all__ = [
     "stack_problems",
     "fit_chemistry",
     "fit_deposition",
+    "fit_surface_exchange",
     "fit_diffusion",
     "fit_parameters",
     "fit_source",

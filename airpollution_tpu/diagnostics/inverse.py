@@ -36,7 +36,8 @@ from airpollution_tpu.problems import Problem
 
 
 def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
-           tol, maxiter, store_solutions, robin_alpha=None):
+           tol, maxiter, store_solutions, robin_alpha=None,
+           robin_g_const=None):
     """Differentiable solve; (nt, n) when storing, (1, n) otherwise.
 
     Traceable in ``problem`` (a pytree). Structured meshes run the
@@ -60,7 +61,7 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
     u0 = problem.initial_condition_fn(md.midpoints)
     base = dict(problem=problem, dt=dt, order=time_scheme_order, tol=tol,
                 maxiter=maxiter, store_solutions=store_solutions,
-                differentiable=True)
+                differentiable=True, robin_g_const=robin_g_const)
 
     if getattr(md, "structured_n", None) is None:
         sols, _ = run_time_loop(ops, u0, mesh_data=md, **base)
@@ -98,7 +99,7 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
                       stiffness_convention: str = "correct",
                       tol: float = 1e-9, maxiter: int = 200,
-                      robin_alpha=None):
+                      robin_alpha=None, robin_g_const=None):
     """Differentiable CRBE solve returning the boundary-lifted final state.
 
     Pure and traceable in ``problem``: composes with ``jax.grad``,
@@ -107,14 +108,15 @@ def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
     return _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
                   stiffness_convention=stiffness_convention, tol=tol,
                   maxiter=maxiter, store_solutions=False,
-                  robin_alpha=robin_alpha)[0]
+                  robin_alpha=robin_alpha,
+                  robin_g_const=robin_g_const)[0]
 
 
 def solve_snapshots(problem, mesh_data, *, indices=None,
                     time_scheme_order: int = 1,
                     stiffness_convention: str = "correct",
                     tol: float = 1e-9, maxiter: int = 200,
-                    robin_alpha=None):
+                    robin_alpha=None, robin_g_const=None):
     """Differentiable solve returning solution snapshots.
 
     ``indices`` selects time rows (default: all nt). Trajectory
@@ -123,7 +125,8 @@ def solve_snapshots(problem, mesh_data, *, indices=None,
     sols = _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
                   stiffness_convention=stiffness_convention, tol=tol,
                   maxiter=maxiter, store_solutions=True,
-                  robin_alpha=robin_alpha)
+                  robin_alpha=robin_alpha,
+                  robin_g_const=robin_g_const)
     if indices is None:
         return sols
     return sols[jnp.asarray(indices)]
@@ -652,6 +655,93 @@ def fit_deposition(observed, mesh_data, problem, *, alpha0: float = 0.1,
     alphas = {s: float(jnp.exp(params["log_alpha"][i]))
               for i, s in enumerate(sides)}
     return alphas, losses
+
+
+def fit_surface_exchange(observed, mesh_data, problem, *,
+                         alpha0: float = 0.1, c_comp0: float = 0.0,
+                         snapshot_indices=None, sensor_indices=None,
+                         steps: int = 150, lr: float = 0.1,
+                         time_scheme_order: int = 1, tol: float = 1e-9,
+                         maxiter: int = 200, cache_key=None):
+    """Joint surface-exchange estimation: recover per-side deposition
+    velocities AND compensation points from concentration observations.
+
+    The bidirectional-flux generalization of :func:`fit_deposition`:
+    the wall law is ``-D dc/dn = v_d (c - c_comp)`` (NH3-style surface
+    exchange — the surface re-emits where the air is cleaner than the
+    substrate), i.e. ``alpha = v_d`` and ``g = v_d c_comp``. Both
+    parameters flow through the discrete adjoint: v_d through the
+    assembled operator diagonal (traced ``robin_alpha`` override) and
+    the product ``g`` through the RHS load (traced ``robin_g_const``
+    override of run_time_loop's robin_load). v_d is optimized in log
+    space (positivity); c_comp in linear space. Identifiability needs
+    transients that actually exchange with the wall — use trajectory
+    snapshots and near-wall sensors like :func:`fit_deposition`.
+
+    Returns ``({side: (v_d, c_comp)}, losses)``.
+    """
+    robin = getattr(problem, "robin_sides", None)
+    if not robin:
+        raise ValueError("problem.robin_sides names the exchange sides "
+                         "to estimate")
+    sides = sorted(robin)
+    observed = jnp.asarray(observed)
+    idx = tuple(int(i) for i in snapshot_indices) \
+        if snapshot_indices is not None else None
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
+
+    def predict(q):
+        alphas = {s: jnp.exp(q["log_alpha"][i])
+                  for i, s in enumerate(sides)}
+        g_const = {s: alphas[s] * q["c_comp"][i]
+                   for i, s in enumerate(sides)}
+        kw = dict(time_scheme_order=time_scheme_order, tol=tol,
+                  maxiter=maxiter, robin_alpha=alphas,
+                  robin_g_const=g_const)
+        if idx is None:
+            pred = solve_final_state(problem, mesh_data, **kw)
+        else:
+            pred = solve_snapshots(problem, mesh_data, indices=list(idx),
+                                   **kw)
+        if sens is not None:
+            pred = pred[..., jnp.asarray(sens)]
+        return pred
+
+    opt = optax.adam(lr)
+
+    def train_step(params, opt_state, obs):
+        def loss_fn(q):
+            return jnp.mean((predict(q) - obs) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    dtype = mesh_data.midpoints.dtype
+    params = {
+        "log_alpha": jnp.log(jnp.full(len(sides), alpha0, dtype)),
+        "c_comp": jnp.full(len(sides), c_comp0, dtype),
+    }
+    if cache_key is not None:
+        full_key = (
+            "fit_surface_exchange", cache_key, id(mesh_data), idx, sens,
+            tuple(sides), int(time_scheme_order), float(tol),
+            int(maxiter), float(lr),
+        )
+        step_fn = _fit_cache_get(full_key, lambda: jax.jit(train_step))
+    else:
+        step_fn = jax.jit(train_step)
+
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, observed)
+        losses.append(float(loss))
+    out = {s: (float(jnp.exp(params["log_alpha"][i])),
+               float(params["c_comp"][i]))
+           for i, s in enumerate(sides)}
+    return out, losses
 
 
 def fit_chemistry(observed, mesh_data, species, *, make_R=None,

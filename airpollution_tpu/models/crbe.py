@@ -350,7 +350,8 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                   collect_iters=False, matvec=None, ka_matvec=None,
                   differentiable=False, extrapolate_warm_start=False,
                   precond=None, solver="bicgstab", chebyshev_iters=8,
-                  source_quadrature="mass_lumped", t0=0.0):
+                  source_quadrature="mass_lumped", t0=0.0,
+                  robin_g_const=None):
     """The implicit time-stepping loop as a pure traceable function.
 
     One ``lax.scan`` over nt-1 steps; each step forms the RHS
@@ -398,9 +399,15 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
             # g-load with one-point edge quadrature: g(mid_e, t) * |e| on
             # Robin DOFs. The default robin_g returns zeros, which XLA
             # constant-folds away — pure-deposition runs pay nothing.
+            # ``robin_g_const``: traced per-side scalar g values
+            # overriding the problem hook (the inverse surface-exchange
+            # fit differentiates through them, diagnostics/inverse).
             load = jnp.zeros_like(lengths)
             for side in robin_items:
-                g = problem.robin_g(midpoints, t, side)
+                if robin_g_const is not None and side in robin_g_const:
+                    g = robin_g_const[side]
+                else:
+                    g = problem.robin_g(midpoints, t, side)
                 load = load + jnp.where(side_masks[side], lengths * g, 0.0)
             return load
 

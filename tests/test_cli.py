@@ -146,3 +146,36 @@ def test_cli_ensemble_products(in_tmp_dir, capsys):
     data = np.load("ens.npz")
     assert data["mean"].shape == data["std"].shape
     assert data["exceedance"].shape[0] == 2
+
+
+def test_cli_fit_exchange_roundtrip(in_tmp_dir, capsys):
+    """Joint (v_d, c_comp) estimation through the CLI: the observed
+    trajectory carries a compensation-point wall (g = v_d c_comp via the
+    problem's robin_g delegation is not CLI-expressible, so the truth is
+    generated library-side), and fit-exchange recovers both knobs."""
+    import jax.numpy as jnp
+
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import save_field
+    from airpollution_tpu.mesh import MeshData, create_mesh
+    from airpollution_tpu.problems import Domain, SquarePulseProblem
+
+    domain = Domain(T=10.0)
+    md = MeshData(create_mesh(8, 20.0), domain, nt=9)
+    p = SquarePulseProblem(v=(0.0, 0.0), D=1.0)  # CLI defaults (lo/hi)
+    p.robin_sides = {"right": 0.5}
+    obs = inverse.solve_snapshots(p, md,
+                                  robin_g_const={"right": 0.5 * 0.1})
+    save_field("robin_exch.npz", obs,
+               times=jnp.asarray(md.time_discr))
+
+    cli.main(["fit-exchange", "--mesh_size", "8", "--nt", "9",
+              "--problem", "square_pulse", "--v", "0", "0", "--D", "1.0",
+              "--robin", "right=0.5",
+              "--observed", "robin_exch.npz",
+              "--alpha0", "0.2", "--steps", "400", "--lr", "0.1"])
+    fit = _last_json(capsys)
+    assert fit["misfit_last"] < fit["misfit_first"]
+    ex = fit["exchange"]["right"]
+    assert abs(ex["v_d"] - 0.5) < 0.2, ex
+    assert abs(ex["c_comp"] - 0.1) < 0.07, ex

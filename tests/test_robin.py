@@ -585,3 +585,34 @@ def test_robin_g_instance_assignment_is_gated():
     base = _GFluxPulse.robin_g_xy
     p2.robin_g_xy = lambda x, y, t, side: 2.0 * base(p2, x, y, t, side)
     assert robin_g_xy_provided(p2)
+
+
+def test_fit_surface_exchange_recovers_vd_and_ccomp():
+    """Joint bidirectional-exchange estimation: recover per-side
+    (v_d, c_comp) of the flux law -D dc/dn = v_d (c - c_comp) from a
+    1%-noisy trajectory — v_d flows through the assembled diagonal
+    (robin_alpha) and g = v_d c_comp through the RHS load
+    (robin_g_const), both in one discrete adjoint."""
+    from airpollution_tpu.diagnostics import inverse
+
+    domain = Domain(T=2.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=17, dtype=jnp.float64)
+    truth_a = {"right": 0.6, "top": 0.15}
+    truth_c = {"right": 0.05, "top": 0.2}
+    p = SquarePulseProblem(v=(0.0, 0.0), D=1.0, lo=10.0, hi=20.0)
+    p.robin_sides = dict(truth_a)
+    idx = [4, 8, 12, 16]
+    g_true = {s: truth_a[s] * truth_c[s] for s in truth_a}
+    obs = inverse.solve_snapshots(p, md, indices=idx,
+                                  robin_g_const=g_true)
+    rng = np.random.default_rng(0)
+    obs = obs * (1.0 + 0.01 * rng.standard_normal(obs.shape))
+
+    out, losses = inverse.fit_surface_exchange(
+        obs, md, p, alpha0=0.25, c_comp0=0.0, snapshot_indices=idx,
+        steps=400, lr=0.05)
+    assert losses[-1] < 0.1 * losses[0]
+    for s, a_true in truth_a.items():
+        v, c = out[s]
+        assert abs(v - a_true) / a_true < 0.05, (s, out)
+        assert abs(c - truth_c[s]) / truth_c[s] < 0.05, (s, out)
