@@ -444,29 +444,42 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     and serial solves agree to rounding. Requires assembled
     ``GlobalOperators`` (variable coefficients have no patch mode).
 
-    Robin/deposition walls (problem.robin_sides, homogeneous g only —
-    the deposition law) are supported exactly like the serial canvas
-    stripe path: the assembled alpha * |e| wall diagonal rides the
-    sharded coefficient stack, the masks/lift derive from the REDUCED
-    Dirichlet set (models/crbe.robin_terms), and the in-kernel interior
-    rectangles widen by the Robin wall rows/columns
+    Robin/deposition walls (problem.robin_sides) are supported exactly
+    like the serial canvas stripe path: the assembled alpha * |e| wall
+    diagonal rides the sharded coefficient stack, the masks/lift derive
+    from the REDUCED Dirichlet set (models/crbe.robin_terms), and the
+    in-kernel interior rectangles widen by the Robin wall rows/columns
     (ops/pallas_hbm.robin_rect_bounds) — global bounds, so block
-    sharding is unaffected.
+    sharding is unaffected. Inhomogeneous flux data comes from the
+    elementwise ``problem.robin_g_xy`` hook, evaluated in-kernel on
+    GLOBAL wall coordinate lines (the owning device's block and its
+    neighbors' halo rows compute identical loads); vector-only
+    ``robin_g`` overrides raise.
     """
     from airpollution_tpu.models.crbe import robin_terms
 
     robin = getattr(problem, "robin_sides", None) or None
+    g_on = False
     if robin:
-        from airpollution_tpu.problems import robin_g_customized
+        from airpollution_tpu.problems import (
+            robin_g_customized,
+            robin_g_xy_provided,
+        )
 
         if robin_g_customized(problem):
-            raise ValueError(
-                "the distributed canvas stripe solver supports "
-                "homogeneous Robin walls only (g = 0) — this problem "
-                "overrides robin_g/robin_g_xy; use the serial paths "
-                "(CRBESolver handles robin_g_xy on the fused_hbm "
-                "kernel)"
-            )
+            if not robin_g_xy_provided(problem):
+                raise ValueError(
+                    "this problem overrides robin_g without an "
+                    "elementwise robin_g_xy — the distributed canvas "
+                    "stripe solver evaluates the g-load in-kernel "
+                    "(AdDifProblem.robin_g_xy docstring); override "
+                    "robin_g_xy or use the serial scan paths"
+                )
+            # In-kernel g-load with GLOBAL canvas indices: the wall
+            # line selects on the owning device's block (and its
+            # neighbors' halo rows recompute it identically, the
+            # whole-step domain-of-dependence contract).
+            g_on = True
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("canvas halo solver requires a structured mesh")
@@ -504,7 +517,8 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     W = S + 2 * halo  # local >= S, so the window never clamps
     n_states = 2 if extrapolate else 1
 
-    if sourced:
+    needs_t = sourced or g_on
+    if needs_t:
         from airpollution_tpu.mesh.data import structured_grid
 
         _grid_pack = jnp.asarray(list(structured_grid(md)) + [float(dt)])
@@ -521,6 +535,8 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             source_steady=src_steady,
             source_lumped=source_quadrature == "mass_lumped",
             rect=rect,
+            robin_g_fn=problem.robin_g_xy if g_on else None,
+            robin_sides=tuple(sorted(robin)) if g_on else (),
         )
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -531,7 +547,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
         scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
         scratch += [pltpu.SemaphoreType.DMA((2, 1 + n_states)),
                     pltpu.SemaphoreType.DMA((2, n_states))]
-        n_smem = 3 if sourced else 2
+        n_smem = 3 if needs_t else 2
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
@@ -561,7 +577,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
         )
 
         ts = None
-        if sourced:
+        if needs_t:
             ts = jnp.asarray(dt, dtype) * jnp.arange(
                 1, n_steps + 1, dtype=dtype
             ).reshape(n_steps, 1)
@@ -592,7 +608,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
                 stk = stk.at[:, :, halo + local:].set(up)
                 outs = step_call(
                     bpack, row0,
-                    *((t,) if sourced else ()),
+                    *((t,) if needs_t else ()),
                     ext_c,
                     *(stk[s] for s in range(n_states))
                 )
@@ -605,7 +621,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
 
             n_chunks = n_steps // snapshot_every
             ts_chunks = (ts.reshape(n_chunks, snapshot_every, 1)
-                         if sourced else None)
+                         if needs_t else None)
 
             def chunk(carry, ts_c):
                 carry, _ = jax.lax.scan(step, carry, ts_c,
@@ -686,7 +702,7 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             scale=1.0 / jnp.sqrt(ops.system_diag),
         )
         parts = [jnp.stack([jnp.asarray(b) for b in bounds])]
-        if sourced:
+        if needs_t:
             parts.append(_grid_pack)
         return stack, jnp.concatenate(parts)
 

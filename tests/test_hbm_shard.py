@@ -398,3 +398,58 @@ def test_canvas_shard_robin_walls_match_serial():
     with pytest.raises(ValueError, match="robin_g"):
         build_canvas_hbm_halo_solver(mesh, md, pg, serial.dt,
                                      interpret=True)
+
+
+def test_canvas_shard_robin_g_load_matches_serial():
+    """Inhomogeneous Robin flux data on the distributed canvas solver:
+    the in-kernel g-load selects wall lines on GLOBAL canvas indices,
+    so the block-sharded solve (wall rows live on the edge devices,
+    halo rows of their neighbors recompute the same load) must equal
+    the serial canvas stripe path to rounding."""
+    from airpollution_tpu.parallel.hbm_shard import (
+        build_canvas_hbm_halo_solver,
+    )
+    from airpollution_tpu.problems import SquarePulseProblem
+
+    class _GFlux(SquarePulseProblem):
+        robin_sides = {"bottom": 0.4, "top": 0.1, "left": 0.2}
+
+        def robin_g_xy(self, x, y, t, side):
+            import jax.numpy as jnp
+
+            x = jnp.asarray(x)
+            y = jnp.asarray(y)
+            if side == "bottom":
+                return (0.3 * (1.0 + jnp.sin(0.2 * x)) * (1.0 + 0.5 * t)
+                        + 0.0 * y)
+            if side == "left":
+                return 0.2 * jnp.exp(-(((y - 5.0) / 8.0) ** 2)) + 0.0 * x
+            return jnp.zeros_like(x + y)
+
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(12, 20.0), domain, nt=9,
+                  dtype=jnp.float64)
+    p = _GFlux(v=(0.3, -0.2), D=0.8, lo=5.0, hi=19.0)
+    serial = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                        time_scheme_order=2, solver_method="chebyshev",
+                        chebyshev_iters=10, snapshot_every=4)
+    traj_serial = np.asarray(serial.solve(store_solutions=True))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_canvas_hbm_halo_solver(
+        mesh, md, p, serial.dt, order=2, iters=10, snapshot_every=4,
+        stripe_rows=8, interpret=True,
+    )
+    traj = np.asarray(solver(serial._require_ops(),
+                             serial.set_initial_condition()))
+    assert traj.shape == traj_serial.shape
+    np.testing.assert_allclose(traj, traj_serial, atol=1e-12)
+    # The g inflow genuinely acts: mass exceeds the pure-deposition twin.
+    p0 = SquarePulseProblem(v=(0.3, -0.2), D=0.8, lo=5.0, hi=19.0)
+    p0.robin_sides = dict(_GFlux.robin_sides)
+    s0 = CRBESolver(domain, p0, md, matvec_impl="fused_hbm",
+                    time_scheme_order=2, solver_method="chebyshev",
+                    chebyshev_iters=10, snapshot_every=4)
+    traj0 = np.asarray(s0.solve(store_solutions=True))
+    m = np.asarray(serial.global_mass_diag)
+    assert (traj[-1] @ m) > (traj0[-1] @ m) + 1e-3

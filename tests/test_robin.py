@@ -497,7 +497,8 @@ def test_robin_g_delegation_and_gates():
     with pytest.raises(ValueError, match="robin_g_xy"):
         CRBESolver(domain, _VectorOnly(), md, matvec_impl="fused_hbm",
                    solver_method="chebyshev")
-    # The distributed canvas stripe solver stays g = 0 scope.
+    # The distributed canvas stripe solver needs the elementwise hook
+    # too (vector-only robin_g cannot be rebuilt from iotas).
     import jax
 
     from airpollution_tpu.parallel.hbm_shard import (
@@ -505,8 +506,8 @@ def test_robin_g_delegation_and_gates():
     )
 
     dev_mesh = jax.make_mesh((1,), ("mp",))
-    with pytest.raises(ValueError, match="robin_g"):
-        build_canvas_hbm_halo_solver(dev_mesh, md, p, 0.25)
+    with pytest.raises(ValueError, match="robin_g_xy"):
+        build_canvas_hbm_halo_solver(dev_mesh, md, _VectorOnly(), 0.25)
 
 
 @pytest.mark.kernels
