@@ -6,6 +6,7 @@ from airpollution_tpu.diagnostics.inverse import (
     fit_deposition,
     fit_surface_exchange,
     fit_diffusion,
+    fit_initial_condition,
     fit_parameters,
     fit_source,
     receptor_footprint,
@@ -38,6 +39,7 @@ __all__ = [
     "fit_deposition",
     "fit_surface_exchange",
     "fit_diffusion",
+    "fit_initial_condition",
     "fit_parameters",
     "fit_source",
     "receptor_footprint",

@@ -79,7 +79,8 @@ def _ensemble_stats(m, taus):
 def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
                       maxiter=200, stiffness_convention="correct",
                       source_quadrature="mass_lumped", thresholds=(),
-                      mesh: Mesh | None = None, axis: str = "trial"):
+                      mesh: Mesh | None = None, axis: str = "trial",
+                      u0_members=None, t0=0.0):
     """Integrate every ensemble member to t=T and return forecast products.
 
     ``problems`` is a sequence of problem instances of one class whose
@@ -94,6 +95,16 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
 
     With ``mesh`` given, members are sharded over the ``axis`` device
     axis (padded by repeating the last member, sliced off afterwards).
+
+    ``u0_members`` restarts the ensemble from GIVEN per-member states —
+    a (K, n_seg) array replacing each member's ``initial_condition_fn``.
+    Together with the window start time ``t0`` (offsetting source/BC
+    evaluation inside the window, run_time_loop's t0) this makes the
+    forecast RESTARTABLE, which is what a cycling forecast–analysis
+    system needs: forecast one window, analyze with
+    :func:`enkf_update`, forecast the next window from the analysis
+    ensemble (scripts/da_cycling_demo.py). Both are traced arguments of
+    the one cached program — cycles never recompile.
     """
     md = mesh_data
     for p in problems:
@@ -101,6 +112,20 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
     dt = domain.T / (md.nt - 1)
     n_members = len(problems)
     batched = stack_problems(problems)
+    if u0_members is None:
+        u0_batch = jax.vmap(
+            lambda p: jnp.asarray(
+                p.initial_condition_fn(md.midpoints), md.midpoints.dtype
+            )
+        )(batched)
+    else:
+        u0_batch = jnp.asarray(u0_members, md.midpoints.dtype)
+        if u0_batch.shape != (n_members, md.number_of_segments):
+            raise ValueError(
+                f"u0_members {u0_batch.shape} must be "
+                f"({n_members}, {md.number_of_segments})"
+            )
+    t0 = jnp.asarray(t0, md.midpoints.dtype)
 
     # One jitted program per (mesh, options, device-mesh) — NOT per call:
     # the assimilation cycle (forecast -> enkf_update -> forecast) would
@@ -115,26 +140,24 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
     solve_batch = _FORECAST_FN_CACHE.get(key)
     if solve_batch is None:
 
-        def solve_one(problem):
+        def solve_one(problem, u0, t_start):
             ops = assemble(md, problem, dt, order, stiffness_convention)
-            u0 = jnp.asarray(
-                problem.initial_condition_fn(md.midpoints),
-                md.midpoints.dtype,
-            )
             sols, _ = run_time_loop(
                 ops, u0, mesh_data=md, problem=problem, dt=dt,
                 order=order, tol=tol, maxiter=maxiter,
                 store_solutions=False,
-                source_quadrature=source_quadrature,
+                source_quadrature=source_quadrature, t0=t_start,
             )
             return sols[0]
 
+        vmapped = jax.vmap(solve_one, in_axes=(0, 0, None))
         if mesh is None:
-            solve_batch = jax.jit(jax.vmap(solve_one))
+            solve_batch = jax.jit(vmapped)
         else:
             sharded = jax.shard_map(
-                jax.vmap(solve_one), mesh=mesh,
-                in_specs=P(axis), out_specs=P(axis), check_vma=False,
+                vmapped, mesh=mesh,
+                in_specs=(P(axis), P(axis), P()), out_specs=P(axis),
+                check_vma=False,
             )
             # Replicate on the way out: slicing off the padding members
             # of a trial-sharded array is ambiguous, and the statistics
@@ -151,13 +174,12 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
         n_dev = mesh.shape[axis]
         n_pad = (-n_members) % n_dev
         if n_pad:
-            batched = jax.tree.map(
-                lambda a: jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], n_pad, axis=0)]
-                ),
-                batched,
+            pad = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.repeat(a[-1:], n_pad, axis=0)]
             )
-    members = solve_batch(batched)[:n_members]
+            batched = jax.tree.map(pad, batched)
+            u0_batch = pad(u0_batch)
+    members = solve_batch(batched, u0_batch, t0)[:n_members]
 
     taus = jnp.asarray(list(thresholds), members.dtype)
     out = dict(_ensemble_stats(members, taus)) if taus.size \
@@ -166,9 +188,16 @@ def ensemble_forecast(mesh_data, domain, problems, *, order=1, tol=1e-7,
 
 
 @jax.jit
-def _enkf_update(members, y, sensors, obs_std, eps):
+def _enkf_update(members, y, sensors, obs_std, eps, inflation):
     X = members                                   # (K, n) forecast
     K_ens = X.shape[0]
+    # Multiplicative prior inflation: scale anomalies about the mean
+    # before the analysis. Cycling filters are systematically
+    # UNDERDISPERSIVE (sampling error + model error both shrink the
+    # ensemble spread faster than the true uncertainty), which starves
+    # the gain and eventually makes the filter reject observations
+    # entirely — the standard remedy (Anderson & Anderson 1999).
+    X = X.mean(axis=0) + inflation * (X - X.mean(axis=0))
     S = X[:, sensors]                             # (K, m) at stations
     A = X - X.mean(axis=0)                        # (K, n) anomalies
     As = S - S.mean(axis=0)                       # (K, m)
@@ -182,7 +211,8 @@ def _enkf_update(members, y, sensors, obs_std, eps):
     return X + innov @ jnp.linalg.solve(C, PHt.T)
 
 
-def enkf_update(members, observations, sensor_indices, obs_std, key):
+def enkf_update(members, observations, sensor_indices, obs_std, key,
+                inflation: float = 1.0):
     """Stochastic ensemble-Kalman analysis step (perturbed observations).
 
     ``members`` is the (K, n_seg) forecast ensemble (e.g.
@@ -194,6 +224,13 @@ def enkf_update(members, observations, sensor_indices, obs_std, key):
     al. 1998) — the analysis ensemble's sample statistics are consistent
     with the Kalman posterior. The covariance never materializes at
     (n, n): the gain is (n, m) x (m, m) matmuls with small m, K.
+
+    ``inflation`` scales the forecast anomalies about the ensemble mean
+    before the analysis (multiplicative prior inflation, Anderson &
+    Anderson 1999) — use ~1.05–1.2 in CYCLING forecast–analysis loops
+    (scripts/da_cycling_demo.py), where uninflated ensembles go
+    underdispersive and the filter diverges; the default 1.0 is the
+    plain single-analysis update.
 
     No localization is applied — appropriate for the moderate state
     sizes of 2D forecasting; at K << n with dense networks consider
@@ -212,4 +249,5 @@ def enkf_update(members, observations, sensor_indices, obs_std, key):
     eps = obs_std * jax.random.normal(
         key, (X.shape[0], sensors.shape[0]), X.dtype
     )
-    return _enkf_update(X, y, sensors, jnp.asarray(obs_std, X.dtype), eps)
+    return _enkf_update(X, y, sensors, jnp.asarray(obs_std, X.dtype), eps,
+                        jnp.asarray(inflation, X.dtype))

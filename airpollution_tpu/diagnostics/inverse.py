@@ -37,7 +37,7 @@ from airpollution_tpu.problems import Problem
 
 def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
            tol, maxiter, store_solutions, robin_alpha=None,
-           robin_g_const=None):
+           robin_g_const=None, u0=None):
     """Differentiable solve; (nt, n) when storing, (1, n) otherwise.
 
     Traceable in ``problem`` (a pytree). Structured meshes run the
@@ -51,6 +51,11 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
     meshes (the alpha diagonal is in the extracted coefficients and the
     reduced Dirichlet masks derive in family order) — never the
     translation-invariant uniform extraction.
+
+    ``u0``: optional TRACED (n_seg,) initial state overriding the
+    problem's ``initial_condition_fn`` — gradients flow through it, which
+    is what full-field initial-condition estimation (4D-Var,
+    :func:`fit_initial_condition`) differentiates.
     """
     md = mesh_data
     # Static python float (crbe.py:233 semantics) — md.time_discr would be
@@ -58,7 +63,10 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
     dt = float(md.domain.T) / (md.nt - 1)
     ops = assemble(md, problem, dt, time_scheme_order,
                    stiffness_convention, robin_alpha=robin_alpha)
-    u0 = problem.initial_condition_fn(md.midpoints)
+    if u0 is None:
+        u0 = problem.initial_condition_fn(md.midpoints)
+    else:
+        u0 = jnp.asarray(u0)
     base = dict(problem=problem, dt=dt, order=time_scheme_order, tol=tol,
                 maxiter=maxiter, store_solutions=store_solutions,
                 differentiable=True, robin_g_const=robin_g_const)
@@ -99,24 +107,24 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 def solve_final_state(problem, mesh_data, *, time_scheme_order: int = 1,
                       stiffness_convention: str = "correct",
                       tol: float = 1e-9, maxiter: int = 200,
-                      robin_alpha=None, robin_g_const=None):
+                      robin_alpha=None, robin_g_const=None, u0=None):
     """Differentiable CRBE solve returning the boundary-lifted final state.
 
-    Pure and traceable in ``problem``: composes with ``jax.grad``,
-    ``jax.jit`` and ``jax.vmap``.
+    Pure and traceable in ``problem`` (and in the optional ``u0`` initial
+    state): composes with ``jax.grad``, ``jax.jit`` and ``jax.vmap``.
     """
     return _solve(problem, mesh_data, time_scheme_order=time_scheme_order,
                   stiffness_convention=stiffness_convention, tol=tol,
                   maxiter=maxiter, store_solutions=False,
                   robin_alpha=robin_alpha,
-                  robin_g_const=robin_g_const)[0]
+                  robin_g_const=robin_g_const, u0=u0)[0]
 
 
 def solve_snapshots(problem, mesh_data, *, indices=None,
                     time_scheme_order: int = 1,
                     stiffness_convention: str = "correct",
                     tol: float = 1e-9, maxiter: int = 200,
-                    robin_alpha=None, robin_g_const=None):
+                    robin_alpha=None, robin_g_const=None, u0=None):
     """Differentiable solve returning solution snapshots.
 
     ``indices`` selects time rows (default: all nt). Trajectory
@@ -126,7 +134,7 @@ def solve_snapshots(problem, mesh_data, *, indices=None,
                   stiffness_convention=stiffness_convention, tol=tol,
                   maxiter=maxiter, store_solutions=True,
                   robin_alpha=robin_alpha,
-                  robin_g_const=robin_g_const)
+                  robin_g_const=robin_g_const, u0=u0)
     if indices is None:
         return sols
     return sols[jnp.asarray(indices)]
@@ -742,6 +750,125 @@ def fit_surface_exchange(observed, mesh_data, problem, *,
                float(params["c_comp"][i]))
            for i, s in enumerate(sides)}
     return out, losses
+
+
+def fit_initial_condition(observed, mesh_data, problem, *,
+                          snapshot_indices, sensor_indices=None,
+                          steps: int = 200, lr: float = 0.1,
+                          smoothness: float = 1e-3,
+                          nonnegative: bool = False, u0_init=None,
+                          time_scheme_order: int = 1, tol: float = 1e-9,
+                          maxiter: int = 200, cache_key=None):
+    """4D-Var-style initial-condition estimation: recover the FULL initial
+    concentration field from (sparse) observations of the later evolution.
+
+    The strong-constraint variational data-assimilation problem: transport
+    (``problem``'s v, D, sources, boundaries) is known, the control
+    variable is the (n_seg,) initial state itself, and the analysis
+    minimizes
+
+        J(u0) = mean[(H u(t_k; u0) - y_k)^2] + smoothness/n * u0^T K1 u0
+
+    where H is the (snapshot, sensor) observation operator and
+    ``u0^T K1 u0 = integral |grad u0|^2`` is a Tikhonov roughness penalty
+    built from the unit-diffusion CR stiffness form (assembled once —
+    the discrete H1 seminorm on the same FEM space the state lives in).
+    The gradient of the whole objective is ONE adjoint sweep of the
+    implicit time loop per Adam step (run_time_loop ``differentiable=True``
+    — each step's VJP is a transposed BiCGStab solve), i.e. classical
+    4D-Var with the adjoint model derived automatically instead of
+    hand-coded. The reference cannot express this at all: its per-step
+    SuperLU factorizations (crbe.py:426) are opaque to autodiff.
+
+    Complements the ENSEMBLE analysis (diagnostics/ensemble.enkf_update):
+    EnKF updates live in the rank-(K-1) ensemble subspace, while this
+    variational fit searches the full n_seg-dimensional state space and
+    needs no ensemble — the standard operational trade.
+
+    ``snapshot_indices`` is required: a single final-time field
+    under-determines u0 badly (diffusion destroys information), and early
+    snapshots carry most of the signal. ``observed`` must be
+    ``(len(snapshot_indices), n_seg)`` — or
+    ``(len(snapshot_indices), len(sensor_indices))`` with a sensor
+    network. ``nonnegative=True`` reparameterizes u0 = softplus(z)
+    (concentrations are nonnegative); ``u0_init`` seeds the search (the
+    background/first-guess field, default zero). Pass a hashable
+    ``cache_key`` identifying ``problem`` to reuse the compiled
+    forward+adjoint step across calls (compiles are minutes on the
+    remote-compile TPU tunnel).
+
+    Returns ``(u0_estimate, losses)`` with ``u0_estimate`` an (n_seg,)
+    device array.
+    """
+    from airpollution_tpu.ops import sparse
+
+    md = mesh_data
+    observed = jnp.asarray(observed)
+    idx = tuple(int(i) for i in snapshot_indices)
+    if not idx:
+        raise ValueError("snapshot_indices must name at least one "
+                         "observation time")
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
+    n = md.number_of_segments
+    dtype = md.midpoints.dtype
+
+    # Roughness form: pure-Laplacian stiffness (unit D, zero wind),
+    # independent of the transport problem's coefficients. Assembled
+    # eagerly once; its ELL arrays are closed over by the jitted step
+    # (small at inverse scales).
+    K1 = assemble(md, Problem(v=(0.0, 0.0), D=1.0), 1.0, 1).stiffness
+
+    if u0_init is None:
+        # softplus(-6) ~ 2.5e-3: an effectively-zero background that
+        # still has usable gradients (softplus'(z) = sigmoid(z) > 0).
+        z0 = jnp.full((n,), -6.0, dtype) if nonnegative \
+            else jnp.zeros((n,), dtype)
+    else:
+        u0i = jnp.asarray(u0_init, dtype)
+        z0 = jnp.log(jnp.expm1(jnp.clip(u0i, 1e-6, None))) \
+            if nonnegative else u0i
+
+    def field(z):
+        return jax.nn.softplus(z) if nonnegative else z
+
+    opt = optax.adam(lr)
+
+    def train_step(z, opt_state, obs):
+        def loss_fn(zq):
+            u0 = field(zq)
+            pred = solve_snapshots(
+                problem, md, indices=list(idx),
+                time_scheme_order=time_scheme_order, tol=tol,
+                maxiter=maxiter, u0=u0,
+            )
+            if sens is not None:
+                pred = pred[..., jnp.asarray(sens)]
+            misfit = jnp.mean((pred - obs) ** 2)
+            rough = (u0 @ sparse.ell_matvec(K1, u0)) / n
+            return misfit + smoothness * rough
+
+        loss, grads = jax.value_and_grad(loss_fn)(z)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(z, updates), opt_state, loss
+
+    if cache_key is not None:
+        full_key = (
+            "fit_initial_condition", cache_key, id(mesh_data), idx, sens,
+            float(smoothness), bool(nonnegative), int(time_scheme_order),
+            float(tol), int(maxiter), float(lr),
+        )
+        step_fn = _fit_cache_get(full_key, lambda: jax.jit(train_step))
+    else:
+        step_fn = jax.jit(train_step)
+
+    z = z0
+    opt_state = opt.init(z)
+    losses = []
+    for _ in range(steps):
+        z, opt_state, loss = step_fn(z, opt_state, observed)
+        losses.append(float(loss))
+    return field(z), losses
 
 
 def fit_chemistry(observed, mesh_data, species, *, make_R=None,

@@ -161,3 +161,109 @@ def test_enkf_cycle_pulls_ensemble_toward_truth():
     spread_f = np.asarray(X).std(0)[sensors].mean()
     spread_a = np.asarray(Xa).std(0)[sensors].mean()
     assert spread_a < spread_f
+
+
+def test_forecast_restart_matches_full_solve():
+    """u0_members + t0 make the forecast restartable: two chained windows
+    reproduce one serial solve over the full horizon exactly."""
+    dom_w = Domain(T=1.0)
+    md_w = MeshData(create_mesh(8, 20.0), dom_w, nt=5, dtype=jnp.float64)
+    probs = [SquarePulseProblem(v=(1.0, 0.3), D=0.1),
+             SquarePulseProblem(v=(0.8, 0.5), D=0.2)]
+    out1 = ensemble_forecast(md_w, dom_w, probs)
+    out2 = ensemble_forecast(md_w, dom_w, probs,
+                             u0_members=out1["members"], t0=1.0)
+
+    dom_f = Domain(T=2.0)
+    md_f = MeshData(create_mesh(8, 20.0), dom_f, nt=9, dtype=jnp.float64)
+    for k, p in enumerate(probs):
+        s = CRBESolver(dom_f, p, md_f, matvec_impl="ell")
+        ref = np.asarray(s.solve(store_solutions=False)[0])
+        np.testing.assert_allclose(np.asarray(out2["members"][k]), ref,
+                                   atol=1e-12)
+
+
+def test_forecast_u0_members_shape_validated():
+    dom = Domain(T=1.0)
+    md = MeshData(create_mesh(6, 20.0), dom, nt=3, dtype=jnp.float64)
+    probs = [Problem(D=0.1), Problem(D=0.2)]
+    bad = jnp.zeros((3, md.number_of_segments))
+    with pytest.raises(ValueError, match="u0_members"):
+        ensemble_forecast(md, dom, probs, u0_members=bad)
+
+
+def test_enkf_inflation_matches_manual_anomaly_scaling():
+    """inflation=lam equals scaling the forecast anomalies by lam first
+    and then running the plain (inflation=1) update with the same key."""
+    from airpollution_tpu.diagnostics import enkf_update
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.normal(size=(12, 40)))
+    sensors = [3, 11, 25, 33]
+    y = jnp.asarray(rng.normal(size=4))
+    key = jax.random.PRNGKey(9)
+    lam = 1.15
+    Xa = enkf_update(X, y, sensors, 0.05, key, inflation=lam)
+    X_inflated = X.mean(0) + lam * (X - X.mean(0))
+    Xb = enkf_update(X_inflated, y, sensors, 0.05, key)
+    np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_cycling_assimilation_beats_free_run():
+    """Three EnKF forecast-analysis cycles on a perturbed square-pulse
+    ensemble: the assimilated ensemble mean ends closer to the truth
+    than the free-running twin (scripts/da_cycling_demo.py in miniature)."""
+    from airpollution_tpu.diagnostics import enkf_update
+    from airpollution_tpu.models.crbe import CRBESolver
+
+    rng = np.random.default_rng(0)
+    truth_problem = SquarePulseProblem(v=(1.0, 0.5), D=0.1)
+    n_cycles, spw = 3, 4
+    dom_full = Domain(T=3.0)
+    md_full = MeshData(create_mesh(12, 20.0), dom_full,
+                       nt=n_cycles * spw + 1, dtype=jnp.float64)
+    truth = np.asarray(
+        CRBESolver(dom_full, truth_problem, md_full).solve(
+            store_solutions=True))
+
+    dom_w = Domain(T=1.0)
+    md_w = MeshData(create_mesh(12, 20.0), dom_w, nt=spw + 1,
+                    dtype=jnp.float64)
+    mids = np.asarray(md_w.midpoints)
+    K = 12
+    probs = [SquarePulseProblem(
+        v=(1.0 + 0.25 * rng.standard_normal(),
+           0.5 + 0.25 * rng.standard_normal()),
+        D=0.1 * np.exp(0.3 * rng.standard_normal())) for _ in range(K)]
+    shifts = 1.5 * rng.standard_normal((K, 2))
+    X0 = np.stack([
+        np.where((mids[:, 0] >= 8 + s[0]) & (mids[:, 0] <= 12 + s[0])
+                 & (mids[:, 1] >= 8 + s[1]) & (mids[:, 1] <= 12 + s[1]),
+                 1.0, 0.0)
+        for s in shifts])
+    track = ((mids[:, 0] >= 5) & (mids[:, 0] <= 19)
+             & (mids[:, 1] >= 5) & (mids[:, 1] <= 17))
+    candidates = np.flatnonzero(track)
+    sensors = np.sort(rng.choice(candidates, min(32, len(candidates)),
+                                 replace=False))
+    obs_std = 0.02
+
+    X, X_free = jnp.asarray(X0), jnp.asarray(X0)
+    key = jax.random.PRNGKey(7)
+    for c in range(n_cycles):
+        out = ensemble_forecast(md_w, dom_w, probs, u0_members=X,
+                                t0=float(c))
+        out_free = ensemble_forecast(md_w, dom_w, probs, u0_members=X_free,
+                                     t0=float(c))
+        X_f, X_free = out["members"], out_free["members"]
+        u_true = truth[(c + 1) * spw]
+        y = u_true[sensors] + obs_std * rng.standard_normal(len(sensors))
+        key, sub = jax.random.split(key)
+        X = enkf_update(X_f, jnp.asarray(y), sensors, obs_std, sub,
+                        inflation=1.1)
+        rmse_a = float(np.sqrt(np.mean(
+            (np.asarray(X).mean(0) - u_true) ** 2)))
+        rmse_free = float(np.sqrt(np.mean(
+            (np.asarray(X_free).mean(0) - u_true) ** 2)))
+    assert rmse_a < 0.7 * rmse_free, (rmse_a, rmse_free)

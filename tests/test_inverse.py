@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from airpollution_tpu.diagnostics import inverse
 from airpollution_tpu.mesh import MeshData, create_mesh
@@ -277,3 +278,55 @@ def test_multi_start_fit_via_vmap():
     D_est = np.exp(np.asarray(log_d))
     # Every start converges to the true coefficient.
     np.testing.assert_allclose(D_est, 0.3, rtol=0.05)
+
+
+def test_u0_override_matches_default_path():
+    """Passing the problem's own IC as an explicit u0 is a no-op."""
+    md = _mesh(ms=8, nt=8)
+    prob = Problem(v=(1.0, 0.5), D=0.1, sigma=2.0)
+    u0 = jnp.asarray(prob.initial_condition_fn(md.midpoints))
+    a = inverse.solve_final_state(prob, md)
+    b = inverse.solve_final_state(prob, md, u0=u0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_initial_condition_twin_recovery():
+    """4D-Var twin experiment: recover a Gaussian-blob initial field from
+    full-field snapshots of its later evolution (transport known)."""
+    md = _mesh(ms=12, nt=12)
+    prob = Problem(v=(1.0, 0.5), D=0.1, sigma=2.0)
+    u0_true = jnp.asarray(prob.initial_condition_fn(md.midpoints))
+    idx = [1, 2, 4, 8]
+    obs = inverse.solve_snapshots(prob, md, indices=idx)
+    u0_est, losses = inverse.fit_initial_condition(
+        obs, md, prob, snapshot_indices=idx, steps=150, lr=0.05,
+        smoothness=1e-4)
+    rel = float(jnp.linalg.norm(u0_est - u0_true)
+                / jnp.linalg.norm(u0_true))
+    assert rel < 0.05, rel
+    assert losses[-1] < 1e-2 * losses[0], (losses[0], losses[-1])
+
+
+def test_fit_initial_condition_nonnegative_and_sensors():
+    """The softplus reparameterization keeps the estimate nonnegative,
+    and the sensor-network observation operator accepts (k, m) data."""
+    md = _mesh(ms=8, nt=8)
+    prob = Problem(v=(1.0, 0.5), D=0.1, sigma=2.0)
+    idx = [1, 3]
+    sensors = list(range(0, md.number_of_segments, 3))
+    obs = inverse.solve_snapshots(prob, md, indices=idx)[
+        :, jnp.asarray(sensors)]
+    u0_est, losses = inverse.fit_initial_condition(
+        obs, md, prob, snapshot_indices=idx, sensor_indices=sensors,
+        steps=25, lr=0.1, smoothness=1e-3, nonnegative=True)
+    assert u0_est.shape == (md.number_of_segments,)
+    assert bool((u0_est >= 0).all())
+    assert losses[-1] < losses[0]
+
+
+def test_fit_initial_condition_requires_snapshots():
+    md = _mesh(ms=6, nt=6)
+    prob = Problem()
+    with pytest.raises(ValueError, match="snapshot_indices"):
+        inverse.fit_initial_condition(jnp.zeros((0, 1)), md, prob,
+                                      snapshot_indices=[])
