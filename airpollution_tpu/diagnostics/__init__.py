@@ -17,6 +17,7 @@ from airpollution_tpu.diagnostics.inverse import (
 from airpollution_tpu.diagnostics.ensemble import (
     enkf_update,
     ensemble_forecast,
+    place_sensors,
     stack_problems,
 )
 from airpollution_tpu.diagnostics.analysis import (
@@ -34,6 +35,7 @@ __all__ = [
     "ComprehensiveAnalysis",
     "enkf_update",
     "ensemble_forecast",
+    "place_sensors",
     "stack_problems",
     "fit_chemistry",
     "fit_deposition",

@@ -267,3 +267,86 @@ def test_cycling_assimilation_beats_free_run():
         rmse_free = float(np.sqrt(np.mean(
             (np.asarray(X_free).mean(0) - u_true) ** 2)))
     assert rmse_a < 0.7 * rmse_free, (rmse_a, rmse_free)
+
+
+def test_place_sensors_numpy_replica_and_mode_spreading():
+    """First pick maximizes ||P[:,c]||^2/(var_c+obs_var) (numpy replica);
+    subsequent picks spread across the ensemble's independent modes
+    instead of piling onto the variance maximum (EnSRF deflation)."""
+    from airpollution_tpu.diagnostics import place_sensors
+
+    rng = np.random.default_rng(0)
+    K, n = 20, 200
+    A = np.zeros((K, n))
+    modes = [(10, 3.0), (50, 2.0), (120, 1.0)]
+    for loc, amp in modes:
+        bump = np.exp(-0.5 * ((np.arange(n) - loc) / 4.0) ** 2)
+        A += amp * np.outer(rng.standard_normal(K), bump)
+    X = A + 0.5
+    picks, reds = place_sensors(X, 4, obs_std=0.05)
+
+    An = X - X.mean(0)
+    P = An.T @ An / (K - 1)
+    score = (P ** 2).sum(0) / (np.diag(P) + 0.05 ** 2)
+    assert picks[0] == int(np.argmax(score))
+    nearest = sorted(min(range(3), key=lambda i: abs(picks[j] - modes[i][0]))
+                     for j in range(3))
+    assert nearest == [0, 1, 2], (picks, nearest)
+    assert reds == sorted(reds, reverse=True)  # diminishing returns
+    assert reds[3] < 0.01 * reds[0]  # 3 modes -> 4th pick is noise
+
+
+def test_place_sensors_candidate_restriction_and_validation():
+    from airpollution_tpu.diagnostics import place_sensors
+
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((8, 30))
+    cands = [2, 5, 11, 17, 23]
+    picks, _ = place_sensors(X, 3, obs_std=0.1, candidate_indices=cands)
+    assert set(picks) <= set(cands) and len(set(picks)) == 3
+    with pytest.raises(ValueError, match="candidate"):
+        place_sensors(X, 6, obs_std=0.1, candidate_indices=cands)
+    with pytest.raises(ValueError, match="members"):
+        place_sensors(X[:1], 2, obs_std=0.1)
+    with pytest.raises(ValueError, match="n_sensors"):
+        place_sensors(X, 0, obs_std=0.1)
+
+
+def test_greedy_network_beats_random_in_enkf_analysis():
+    """End-to-end observing-system design: a greedily-placed network
+    yields a better EnKF analysis of the truth than random networks of
+    the same size."""
+    from airpollution_tpu.diagnostics import enkf_update, place_sensors
+    from airpollution_tpu.models.crbe import CRBESolver
+
+    domain = Domain(T=2.0)
+    md = _mesh(nt=9, ms=10)
+    truth_problem = Problem(v=(1.0, 0.5), D=0.25)
+    truth = np.asarray(
+        CRBESolver(domain, truth_problem, md,
+                   matvec_impl="ell").solve(store_solutions=False)[0])
+
+    rng = np.random.default_rng(3)
+    Ds = np.exp(rng.normal(np.log(0.18), 0.5, 24))
+    out = ensemble_forecast(md, domain,
+                            [Problem(v=(1.0, 0.5), D=float(d))
+                             for d in Ds])
+    X = out["members"]
+    obs_std = 0.002
+    m = 12
+
+    def analysis_err(sensors, key):
+        y = truth[np.asarray(sensors)] + rng.normal(
+            0, obs_std, len(sensors))
+        Xa = enkf_update(X, jnp.asarray(y), [int(i) for i in sensors],
+                         obs_std, key)
+        return float(np.linalg.norm(np.asarray(Xa).mean(0) - truth))
+
+    greedy, _ = place_sensors(X, m, obs_std=obs_std)
+    err_greedy = analysis_err(greedy, jax.random.PRNGKey(0))
+    rand_errs = [
+        analysis_err(rng.choice(md.number_of_segments, m, replace=False),
+                     jax.random.PRNGKey(k))
+        for k in range(1, 4)
+    ]
+    assert err_greedy < np.mean(rand_errs), (err_greedy, rand_errs)
