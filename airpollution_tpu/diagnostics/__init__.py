@@ -9,6 +9,7 @@ from airpollution_tpu.diagnostics.inverse import (
     fit_initial_condition,
     fit_parameters,
     fit_source,
+    posterior_covariance,
     receptor_footprint,
     solve_final_state,
     solve_multispecies_snapshots,
@@ -44,6 +45,7 @@ __all__ = [
     "fit_initial_condition",
     "fit_parameters",
     "fit_source",
+    "posterior_covariance",
     "receptor_footprint",
     "solve_final_state",
     "solve_multispecies_snapshots",

@@ -249,6 +249,108 @@ def fit_parameters(observed, mesh_data, make_problem, init_params,
     return params, losses
 
 
+def posterior_covariance(mesh_data, make_problem, params, *,
+                         snapshot_indices=None, sensor_indices=None,
+                         obs_std=None, observed=None,
+                         time_scheme_order: int = 1,
+                         tol: float = 1e-9, maxiter: int = 200):
+    """Laplace (Gauss–Newton) posterior covariance of a fitted parameter
+    pytree — error bars for the :func:`fit_parameters` family.
+
+    At the MAP estimate ``params`` (the output of a fit), the observation
+    model ``y = predict(theta) + N(0, obs_std^2 I)`` has the classical
+    Gauss–Newton posterior ``Sigma = obs_std^2 (J^T J)^{-1}`` with ``J``
+    the sensitivity of every prediction to every parameter coordinate.
+    ``J`` is computed by FORWARD-mode AD through the full differentiable
+    solve (one linearized time loop per parameter — cheap for the
+    few-parameter physical fits, and exact to solver tolerance like the
+    fits themselves). The reference cannot express this any more than it
+    can the fits: both need derivatives through the per-step implicit
+    solves (crbe.py:426).
+
+    ``obs_std``: observation noise level. If ``None``, it is estimated
+    from the residuals against ``observed`` (which must then be given,
+    in the same layout the fit used) via the unbiased
+    ``sigma^2 = ||r||^2 / (N - p)``.
+
+    Covariances are reported in the OPTIMIZATION coordinates — the same
+    space the fit ran in, e.g. log space for positivity-transformed
+    parameters (delta method for physical units:
+    ``std(q) ~= q * std(log q)``).
+
+    Returns a dict: ``cov`` ((p, p) matrix), ``std`` ({label: float}),
+    ``corr`` ((p, p) correlation matrix), ``labels`` (flattened
+    coordinate names, row order of ``cov``), and ``obs_std`` (the value
+    used). Typical use::
+
+        params, _ = inverse.fit_parameters(obs, md, make_problem, init,
+                                           snapshot_indices=idx)
+        uq = inverse.posterior_covariance(md, make_problem, params,
+                                          snapshot_indices=idx,
+                                          observed=obs)
+        # uq["std"]["log_d"] -> 1-sigma bar on log D
+    """
+    from jax.flatten_util import ravel_pytree
+
+    idx = tuple(int(i) for i in snapshot_indices) \
+        if snapshot_indices is not None else None
+    sens = tuple(int(i) for i in sensor_indices) \
+        if sensor_indices is not None else None
+
+    theta0, unravel = ravel_pytree(params)
+    p = theta0.shape[0]
+
+    # Flattened-coordinate labels in ravel_pytree order (leaf path plus
+    # an index suffix for non-scalar leaves).
+    labels = []
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in leaves:
+        name = jax.tree_util.keystr(path).strip("[']").replace("']['", ".")
+        size = jnp.size(leaf)
+        if size == 1:
+            labels.append(name)
+        else:
+            labels.extend(f"{name}[{i}]" for i in range(size))
+    assert len(labels) == p, (labels, p)
+
+    def predict_vec(theta):
+        prob = make_problem(unravel(theta))
+        if idx is None:
+            pred = solve_final_state(
+                prob, mesh_data, time_scheme_order=time_scheme_order,
+                tol=tol, maxiter=maxiter,
+            )
+        else:
+            pred = solve_snapshots(
+                prob, mesh_data, indices=list(idx),
+                time_scheme_order=time_scheme_order, tol=tol,
+                maxiter=maxiter,
+            )
+        if sens is not None:
+            pred = pred[..., jnp.asarray(sens)]
+        return pred.reshape(-1)
+
+    J = jax.jit(jax.jacfwd(predict_vec))(theta0)       # (N, p)
+    if obs_std is None:
+        if observed is None:
+            raise ValueError("pass obs_std, or observed to estimate it "
+                             "from the fit residuals")
+        r = predict_vec(theta0) - jnp.asarray(observed).reshape(-1)
+        dof = max(int(r.shape[0]) - p, 1)
+        obs_std = float(jnp.sqrt((r @ r) / dof))
+    H = J.T @ J                                        # Gauss-Newton
+    cov = float(obs_std) ** 2 * jnp.linalg.inv(H)
+    std = jnp.sqrt(jnp.diag(cov))
+    corr = cov / jnp.outer(std, std)
+    return {
+        "cov": cov,
+        "std": {lab: float(s) for lab, s in zip(labels, std)},
+        "corr": corr,
+        "labels": labels,
+        "obs_std": float(obs_std),
+    }
+
+
 def fit_diffusion(observed_final, mesh_data, *, D0: float = 1.0,
                   v=(1.0, 0.5), sigma: float = 1.0, steps: int = 100,
                   lr: float = 0.1, **kwargs):

@@ -77,6 +77,30 @@ def main():
     err_q = abs(result["q"] - true["q"]) / true["q"]
     err_xy = float(np.hypot(result["xs"] - true["xs"],
                             result["ys"] - true["ys"]))
+
+    # Laplace/Gauss-Newton error bars at the MAP (same coordinates the
+    # fit ran in: log q, xy) with obs_std estimated from the residuals.
+    def make_problem(params):
+        return GaussianSourceProblem(
+            q=jnp.exp(params["log_q"]), xs=params["xy"][0],
+            ys=params["xy"][1], sigma_s=true["sigma_s"])
+
+    map_params = {
+        "log_q": jnp.asarray(np.log(result["q"])),
+        "xy": jnp.asarray([result["xs"], result["ys"]]),
+    }
+    uq = inverse.posterior_covariance(
+        md, make_problem, map_params, snapshot_indices=idx,
+        sensor_indices=[int(i) for i in sensors],
+        observed=jnp.asarray(obs), tol=1e-8, maxiter=60)
+    z_q = abs(np.log(result["q"] / true["q"])) / uq["std"]["log_q"]
+    z_x = abs(result["xs"] - true["xs"]) / uq["std"]["xy[0]"]
+    z_y = abs(result["ys"] - true["ys"]) / uq["std"]["xy[1]"]
+    print(f"posterior (1-sigma): log q +/- {uq['std']['log_q']:.4f}, "
+          f"xs +/- {uq['std']['xy[0]']:.4f}, ys +/- {uq['std']['xy[1]']:.4f}"
+          f" (estimated obs_std {uq['obs_std']:.4g}); truth at "
+          f"z = ({z_q:.2f}, {z_x:.2f}, {z_y:.2f}) sigma",
+          file=sys.stderr, flush=True)
     print(f"recovered q={result['q']:.4f} (true {true['q']}, "
           f"rel err {err_q:.2%}), location "
           f"({result['xs']:.3f}, {result['ys']:.3f}) vs "
@@ -92,13 +116,21 @@ def main():
         w.writerow(["mesh_size", "n_dofs", "nt", "n_sensors",
                     "n_snapshots", "noise_rel", "true_q", "true_xs",
                     "true_ys", "est_q", "est_xs", "est_ys", "q_rel_err",
-                    "location_offset", "loss_first", "loss_last",
+                    "location_offset", "std_log_q", "std_xs", "std_ys",
+                    "z_q", "z_xs", "z_ys", "est_obs_std",
+                    "loss_first", "loss_last",
                     "steps", "fit_time_s", "s_per_step", "platform"])
         w.writerow([args.mesh_size, n, args.nt, args.sensors, len(idx),
                     args.noise, true["q"], true["xs"], true["ys"],
                     round(result["q"], 5), round(result["xs"], 4),
                     round(result["ys"], 4), round(err_q, 5),
-                    round(err_xy, 4), f"{losses[0]:.3e}",
+                    round(err_xy, 4),
+                    round(uq["std"]["log_q"], 6),
+                    round(uq["std"]["xy[0]"], 6),
+                    round(uq["std"]["xy[1]"], 6),
+                    round(z_q, 3), round(z_x, 3), round(z_y, 3),
+                    f"{uq['obs_std']:.4g}",
+                    f"{losses[0]:.3e}",
                     f"{losses[-1]:.3e}", args.steps,
                     round(fit_time, 2),
                     round(fit_time / args.steps, 4),

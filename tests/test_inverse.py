@@ -330,3 +330,71 @@ def test_fit_initial_condition_requires_snapshots():
     with pytest.raises(ValueError, match="snapshot_indices"):
         inverse.fit_initial_condition(jnp.zeros((0, 1)), md, prob,
                                       snapshot_indices=[])
+
+
+def test_posterior_covariance_linear_oracle_and_mc_coverage():
+    """For a model LINEAR in the parameter (source rate q), the
+    Gauss-Newton posterior is exact: std = obs_std/||g|| with g the
+    unit-rate prediction, and it matches the Monte-Carlo spread of
+    closed-form least-squares estimates over noisy replicas."""
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    md = _mesh(ms=8, nt=8)
+    idx = [2, 4, 7]
+    sens = list(range(0, md.number_of_segments, 5))
+
+    def make_problem(params):
+        return GaussianSourceProblem(q=params["q"], xs=-3.0, ys=2.0,
+                                     sigma_s=2.0)
+
+    obs_std = 0.01
+    uq = inverse.posterior_covariance(
+        md, make_problem, {"q": jnp.asarray(1.7)}, snapshot_indices=idx,
+        sensor_indices=sens, obs_std=obs_std)
+    g = np.asarray(inverse.solve_snapshots(
+        make_problem({"q": jnp.asarray(1.0)}), md,
+        indices=idx)[..., jnp.asarray(sens)]).reshape(-1)
+    exact = obs_std / np.linalg.norm(g)
+    assert abs(uq["std"]["q"] - exact) / exact < 1e-6
+
+    # Monte-Carlo sampling distribution of the closed-form LS estimator
+    # q_hat = g.y/g.g over noisy replicas has std exactly obs_std/||g||.
+    rng = np.random.default_rng(1)
+    q_hats = [
+        g @ (1.7 * g + obs_std * rng.standard_normal(g.size)) / (g @ g)
+        for _ in range(200)
+    ]
+    mc_std = np.std(q_hats, ddof=1)
+    assert abs(mc_std - uq["std"]["q"]) / uq["std"]["q"] < 0.25, (
+        mc_std, uq["std"]["q"])
+
+
+def test_posterior_covariance_labels_and_residual_sigma():
+    """Flattened labels follow ravel_pytree order (vector leaves get
+    index suffixes); obs_std=None estimates sigma from the residuals."""
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    md = _mesh(ms=6, nt=6)
+    idx = [2, 5]
+
+    def make_problem(params):
+        return GaussianSourceProblem(
+            q=jnp.exp(params["log_q"]), xs=params["xy"][0],
+            ys=params["xy"][1], sigma_s=2.0)
+
+    params = {"log_q": jnp.asarray(0.3),
+              "xy": jnp.asarray([-2.0, 1.0])}
+    truth = inverse.solve_snapshots(make_problem(params), md, indices=idx)
+    rng = np.random.default_rng(2)
+    obs = np.asarray(truth) + 0.005 * rng.standard_normal(truth.shape)
+    uq = inverse.posterior_covariance(md, make_problem, params,
+                                      snapshot_indices=idx, observed=obs)
+    assert uq["labels"] == ["log_q", "xy[0]", "xy[1]"]
+    assert uq["cov"].shape == (3, 3)
+    assert 0.002 < uq["obs_std"] < 0.02
+    corr = np.asarray(uq["corr"])
+    np.testing.assert_allclose(np.diag(corr), 1.0, rtol=1e-9)
+    assert (np.abs(corr) <= 1.0 + 1e-9).all()
+    with pytest.raises(ValueError, match="obs_std"):
+        inverse.posterior_covariance(md, make_problem, params,
+                                     snapshot_indices=idx)
