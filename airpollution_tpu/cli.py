@@ -311,6 +311,61 @@ def cmd_fit_source(args):
     }))
 
 
+def cmd_fit_ic(args):
+    """4D-Var initial-condition estimation from a saved observation
+    trajectory: the CLI face of diagnostics.inverse.fit_initial_condition
+    (transport comes from the CLI problem flags; the control variable is
+    the full initial field)."""
+    import numpy as np
+
+    from airpollution_tpu.diagnostics import inverse
+    from airpollution_tpu.io.checkpoint import load_field, save_field
+
+    domain, problem = _domain_problem(args)
+    md = _mesh_data(args, domain)
+    observed, times = load_field(args.observed)
+    if observed.ndim != 2 or times is None:
+        raise SystemExit(
+            "fit-ic needs a trajectory .npz with times "
+            "(solve --save --save_all)"
+        )
+    # _trajectory_rows drops the t=0 row: observing u0 directly would
+    # make the "fit" a copy instead of a deconvolution.
+    obs, idx = _trajectory_rows(domain, args, observed, times, "fit-ic")
+    sensors = None
+    if args.sensors and args.sensors < md.number_of_segments:
+        rng = np.random.default_rng(args.sensor_seed)
+        sensors = np.sort(rng.choice(md.number_of_segments, args.sensors,
+                                     replace=False))
+        obs = obs[:, sensors]
+    u0_est, losses = inverse.fit_initial_condition(
+        obs, md, problem, snapshot_indices=idx, sensor_indices=sensors,
+        steps=args.steps, lr=args.lr, smoothness=args.smoothness,
+        nonnegative=args.nonnegative,
+    )
+    out = {
+        "method": "fit_ic", "n_dofs": int(md.number_of_segments),
+        "n_sensors": int(len(sensors)) if sensors is not None
+        else int(md.number_of_segments),
+        "n_snapshots": len(idx), "smoothness": args.smoothness,
+        "misfit_first": float(losses[0]), "misfit_last": float(losses[-1]),
+        "steps": args.steps,
+    }
+    try:  # twin-experiment diagnostic when the problem carries an IC
+        import jax.numpy as jnp
+
+        u0_true = jnp.asarray(problem.initial_condition_fn(md.midpoints))
+        out["rel_l2_vs_problem_ic"] = float(
+            jnp.linalg.norm(u0_est - u0_true) / jnp.linalg.norm(u0_true))
+    except Exception:
+        pass
+    if args.save:
+        save_field(args.save, u0_est)
+        print(f"saved recovered initial field to {args.save}",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
 def cmd_ensemble(args):
     """Ensemble forecast under perturbed transport: K members with
     lognormal D and Gaussian v drawn around the CLI values, integrated
@@ -342,15 +397,25 @@ def cmd_ensemble(args):
     out = ensemble_forecast(md, domain, problems, order=args.order,
                             thresholds=taus)
     wall = time.time() - t0
+    stations, reductions = None, None
+    if args.place_sensors:
+        from airpollution_tpu.diagnostics import place_sensors
+
+        stations, reductions = place_sensors(
+            out["members"], args.place_sensors, obs_std=args.obs_std)
     if args.save:
+        extra = {}
+        if stations is not None:
+            extra = dict(stations=np.asarray(stations),
+                         station_var_reduction=np.asarray(reductions))
         np.savez(args.save, mean=np.asarray(out["mean"]),
                  std=np.asarray(out["std"]),
                  exceedance=np.asarray(out.get("exceedance", [])),
                  thresholds=np.asarray(taus),
-                 midpoints=np.asarray(md.midpoints))
+                 midpoints=np.asarray(md.midpoints), **extra)
         print(f"saved ensemble products to {args.save}", file=sys.stderr)
     exc = out.get("exceedance")
-    print(json.dumps({
+    payload = {
         "method": "ensemble", "members": args.members,
         "mesh_size": args.mesh_size, "nt": args.nt, "order": args.order,
         "mean_field_max": float(out["mean"].max()),
@@ -359,7 +424,12 @@ def cmd_ensemble(args):
                             for i, t in enumerate(taus)} if exc is not None
         else {},
         "wall_s": round(wall, 3),
-    }))
+    }
+    if stations is not None:
+        payload["stations"] = stations
+        payload["station_var_reduction_first_last"] = [
+            round(reductions[0], 6), round(reductions[-1], 6)]
+    print(json.dumps(payload))
 
 
 def cmd_fit_deposition(args):
@@ -568,9 +638,41 @@ def build_parser():
                     default=[0.01, 0.03],
                     help="exceedance thresholds for P(c > tau) maps")
     sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--place_sensors", type=int, default=0,
+                    help="greedily site this many monitoring stations on "
+                         "the forecast ensemble (EnSRF variance-reduction "
+                         "placement, diagnostics.place_sensors)")
+    sp.add_argument("--obs_std", type=float, default=0.01,
+                    help="station noise assumed by --place_sensors")
     sp.add_argument("--save", default="",
                     help="save mean/std/exceedance products to .npz")
     sp.set_defaults(fn=cmd_ensemble)
+
+    sp = sub.add_parser(
+        "fit-ic",
+        help="4D-Var: recover the full initial field from a trajectory",
+    )
+    common(sp)
+    sp.add_argument("--observed", required=True,
+                    help=".npz trajectory from solve --save --save_all "
+                         "(times included); row 0 is dropped — the fit "
+                         "deconvolves the later evolution")
+    sp.add_argument("--sensors", type=int, default=0,
+                    help="random monitoring stations drawn from the DOF "
+                         "midpoints (0 = all DOFs)")
+    sp.add_argument("--sensor_seed", type=int, default=0)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--lr", type=float, default=0.05,
+                    help="keep below the field amplitude (Adam steps "
+                         "are O(lr) per DOF)")
+    sp.add_argument("--smoothness", type=float, default=1e-3,
+                    help="H1-seminorm Tikhonov weight (THE accuracy "
+                         "lever under sparse/noisy sensors)")
+    sp.add_argument("--nonnegative", action="store_true",
+                    help="softplus reparameterization of the field")
+    sp.add_argument("--save", default="",
+                    help="save the recovered initial field to .npz")
+    sp.set_defaults(fn=cmd_fit_ic)
 
     sp = sub.add_parser(
         "fit-deposition",

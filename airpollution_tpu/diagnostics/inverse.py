@@ -856,7 +856,7 @@ def fit_surface_exchange(observed, mesh_data, problem, *,
 
 def fit_initial_condition(observed, mesh_data, problem, *,
                           snapshot_indices, sensor_indices=None,
-                          steps: int = 200, lr: float = 0.1,
+                          steps: int = 200, lr: float = 0.05,
                           smoothness: float = 1e-3,
                           nonnegative: bool = False, u0_init=None,
                           time_scheme_order: int = 1, tol: float = 1e-9,
@@ -900,7 +900,9 @@ def fit_initial_condition(observed, mesh_data, problem, *,
     remote-compile TPU tunnel).
 
     Returns ``(u0_estimate, losses)`` with ``u0_estimate`` an (n_seg,)
-    device array.
+    device array. Pick ``lr`` BELOW the field's own amplitude — Adam
+    steps are O(lr) per coordinate, so lr larger than max|u0| overshoots
+    and the misfit oscillates upward (watch ``losses``).
     """
     from airpollution_tpu.ops import sparse
 

@@ -179,3 +179,31 @@ def test_cli_fit_exchange_roundtrip(in_tmp_dir, capsys):
     ex = fit["exchange"]["right"]
     assert abs(ex["v_d"] - 0.5) < 0.2, ex
     assert abs(ex["c_comp"] - 0.1) < 0.07, ex
+
+
+def test_cli_fit_ic_roundtrip(in_tmp_dir, capsys):
+    cli.main(["solve", "--mesh_size", "10", "--nt", "9", "--sigma", "2.0",
+              "--save", "traj.npz", "--save_all"])
+    capsys.readouterr()
+    cli.main(["fit-ic", "--mesh_size", "10", "--nt", "9", "--sigma", "2.0",
+              "--observed", "traj.npz", "--steps", "60",
+              "--smoothness", "1e-4", "--save", "u0.npz"])
+    res = _last_json(capsys)
+    assert res["method"] == "fit_ic"
+    assert res["misfit_last"] < res["misfit_first"]
+    assert res["rel_l2_vs_problem_ic"] < 1.0  # better than the zero guess
+    rec = np.load("u0.npz")["solutions"]
+    assert rec.shape == (res["n_dofs"],) and np.isfinite(rec).all()
+
+
+def test_cli_ensemble_place_sensors(in_tmp_dir, capsys):
+    cli.main(["ensemble", "--mesh_size", "8", "--nt", "7", "--members",
+              "6", "--place_sensors", "3", "--save", "ens.npz"])
+    res = _last_json(capsys)
+    assert len(res["stations"]) == 3
+    assert len(set(res["stations"])) == 3
+    r0, r_last = res["station_var_reduction_first_last"]
+    assert r0 >= r_last >= 0
+    data = np.load("ens.npz")
+    assert list(data["stations"]) == res["stations"]
+    assert data["station_var_reduction"].shape == (3,)
