@@ -175,6 +175,9 @@ def cmd_solve(args):
         # closed-form error columns are diagnostics only (exact again
         # under a manufactured robin_g, problems.exact_robin_g).
         problem.robin_sides = _parse_robin(args.robin)
+    if getattr(args, "obstacle", None):
+        # Solid blocks change the true solution too — same caveat.
+        problem.obstacles = tuple(tuple(r) for r in args.obstacle)
     md = _mesh_data(args, domain)
     if getattr(problem, "time_varying", False):
         return _solve_time_varying(args, domain, problem, md)
@@ -555,6 +558,13 @@ def build_parser():
                          "no-flux wall; alpha=v_d: dry deposition; "
                          "unnamed sides stay Dirichlet; forces the ELL "
                          "path)")
+    sp.add_argument("--obstacle", type=float, nargs=4, action="append",
+                    metavar=("XMIN", "XMAX", "YMIN", "YMAX"),
+                    default=None,
+                    help="solid rectangular obstacle (repeatable): "
+                         "masked assembly with a no-diffusive-flux "
+                         "staircase wall (problems.AdDifProblem."
+                         "obstacles; per-DOF solve paths)")
     sp.add_argument("--order", type=int, default=1, choices=(1, 2))
     sp.add_argument("--matvec_impl", default="auto",
                     choices=("auto", "ell", "stencil", "uniform", "pallas",

@@ -79,9 +79,19 @@ def _solve(problem, mesh_data, *, time_scheme_order, stiffness_convention,
 
     pattern = stencil_mod.get_pattern(md)
     fam_view = stencil_mod.family_view(md, pattern)
+    if getattr(problem, "obstacles", None):
+        # Solid obstacles: per-DOF stencil coefficients carry the masked
+        # assembly exactly (never translation-invariant); the loop runs
+        # in family order, so hand it the permuted dead mask
+        # (models/crbe.obstacle_masks honors the view attribute).
+        from airpollution_tpu.models.crbe import obstacle_masks
+
+        _, dead_g = obstacle_masks(md, problem)
+        fam_view.obstacle_dead_mask = dead_g[jnp.asarray(pattern.perm)]
     if (pattern.n >= 3
             and not getattr(problem, "variable_coefficients", False)
-            and not getattr(problem, "robin_sides", None)):
+            and not getattr(problem, "robin_sides", None)
+            and not getattr(problem, "obstacles", None)):
         # Translation-invariant operator (ops/uniform.py): the 15 scalar
         # coefficients are a traced gather from the assembled values, so
         # d(consts)/d(D, v) flows exactly as through the canvas gather —

@@ -187,6 +187,64 @@ def reject_robin(problem, where: str):
         )
 
 
+def reject_obstacles(problem, where: str):
+    """Loud gate for solve paths that assume the full obstacle-free box
+    (translation-invariant operators, fused canvas kernels, distributed
+    stripe solvers): an obstacle problem reaching them would silently
+    solve transport THROUGH the buildings. The per-DOF assembled paths
+    (ELL, the family stencil/pallas matvecs) support obstacles."""
+    if getattr(problem, "obstacles", None):
+        raise ValueError(
+            f"interior obstacles (problem.obstacles) are not supported "
+            f"by {where} — use the per-DOF solve paths "
+            f"(CRBESolver matvec_impl='ell'/'stencil'/'auto')"
+        )
+
+
+def obstacle_masks(mesh_data, problem):
+    """Solid-obstacle masks: ``(tri_keep, dead_mask)``.
+
+    ``tri_keep``: (n_tri,) bool — False for triangles whose centroid lies
+    inside an obstacle (problems.AdDifProblem.obstacles /
+    :meth:`obstacle_fn`). Their local matrices are zeroed at assembly —
+    the standard "masked assembly" treatment of buildings on a
+    non-conforming mesh. The staircase cut boundary inherits the CR weak
+    form's natural condition: zero DIFFUSIVE flux, and no transport out
+    of the solid (perfect shadow); wind blowing INTO the wall deposits
+    its advective flux on the windward facade (see the
+    AdDifProblem.obstacles docstring — pass a wind that vanishes at the
+    blocks for reflecting walls).
+
+    ``dead_mask``: (n_seg,) bool — DOFs with NO live adjacent triangle
+    (fully inside the obstacle). They become identity rows pinned to 0:
+    joined to the Dirichlet set at assembly, zero-lifted in the time
+    loop. DOFs on the cut boundary (some live triangles) stay regular
+    unknowns with reduced support.
+
+    ``(None, None)`` when the problem declares no obstacles.
+
+    Views that run the loop in a permuted DOF order (the stencil
+    family view, models/unsteady's chunk view) carry a precomputed
+    ``obstacle_dead_mask`` attribute in THEIR order — honored here
+    (``tri_keep`` comes back ``None``; only assembly needs it, and
+    assembly always sees the real MeshData).
+    """
+    if not getattr(problem, "obstacles", None):
+        return None, None
+    pre = getattr(mesh_data, "obstacle_dead_mask", None)
+    if pre is not None:
+        return None, pre
+    md = mesh_data
+    centroids = md.points[md.triangles].mean(axis=1)
+    tri_keep = ~problem.obstacle_fn(centroids)
+    live = jax.ops.segment_sum(
+        jnp.repeat(tri_keep.astype(jnp.int32), 3),
+        md.triangle_to_segments.reshape(-1),
+        num_segments=md.number_of_segments,
+    )
+    return tri_keep, live == 0
+
+
 def robin_terms(mesh_data, problem, alpha_override=None):
     """Boundary terms of a problem's Robin spec (problems.AdDifProblem.
     robin_sides): ``(dirichlet_mask, robin_mask, robin_alpha)``.
@@ -276,11 +334,32 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
         verts, md.triangle_areas, D_loc, v_loc, stiffness_convention
     )
 
+    # Interior obstacles (problems.AdDifProblem.obstacles): masked
+    # assembly — solid triangles contribute nothing, which leaves the
+    # natural no-flux condition on the staircase cut boundary (see
+    # obstacle_masks). Static geometry: the keep mask is a compile-time
+    # constant under jit/vmap of traced problem parameters.
+    tri_keep, dead = obstacle_masks(md, problem)
+    if tri_keep is not None:
+        keep = tri_keep.astype(loc.stiffness.dtype)
+        loc = loc._replace(
+            mass_diag=loc.mass_diag * keep[:, None],
+            stiffness=loc.stiffness * keep[:, None, None],
+            advection=loc.advection * keep[:, None, None],
+        )
+
     t2s_flat = md.triangle_to_segments.reshape(-1)
     n_seg = md.number_of_segments
     mass_diag = jax.ops.segment_sum(
         loc.mass_diag.reshape(-1), t2s_flat, num_segments=n_seg
     )
+    if dead is not None:
+        # Fully-interior DOFs: unit mass so the system row becomes a
+        # well-conditioned identity after Dirichlet masking (their
+        # ka/stiffness/advection rows and columns are already exactly
+        # zero — every incident triangle was dropped).
+        mass_diag = jnp.where(dead, jnp.ones((), mass_diag.dtype),
+                              mass_diag)
 
     # Hoist the (lazy-property) ELL arrays into locals: each property
     # access converts the host pattern afresh, and sharing one buffer
@@ -315,6 +394,8 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
     dirichlet_mask, _, robin_vec = robin_terms(
         md, problem, alpha_override=robin_alpha
     )
+    if dead is not None:
+        dirichlet_mask = dirichlet_mask | dead
     if robin_vec is not None:
         ka_flat = ka_vals.reshape(-1).at[ell_diag_slot].add(
             robin_vec.astype(ka_vals.dtype)
@@ -387,6 +468,14 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
     # Robin DOFs are solved like interior unknowns (their alpha * |e|
     # operator term was folded into ka/system at assembly).
     bmask, robin_mask, _ = robin_terms(md, problem)
+    # Interior obstacles: fully-solid DOFs are identity rows pinned to 0
+    # — they join the masked set but get a ZERO lift (boundary_fn is
+    # plume data, not obstacle data), and the IC is blanked inside the
+    # solid so snapshot row 0 matches the carved domain.
+    _, dead = obstacle_masks(md, problem)
+    if dead is not None:
+        bmask = bmask | dead
+        u0 = jnp.where(dead, jnp.zeros((), u0.dtype), u0)
     robin_load = None
     if robin_mask is not None:
         from airpollution_tpu.mesh.data import boundary_side_masks
@@ -501,6 +590,8 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
         t_col = jnp.full((midpoints.shape[0], 1), t, dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)
         lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
+        if dead is not None:
+            lift = jnp.where(dead, jnp.zeros((), lift.dtype), lift)
         out = (u_new + lift) if store_solutions else None
         if collect_iters:
             out = (out, res.iterations)
@@ -685,9 +776,29 @@ class CRBESolver:
                             "scan paths (matvec_impl='stencil'/'ell')"
                         )
                     self._robin_g_fused = True
+        # Interior obstacles (problems.AdDifProblem.obstacles): the
+        # masked assembly makes the per-DOF paths (ELL, the family
+        # stencil/pallas matvecs) exact on the carved domain; every
+        # translation-invariant or canvas-fused path would solve
+        # transport through the buildings and refuses.
+        self._obstacles = getattr(problem, "obstacles", None) or None
+        if self._obstacles:
+            if matvec_impl not in ("auto", "ell", "stencil", "pallas"):
+                raise ValueError(
+                    "interior obstacles (problem.obstacles) run on the "
+                    "per-DOF assembled paths only — use matvec_impl="
+                    "'ell', 'stencil', 'pallas', or 'auto'"
+                )
+            if assembly == "patch":
+                raise ValueError(
+                    "interior obstacles need full assembly (the masked "
+                    "triangles are per-DOF information) — "
+                    "assembly='patch' is translation-invariant"
+                )
         if (
             matvec_impl == "auto"
             and not self._robin
+            and not self._obstacles
             and not self._variable_coefficients
             and assembly != "full"
             and preconditioner != "spectral"
@@ -1241,6 +1352,12 @@ class CRBESolver:
             raise AssertionError("patch mode reaches only the uniform path")
         fam_view = (stencil_mod.family_view(md, perm=perm_np) if patch
                     else stencil_mod.family_view(md, pattern))
+        if self._obstacles:
+            # The loop runs in family order: hand run_time_loop the
+            # dead mask permuted to match (obstacle_masks honors the
+            # view attribute; the family view has no triangle data).
+            _, dead_g = obstacle_masks(md, self.problem)
+            fam_view.obstacle_dead_mask = dead_g[jnp.asarray(pattern.perm)]
         if self.matvec_impl == "pallas":
             from airpollution_tpu.ops import pallas_stencil
 

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import expm
 
 from airpollution_tpu.models.crbe import (GlobalOperators, assemble,
-                                          robin_terms)
+                                          obstacle_masks, robin_terms)
 from airpollution_tpu.ops import linalg, sparse
 
 __all__ = ["MultiSpeciesSolver", "run_multispecies_loop", "stack_operators"]
@@ -97,6 +97,14 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
     # too: family_view carries geometry, so robin_terms derives the
     # reduced masks in family order.
     bmask = robin_terms(md, problem.species[0])[0]
+    # Solid obstacles (common geometry, validated by MultiSpeciesProblem):
+    # fully-interior DOFs are identity rows pinned to 0 across every
+    # species — same treatment as models/crbe.run_time_loop. Chemistry
+    # is linear, so the zero column stays exactly zero through expm.
+    _, dead = obstacle_masks(md, problem.species[0])
+    if dead is not None:
+        bmask = bmask | dead
+        C0 = jnp.where(dead[None, :], jnp.zeros((), C0.dtype), C0)
     nt = md.nt
     K, _ = C0.shape
     stacked = ops.mass_diag.ndim == 2
@@ -212,9 +220,15 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
         return jnp.where(bmask[None, :], 0.0, B)
 
     def lift(t):
-        return jnp.where(
+        lifted = jnp.where(
             bmask[None, :], problem.boundary_values(midpoints, t, R=R), 0.0
         )
+        if dead is not None:
+            # Dead DOFs sit inside the solid: pinned to 0, never lifted
+            # with (meaningless) boundary data.
+            lifted = jnp.where(dead[None, :], jnp.zeros((), lifted.dtype),
+                               lifted)
+        return lifted
 
     def step(carry, t):
         C, _ = carry
@@ -307,6 +321,18 @@ class MultiSpeciesSolver:
                     "invariance — use matvec_impl='ell', 'stencil', or "
                     "'auto'"
                 )
+        # Solid obstacles (common geometry, validated by the problem
+        # wrapper): the global-order ELL loop carries them exactly
+        # (masked assembly + dead-DOF pinning in run_multispecies_loop);
+        # the family-layout fast paths are not wired for permuted dead
+        # masks here and refuse. 'auto' routes to ELL below.
+        if getattr(problem, "obstacles", None):
+            if matvec_impl in ("stencil", "uniform"):
+                raise ValueError(
+                    "interior obstacles (problem.obstacles) run on the "
+                    "ELL multi-species path — use matvec_impl='ell' or "
+                    "'auto'"
+                )
         if matvec_impl in ("stencil", "uniform"):
             if not problem.shared_transport:
                 raise ValueError(
@@ -369,7 +395,8 @@ class MultiSpeciesSolver:
         if self.matvec_impl in ("stencil", "uniform"):
             return True
         return (self.problem.shared_transport
-                and self.mesh_data.structured_n is not None)
+                and self.mesh_data.structured_n is not None
+                and not getattr(self.problem, "obstacles", None))
 
     def _build_solve_fn(self, store_solutions: bool):
         base = dict(

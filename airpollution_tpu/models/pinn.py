@@ -716,6 +716,13 @@ class PINN:
         disables chunking (single scan of ``epochs``).
         """
         epochs = int(epochs)
+        if getattr(self.problem, "obstacles", None):
+            raise ValueError(
+                "interior obstacles (problem.obstacles) are not "
+                "supported by the PINN trainer — collocation sampling "
+                "and the boundary loss assume the full box; use the FEM "
+                "paths (models/crbe, matvec_impl='stencil'/'ell')"
+            )
         if causal_eps and batch_sizes["pde"] < int(causal_bins):
             # per_bin = n_pde // causal_bins would be 0: the per-bin mean
             # over an empty axis is NaN and poisons every loss/gradient
@@ -932,6 +939,11 @@ class PINN:
         calls (fused Adam moments live in ``self._parallel_state``)."""
         from airpollution_tpu.parallel import pinn_parallel
 
+        if getattr(self.problem, "obstacles", None):
+            raise ValueError(
+                "interior obstacles (problem.obstacles) are not "
+                "supported by the PINN trainers — use the FEM paths"
+            )
         if getattr(self.problem, "robin_sides", None):
             raise ValueError(
                 "Robin boundaries run on the serial trainer only — the "

@@ -171,6 +171,14 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         )
     n_chunks = n_steps // k
     dt = float(md.domain.T) / n_steps
+    obstacles = getattr(problem, "obstacles", None) or None
+    if fused and obstacles:
+        from airpollution_tpu.models.crbe import reject_obstacles
+
+        reject_obstacles(
+            problem, "the fused canvas chunk path (matvec_impl="
+            "'fused_hbm'); use matvec_impl='scan'"
+        )
     robin = getattr(problem, "robin_sides", None) or None
     if fused and robin:
         from airpollution_tpu.problems import (
@@ -194,6 +202,18 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                            points=md.points,
                            segment_lengths=md.segment_lengths)
     bmask = robin_terms(md, problem)[0]
+    if obstacles:
+        # Solid obstacles under time-varying wind: the per-chunk
+        # assemble() masks the solid triangles itself; the chunk view
+        # carries the precomputed dead mask (obstacle_masks honors the
+        # attribute) so run_time_loop pins fully-interior DOFs without
+        # triangle data. The carry strip below must also blank them —
+        # they sit outside robin_terms' Dirichlet mask.
+        from airpollution_tpu.models.crbe import obstacle_masks
+
+        _, dead = obstacle_masks(md, problem)
+        view.obstacle_dead_mask = dead
+        bmask = bmask | dead
 
     if fused:
         rect = None
@@ -243,7 +263,10 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                  # Robin sides) — a cache hit across different Robin
                  # specs would silently zero deposition-wall DOFs in
                  # the carry at every chunk boundary.
-                 None if not robin else tuple(sorted(robin.items())))
+                 None if not robin else tuple(sorted(robin.items())),
+                 # The closure also bakes the obstacle masks.
+                 None if not obstacles
+                 else tuple(tuple(r) for r in obstacles))
     if cache_key in _CHUNK_CACHE:
         chunk_fn = _CHUNK_CACHE[cache_key][0]
     else:

@@ -82,9 +82,10 @@ def build_sharded_solver(mesh: Mesh, mesh_data, problem, dt, *,
     are replicated. Reuses the exact serial time loop (crbe.run_time_loop)
     with a collective matvec — the numerics are identical to single-chip.
     """
-    from airpollution_tpu.models.crbe import reject_robin
+    from airpollution_tpu.models.crbe import reject_obstacles, reject_robin
 
     reject_robin(problem, "the row-sharded solver")
+    reject_obstacles(problem, "the row-sharded solver")
     n_devices = mesh.shape[axis]
     n_seg = mesh_data.number_of_segments
 

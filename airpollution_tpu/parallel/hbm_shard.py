@@ -145,9 +145,10 @@ def build_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     6M DOFs, mirroring models/crbe — the sizes this solver targets are
     exactly where global assembly OOMs (24 GB at 2049^2, CLAUDE.md).
     """
-    from airpollution_tpu.models.crbe import reject_robin
+    from airpollution_tpu.models.crbe import reject_obstacles, reject_robin
 
     reject_robin(problem, "the distributed stripe solver")
+    reject_obstacles(problem, "the distributed stripe solver")
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("hbm halo solver requires a structured mesh")
@@ -456,8 +457,9 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     neighbors' halo rows compute identical loads); vector-only
     ``robin_g`` overrides raise.
     """
-    from airpollution_tpu.models.crbe import robin_terms
+    from airpollution_tpu.models.crbe import reject_obstacles, robin_terms
 
+    reject_obstacles(problem, "the distributed canvas stripe solver")
     robin = getattr(problem, "robin_sides", None) or None
     g_on = False
     if robin:

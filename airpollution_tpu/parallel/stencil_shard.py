@@ -163,9 +163,10 @@ def build_halo_solver(mesh: Mesh, mesh_data, problem, dt, *, order=1,
     The entire nt-1 step loop runs inside one ``shard_map``; per matvec
     the only communication is two 1-row ppermutes.
     """
-    from airpollution_tpu.models.crbe import reject_robin
+    from airpollution_tpu.models.crbe import reject_obstacles, reject_robin
 
     reject_robin(problem, "the halo-exchange solver")
+    reject_obstacles(problem, "the halo-exchange solver")
     md = mesh_data
     if getattr(md, "structured_n", None) is None:
         raise ValueError("halo solver requires a structured mesh")

@@ -39,20 +39,27 @@ def _register_problem_pytree(cls, fields):
     problem instances (models/pinn.py)."""
 
     def flatten(p):
-        # robin_sides is STATIC configuration (the alphas are baked into
-        # the assembled operator, not traced), carried as hashable aux
-        # data so instances configured via attribute assignment survive
-        # tree round-trips (jit argument passing, vmap, checkpointing).
+        # robin_sides / obstacles are STATIC configuration (masks and
+        # assembly geometry are baked into the compiled program, not
+        # traced), carried as hashable aux data so instances configured
+        # via attribute assignment survive tree round-trips (jit
+        # argument passing, vmap, checkpointing).
         rb = getattr(p, "robin_sides", None)
-        aux = None if rb is None else tuple(sorted(rb.items()))
+        rb_aux = None if rb is None else tuple(sorted(rb.items()))
+        ob = getattr(p, "obstacles", None)
+        ob_aux = None if ob is None else tuple(tuple(r) for r in ob)
+        aux = (rb_aux, ob_aux)
         return tuple(getattr(p, f) for f in fields), aux
 
     def unflatten(aux, children):
         obj = object.__new__(cls)
         for f, c in zip(fields, children):
             setattr(obj, f, c)
-        if aux is not None:
-            obj.robin_sides = dict(aux)
+        rb_aux, ob_aux = aux
+        if rb_aux is not None:
+            obj.robin_sides = dict(rb_aux)
+        if ob_aux is not None:
+            obj.obstacles = ob_aux
         return obj
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
@@ -226,6 +233,48 @@ class AdDifProblem(abc.ABC):
     # point's own t. Implies the variable_coefficients routing. A CLASS
     # attribute, static under jit.
     time_varying = False
+
+    # Impermeable interior obstacles (buildings/terrain blocks) — beyond
+    # the reference, which models an obstacle-free box. ``None`` (default)
+    # keeps the full domain; a tuple of axis-aligned rectangles
+    # ``((xmin, xmax, ymin, ymax), ...)`` carves solid blocks out of the
+    # domain: triangles whose centroid falls inside any rectangle are
+    # dropped from the FEM assembly (models/crbe.assemble masks their
+    # local matrices), so the staircase cut boundary carries the weak
+    # form's NATURAL boundary condition. For the ADVECTIVE-form weak
+    # form this means: zero DIFFUSIVE flux through the wall, and the
+    # solid never releases mass back (a perfect downwind shadow) —
+    # but wind blowing INTO the wall deposits its advective flux there
+    # (windward-facade impaction, an outflow-like wall), so total mass
+    # decreases under such winds. For truly REFLECTING walls supply a
+    # mass-consistent wind that vanishes at the obstacle
+    # (variable_coefficients=True + velocity_at masking v near the
+    # blocks — the standard diagnostic-wind-model practice); with
+    # v.n = 0 at every wall the solve conserves mass (tested). DOFs
+    # with no live triangle left become identity rows pinned to 0
+    # (models/crbe.obstacle_masks).
+    # Arbitrary shapes: override :meth:`obstacle_fn`. STATIC
+    # configuration like ``robin_sides`` (the masks are baked into the
+    # compiled program — obstacle geometry must not depend on traced
+    # values); carried as pytree aux data. Supported on the per-DOF solve
+    # paths (matvec_impl 'ell'/'stencil'/'pallas'/'auto'); the
+    # translation-invariant fast paths (uniform operator, patch assembly,
+    # fused kernels) refuse loudly.
+    obstacles = None
+
+    def obstacle_fn(self, xy):
+        """Boolean "inside a solid obstacle" test at (..., 2) points.
+
+        Default: union of the axis-aligned ``obstacles`` rectangles
+        (closed on all sides). Override for arbitrary footprints; must be
+        a pure function of coordinates and STATIC geometry only."""
+        xy = jnp.asarray(xy)
+        x, y = xy[..., 0], xy[..., 1]
+        inside = jnp.zeros(xy.shape[:-1], dtype=bool)
+        for (x0, x1, y0, y1) in self.obstacles or ():
+            inside = inside | ((x >= x0) & (x <= x1)
+                               & (y >= y0) & (y <= y1))
+        return inside
 
     def __init__(self, v, D, reaction=0.0):
         self.v = v
@@ -775,6 +824,27 @@ class MultiSpeciesProblem:
                     "multi-species Robin walls support the homogeneous "
                     "flux law only (deposition/no-flux; g = 0)"
                 )
+        # Solid obstacles are domain GEOMETRY — one carved domain for
+        # the whole mechanism (the vmapped transport loop applies one
+        # dead-DOF mask across the (K, N) state).
+        obs0 = getattr(self.species[0], "obstacles", None) or None
+        for k, p in enumerate(self.species[1:], start=1):
+            if (getattr(p, "obstacles", None) or None) != obs0:
+                raise ValueError(
+                    f"species {k} declares different obstacles than "
+                    "species 0 — obstacle geometry must be common to "
+                    "every species"
+                )
+
+    @property
+    def obstacles(self):
+        """Common obstacle geometry (validated identical across species),
+        surfaced so solver gates and obstacle_masks read the wrapper like
+        a single-species problem."""
+        return getattr(self.species[0], "obstacles", None)
+
+    def obstacle_fn(self, xy):
+        return self.species[0].obstacle_fn(xy)
 
     @property
     def n_species(self):

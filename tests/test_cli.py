@@ -207,3 +207,23 @@ def test_cli_ensemble_place_sensors(in_tmp_dir, capsys):
     data = np.load("ens.npz")
     assert list(data["stations"]) == res["stations"]
     assert data["station_var_reduction"].shape == (3,)
+
+
+def test_cli_solve_with_obstacle(in_tmp_dir, capsys):
+    cli.main(["solve", "--mesh_size", "10", "--nt", "6",
+              "--obstacle", "-4", "4", "-4", "4",
+              "--save", "obst.npz", "--save_all"])
+    res = _last_json(capsys)
+    assert res["method"] == "crbe" and np.isfinite(res["rel_l2"])
+    import jax.numpy as jnp
+
+    from airpollution_tpu.mesh import MeshData, create_mesh
+    from airpollution_tpu.models.crbe import obstacle_masks
+    from airpollution_tpu.problems import Domain, Problem
+
+    p = Problem()
+    p.obstacles = ((-4.0, 4.0, -4.0, 4.0),)
+    md = MeshData(create_mesh(10, 20.0), Domain(), nt=6)
+    _, dead = obstacle_masks(md, p)
+    sols = np.load("obst.npz")["solutions"]
+    assert np.abs(sols[1:, np.asarray(dead)]).max() == 0.0

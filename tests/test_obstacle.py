@@ -1,0 +1,306 @@
+"""Interior solid obstacles (buildings) — beyond the reference.
+
+The reference models an obstacle-free box (crbe.py:397-404 treats only
+the outer boundary); urban air-quality runs need impermeable blocks.
+Implementation: masked assembly (models/crbe.obstacle_masks) — triangles
+whose centroid falls inside ``problem.obstacles`` contribute nothing, so
+the staircase cut boundary carries the CR weak form's NATURAL (zero
+normal flux) condition, and fully-interior DOFs become identity rows
+pinned to 0.
+
+Oracles:
+- an obstacle covering no triangle is bit-identical to no obstacle;
+- no-flux outer walls (all-sides Robin alpha=0) + v=0: lumped mass over
+  the carved domain is conserved (the cut boundary is no-flux too);
+- a wall blocking an advected plume: the region behind the wall sees far
+  less mass than the obstacle-free run, and solid DOFs stay exactly 0;
+- ELL and stencil paths agree (the stencil loop runs in family order
+  with a permuted dead mask).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpollution_tpu.mesh import MeshData, create_mesh
+from airpollution_tpu.models.crbe import (CRBESolver, obstacle_masks,
+                                          robin_terms)
+from airpollution_tpu.problems import Domain, Problem, SquarePulseProblem
+
+ALL_NEUMANN = {"left": 0.0, "right": 0.0, "bottom": 0.0, "top": 0.0}
+BLOCK = ((-4.0, 4.0, -4.0, 4.0),)
+
+
+def _md(ms, nt=8):
+    return MeshData(create_mesh(ms, 20.0), Domain(), nt=nt,
+                    dtype=jnp.float64)
+
+
+def test_obstacle_masks_geometry():
+    md = _md(16)
+    p = SquarePulseProblem()
+    p.obstacles = BLOCK
+    tri_keep, dead = obstacle_masks(md, p)
+    tri_keep = np.asarray(tri_keep)
+    dead = np.asarray(dead)
+    # Some triangles dropped, most kept; every dead DOF's midpoint is
+    # inside the rectangle, and no boundary DOF is dead.
+    assert 0 < (~tri_keep).sum() < tri_keep.size
+    mids = np.asarray(md.midpoints)
+    inside = ((np.abs(mids[:, 0]) <= 4.0) & (np.abs(mids[:, 1]) <= 4.0))
+    assert dead.any()
+    assert (inside | ~dead).all()
+    assert not (dead & np.asarray(md.boundary_mask)).any()
+    # DOFs strictly inside by more than one cell are dead.
+    h = 40.0 / 15
+    deep = ((np.abs(mids[:, 0]) <= 4.0 - 1.5 * h)
+            & (np.abs(mids[:, 1]) <= 4.0 - 1.5 * h))
+    assert (~deep | dead).all()
+
+
+def test_empty_obstacle_is_bit_identical():
+    md = _md(12)
+    base = SquarePulseProblem()
+    p = SquarePulseProblem()
+    p.obstacles = ((100.0, 110.0, 100.0, 110.0),)  # outside the box
+    s0 = CRBESolver(Domain(), base, md, matvec_impl="ell")
+    s1 = CRBESolver(Domain(), p, md, matvec_impl="ell")
+    s0.solve()
+    s1.solve()
+    assert (np.asarray(s0.solutions) == np.asarray(s1.solutions)).all()
+
+
+def test_closed_box_with_obstacle_conserves_mass():
+    md = _md(16, nt=10)
+    p = SquarePulseProblem(v=(0.0, 0.0), D=0.5, lo=10.0, hi=18.0)
+    p.robin_sides = dict(ALL_NEUMANN)
+    p.obstacles = BLOCK
+    s = CRBESolver(Domain(), p, md, matvec_impl="ell", solver_tol=1e-12,
+                   solver_maxiter=400)
+    s.solve()
+    m = np.asarray([float(jnp.sum(s.global_mass_diag * u))
+                    for u in s.solutions])
+    # Pure diffusion + no-flux outer walls + no-flux obstacle cut: the
+    # lumped mass over the carved domain is conserved.
+    assert abs(m[-1] - m[0]) < 1e-8 * abs(m[0])
+    # Solid interior stays exactly zero.
+    _, dead = obstacle_masks(md, p)
+    assert np.abs(np.asarray(s.solutions)[:, np.asarray(dead)]).max() == 0.0
+
+
+def test_wall_shields_downwind_region():
+    md = _md(24, nt=24)
+    domain = Domain()
+    # Plume starting left of a tall wall, advecting right into it.
+    wall = ((-2.0, 0.0, -12.0, 12.0),)
+
+    class _Plume(Problem):
+        def initial_condition_fn(self, xy):
+            xy = jnp.asarray(xy)
+            return jnp.exp(-((xy[:, 0] + 8.0) ** 2 + xy[:, 1] ** 2) / 4.0)
+
+    free = _Plume(v=(4.0, 0.0), D=0.05)
+    blocked = _Plume(v=(4.0, 0.0), D=0.05)
+    blocked.obstacles = wall
+    sols = {}
+    for name, prob in (("free", free), ("blocked", blocked)):
+        s = CRBESolver(domain, prob, md, matvec_impl="ell",
+                       solver_tol=1e-10, solver_maxiter=300)
+        s.solve()
+        sols[name] = np.asarray(s.solutions)
+    # Compare mid-flight (t ~ 3: the free plume center sits at x ~ +4,
+    # past the wall; by T=10 both runs have mostly exited the box).
+    row = 7
+    mids = np.asarray(md.midpoints)
+    downwind = mids[:, 0] > 1.0
+    peak_free = sols["free"][row][downwind].max()
+    peak_blocked = sols["blocked"][row][downwind].max()
+    assert peak_free > 0.1
+    # The wall blocks nearly all transport into its shadow (the solid
+    # never releases mass downwind).
+    assert peak_blocked < 0.02 * peak_free
+    # The blocked plume's center of mass stays pinned against the
+    # windward facade while the free plume sails past.
+    from airpollution_tpu.models.crbe import assemble
+
+    m = np.asarray(assemble(md, free, 0.1, 1).mass_diag)
+
+    def com_x(u):
+        w = np.clip(u, 0, None) * m
+        return (w * mids[:, 0]).sum() / w.sum()
+    assert com_x(sols["free"][row]) > 2.0
+    assert com_x(sols["blocked"][row]) < -2.0
+
+
+def test_impaction_vs_mass_consistent_wind():
+    """Semantics contract (AdDifProblem.obstacles docstring): uniform
+    wind blowing INTO the wall deposits mass on the windward facade
+    (advective impaction), while a mass-consistent wind (divergence-free
+    stream function, zero at the obstacle and tangent to the outer box)
+    conserves mass over the carved domain to discretization error."""
+    md = _md(24, nt=16)
+    base = dict(lo=10.0, hi=18.0)
+
+    class _StreamWind(SquarePulseProblem):
+        variable_coefficients = True
+
+        def _psi(self, x, y):
+            box = (jnp.sin(jnp.pi * (x + 20.0) / 40.0)
+                   * jnp.sin(jnp.pi * (y + 20.0) / 40.0))
+            r = jnp.sqrt(x ** 2 + y ** 2)
+            ramp = jnp.clip((r - 6.5) / 2.5, 0.0, 1.0)
+            return 8.0 * box * ramp ** 2
+
+        def velocity_at(self, xy, t=None):
+            xy = jnp.asarray(xy)
+
+            def one(p):
+                g = jax.grad(lambda q: self._psi(q[0], q[1]))(p)
+                return jnp.array([g[1], -g[0]])
+
+            return jax.vmap(one)(xy.reshape(-1, 2)).reshape(
+                xy.shape[:-1] + (2,))
+
+    # Impaction: pulse on the left, head-on wind into a tall wall;
+    # Dirichlet outer box (wind crossing a Neumann wall would be an
+    # unprescribed-inflow setup, ill-posed for the advective form).
+    impact = SquarePulseProblem(v=(3.0, 0.0), D=0.1, lo=-14.0, hi=-6.0)
+    impact.obstacles = ((-2.0, 2.0, -16.0, 16.0),)
+    # Circulation: divergence-free stream-function wind, zero at the
+    # obstacle and tangent to the (no-flux Robin) outer box.
+    stream = _StreamWind(v=(0.0, 0.0), D=0.5, **base)
+    stream.robin_sides = dict(ALL_NEUMANN)
+    stream.obstacles = BLOCK
+    runs = {}
+    for name, prob in (("impact", impact), ("stream", stream)):
+        s = CRBESolver(Domain(), prob, md, matvec_impl="ell",
+                       solver_tol=1e-12, solver_maxiter=400)
+        s.solve()
+        m = np.asarray(s.global_mass_diag)
+        tot = np.asarray([(m * np.asarray(u)).sum() for u in s.solutions])
+        runs[name] = tot / tot[0]
+    # Head-on wind: most of the mass impacts the windward facade (the
+    # plume cannot pass, and the outer walls are far away).
+    assert runs["impact"][-1] < 0.5
+    assert runs["impact"].max() < 1.05  # no spurious growth
+    # Mass-consistent circulation: conserved to discretization error.
+    assert abs(runs["stream"][-1] - 1.0) < 0.02
+
+
+def test_stencil_path_matches_ell_with_obstacle():
+    md = _md(16, nt=8)
+    p = SquarePulseProblem(v=(1.0, 0.5), D=0.3, lo=10.0, hi=18.0)
+    p.obstacles = ((-5.0, -1.0, -3.0, 3.0),)
+    s_ell = CRBESolver(Domain(), p, md, matvec_impl="ell",
+                       solver_tol=1e-12, solver_maxiter=400)
+    s_st = CRBESolver(Domain(), p, md, matvec_impl="stencil",
+                      solver_tol=1e-12, solver_maxiter=400)
+    s_ell.solve()
+    s_st.solve()
+    a, b = np.asarray(s_ell.solutions), np.asarray(s_st.solutions)
+    assert np.abs(a - b).max() < 1e-9
+    # auto routes to the stencil family path (never uniform/patch).
+    s_auto = CRBESolver(Domain(), p, md, solver_tol=1e-12,
+                        solver_maxiter=400)
+    assert s_auto.matvec_impl == "auto"
+    s_auto.solve(store_solutions=False)
+    assert np.abs(np.asarray(s_auto.solutions[-1]) - a[-1]).max() < 1e-9
+
+
+def test_obstacle_rejected_on_invariant_and_fused_paths():
+    md = _md(12)
+    p = SquarePulseProblem()
+    p.obstacles = BLOCK
+    for impl in ("uniform", "fused", "fused_hbm"):
+        with pytest.raises(ValueError, match="obstacles|per-DOF"):
+            CRBESolver(Domain(), p, md, matvec_impl=impl)
+    with pytest.raises(ValueError, match="full assembly"):
+        CRBESolver(Domain(), p, md, assembly="patch")
+
+
+def test_obstacle_survives_pytree_roundtrip_and_dirichlet_consistency():
+    md = _md(12)
+    p = SquarePulseProblem()
+    p.obstacles = BLOCK
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    q = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert q.obstacles == BLOCK
+    # assemble's Dirichlet set = outer boundary | dead (robin_terms does
+    # not know about obstacles; assemble adds them).
+    _, dead = obstacle_masks(md, p)
+    from airpollution_tpu.models.crbe import assemble
+
+    ops = assemble(md, p, 0.1, 1)
+    import airpollution_tpu.ops.sparse as sparse
+
+    # Identity rows at dead DOFs: diagonal 1, off-diagonals 0.
+    x = jnp.zeros(md.number_of_segments, jnp.float64)
+    dead_idx = int(np.flatnonzero(np.asarray(dead))[0])
+    x = x.at[dead_idx].set(1.0)
+    col = sparse.ell_matvec(ops.system, x)
+    e = np.zeros_like(np.asarray(col))
+    row = np.asarray(sparse.ell_matvec(
+        ops.system, jnp.ones(md.number_of_segments, jnp.float64)))
+    assert row[dead_idx] == 1.0  # row sums to its identity diagonal
+    e[dead_idx] = 1.0
+    # Dead column: only its own identity entry is nonzero.
+    assert np.abs(np.asarray(col) - e).max() == 0.0
+
+
+def test_multispecies_with_obstacle_conserves_and_decays():
+    from airpollution_tpu.models.multispecies import MultiSpeciesSolver
+    from airpollution_tpu.problems import MultiSpeciesProblem
+
+    md = _md(12, nt=8)
+    sp = []
+    for _ in range(2):
+        q = SquarePulseProblem(v=(0.0, 0.0), D=0.4, lo=10.0, hi=18.0)
+        q.robin_sides = dict(ALL_NEUMANN)
+        q.obstacles = BLOCK
+        sp.append(q)
+    R = jnp.array([[0.3, 0.0], [-0.3, 0.0]])  # chain: 0 -> 1
+    prob = MultiSpeciesProblem(sp, R)
+    solver = MultiSpeciesSolver(Domain(), prob, md, solver_tol=1e-12,
+                                solver_maxiter=400)
+    assert not solver._use_stencil()
+    solver.solve()
+    sols = np.asarray(solver.solutions)  # (nt, K, N)
+    from airpollution_tpu.models.crbe import assemble
+
+    m = np.asarray(assemble(md, sp[0], solver.dt, 1).mass_diag)
+    total = (sols * m[None, None, :]).sum(axis=2).sum(axis=1)
+    # Transport conserves (no-flux box + obstacle cut); the chain only
+    # moves mass between species, so the TOTAL is conserved.
+    assert abs(total[-1] - total[0]) < 1e-8 * abs(total[0])
+    # Species 0 decays into species 1.
+    m0 = (sols[:, 0, :] * m[None, :]).sum(axis=1)
+    assert m0[-1] < 0.8 * m0[0]
+    # Mixed geometry is rejected.
+    sp2 = [SquarePulseProblem(), SquarePulseProblem()]
+    sp2[0].obstacles = BLOCK
+    with pytest.raises(ValueError, match="obstacles"):
+        MultiSpeciesProblem(sp2, R)
+
+
+def test_fit_source_with_obstacle_runs_differentiably():
+    """The inverse engine's stencil family branch carries the permuted
+    dead mask — a gradient through an obstacle solve is finite and the
+    dead DOFs never contribute."""
+    from airpollution_tpu.diagnostics import inverse
+
+    md = _md(12, nt=6)
+    p = SquarePulseProblem(v=(1.0, 0.0), D=0.3, lo=10.0, hi=18.0)
+    p.obstacles = ((2.0, 6.0, -3.0, 3.0),)
+
+    def loss(D):
+        q = SquarePulseProblem(v=(1.0, 0.0), D=D, lo=10.0, hi=18.0)
+        q.obstacles = p.obstacles
+        sols = inverse._solve(q, md, time_scheme_order=1,
+                              stiffness_convention="correct",
+                              tol=1e-10, maxiter=200,
+                              store_solutions=False)
+        return jnp.sum(sols[-1] ** 2)
+
+    g = jax.grad(loss)(jnp.float64(0.3))
+    assert np.isfinite(float(g)) and float(g) != 0.0
