@@ -28,6 +28,7 @@ from airpollution_tpu.problems import (
     MultiSpeciesProblem,
     Problem,
     RotatingPlumeProblem,
+    ShiftedPlumeProblem,
     SquarePulseProblem,
     TurningWindProblem,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "MultiSpeciesProblem",
     "Problem",
     "RotatingPlumeProblem",
+    "ShiftedPlumeProblem",
     "SquarePulseProblem",
     "TurningWindProblem",
     "Mesh",

@@ -1,4 +1,6 @@
-"""Solver models: the CRBE finite-element path and the PINN path."""
+"""Solver models: the CRBE finite-element path, the PINN path, and the
+FNO operator-surrogate path (models/fno, imported lazily — it pulls
+optax only when used)."""
 
 from airpollution_tpu.models.crbe import (
     BESCRFEM,

@@ -1,0 +1,302 @@
+"""Fourier Neural Operator surrogate — the third model family.
+
+Beyond the reference (which compares a CR FEM solver and a PINN,
+pinn.py:148-300): a neural SOLUTION-OPERATOR surrogate in the style of
+Li et al. 2021 ("Fourier Neural Operator for Parametric PDEs"), mapping
+problem inputs (initial condition + physical-parameter channels) to the
+final concentration field in one forward pass. Where the PINN fits ONE
+problem instance per training run, the FNO amortizes a whole problem
+FAMILY: train once on solver-generated data, then answer new (D, v,
+sigma, center) queries at inference throughput.
+
+TPU-first design:
+- the training data is manufactured by the framework's own vmapped FEM
+  engine (diagnostics/ensemble.ensemble_forecast) — thousands of
+  ground-truth solves in seconds, so "needs data" is not a cost here;
+- fields live on the CELL-CENTER grid: the structured CR mesh's
+  diagonal-edge DOFs sit exactly at cell centers (ops/stencil.py family
+  derivation), so a (c, c) regular-grid view of any DOF vector is one
+  static gather (:func:`cell_center_index_grid`) — no interpolation;
+- spectral convolutions are rfft2 -> low-mode complex channel mixing
+  (einsum -> MXU matmuls) -> irfft2; the pointwise lift/project/skip
+  convs are plain dense-over-channels matmuls. Everything jits into one
+  XLA program; parameters are pytrees (optax Adam, `lax.scan` epochs,
+  same trainer discipline as models/pinn.py).
+
+Complex spectral weights are stored as (real, imag) float pairs so the
+whole parameter tree stays real-dtype (optax/checkpoint friendly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "FNOParams", "init_fno_params", "fno_apply",
+    "cell_center_index_grid", "grid_coordinates",
+    "make_plume_dataset", "train_fno", "relative_l2",
+]
+
+
+class FNOParams(NamedTuple):
+    """Pytree of FNO parameters (all real arrays).
+
+    lift/proj: dense channel maps; for each of ``depth`` Fourier blocks:
+    spectral weights for the two retained rfft2 mode corners
+    (w1 = rows [0, modes), w2 = rows [-modes, 0); columns [0, modes))
+    stored as real/imag pairs, plus a pointwise skip conv.
+    """
+
+    lift_w: jax.Array   # (in_ch, width)
+    lift_b: jax.Array   # (width,)
+    w1_re: jax.Array    # (depth, width, width, modes, modes)
+    w1_im: jax.Array
+    w2_re: jax.Array
+    w2_im: jax.Array
+    skip_w: jax.Array   # (depth, width, width)
+    skip_b: jax.Array   # (depth, width)
+    proj1_w: jax.Array  # (width, proj)
+    proj1_b: jax.Array  # (proj,)
+    proj2_w: jax.Array  # (proj, out_ch)
+    proj2_b: jax.Array  # (out_ch,)
+
+
+def init_fno_params(key, *, in_ch, modes=12, width=32, depth=4,
+                    proj=64, out_ch=1, dtype=jnp.float32) -> FNOParams:
+    """Standard FNO init: U(-s, s) spectral weights with
+    s = 1/(in*out), Xavier-uniform dense layers, zero biases."""
+    ks = jax.random.split(key, 8)
+
+    def dense(k, fan_in, fan_out):
+        s = float(np.sqrt(6.0 / (fan_in + fan_out)))
+        return jax.random.uniform(k, (fan_in, fan_out), dtype, -s, s)
+
+    s_spec = 1.0 / (width * width)
+    spec_shape = (depth, width, width, modes, modes)
+
+    def spec(k):
+        return jax.random.uniform(k, spec_shape, dtype, -s_spec, s_spec)
+
+    return FNOParams(
+        lift_w=dense(ks[0], in_ch, width),
+        lift_b=jnp.zeros((width,), dtype),
+        w1_re=spec(ks[1]), w1_im=spec(ks[2]),
+        w2_re=spec(ks[3]), w2_im=spec(ks[4]),
+        skip_w=jnp.stack([dense(k, width, width)
+                          for k in jax.random.split(ks[5], depth)]),
+        skip_b=jnp.zeros((depth, width), dtype),
+        proj1_w=dense(ks[6], width, proj),
+        proj1_b=jnp.zeros((proj,), dtype),
+        proj2_w=dense(ks[7], proj, out_ch),
+        proj2_b=jnp.zeros((out_ch,), dtype),
+    )
+
+
+def _spectral_conv(x, w1_re, w1_im, w2_re, w2_im):
+    """(B, H, W, C) -> (B, H, W, C): rfft2 over (H, W), mix the two
+    retained low-mode corners over channels, irfft2. The einsum
+    contraction over channels is the MXU work."""
+    B, H, W, C = x.shape
+    m = w1_re.shape[-1]
+    xf = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, W//2+1, C) complex
+    w1 = w1_re + 1j * w1_im  # (C_in, C_out, m, m)
+    w2 = w2_re + 1j * w2_im
+
+    def mix(block, w):
+        # block (B, m, m, C_in), w (C_in, C_out, m, m)
+        return jnp.einsum("bxyi,ioxy->bxyo", block, w)
+
+    top = mix(xf[:, :m, :m, :], w1)
+    bot = mix(xf[:, -m:, :m, :], w2)
+    out = jnp.zeros_like(xf)
+    out = out.at[:, :m, :m, :].set(top)
+    out = out.at[:, -m:, :m, :].set(bot)
+    return jnp.fft.irfft2(out, s=(H, W), axes=(1, 2))
+
+
+def fno_apply(params: FNOParams, x):
+    """Forward pass. ``x``: (B, H, W, in_ch) -> (B, H, W, out_ch)."""
+    h = x @ params.lift_w + params.lift_b
+    depth = params.skip_w.shape[0]
+    for d in range(depth):
+        spec = _spectral_conv(h, params.w1_re[d], params.w1_im[d],
+                              params.w2_re[d], params.w2_im[d])
+        h_new = spec + h @ params.skip_w[d] + params.skip_b[d]
+        if d < depth - 1:
+            h_new = jax.nn.gelu(h_new)
+        h = h_new
+    h = jax.nn.gelu(h @ params.proj1_w + params.proj1_b)
+    return h @ params.proj2_w + params.proj2_b
+
+
+# --- grid view of CR DOF vectors -------------------------------------
+
+
+def cell_center_index_grid(mesh_data) -> np.ndarray:
+    """(c, c) array of global DOF ids whose midpoints are the cell
+    centers of the structured mesh — the diagonal-edge family
+    (ops/stencil.py: D(i, j) midpoints sit at ((i+1/2)h, (j+1/2)h)).
+    Host-side, computed once per mesh from coordinates (robust to any
+    internal family ordering)."""
+    mids = np.asarray(mesh_data.midpoints)
+    n = mesh_data.structured_n
+    if n is None:
+        raise ValueError("cell-center grid requires a structured mesh")
+    c = n - 1
+    pts = np.asarray(mesh_data.points)
+    h = (pts[:, 0].max() - pts[:, 0].min()) / c
+    xmin, ymin = pts[:, 0].min(), pts[:, 1].min()
+    ix = (mids[:, 0] - xmin) / h - 0.5
+    iy = (mids[:, 1] - ymin) / h - 0.5
+    on = (np.abs(ix - np.round(ix)) < 1e-6) & \
+         (np.abs(iy - np.round(iy)) < 1e-6) & \
+         (np.round(ix) >= 0) & (np.round(ix) < c) & \
+         (np.round(iy) >= 0) & (np.round(iy) < c)
+    idx = np.flatnonzero(on)
+    grid = np.full((c, c), -1, dtype=np.int64)
+    grid[np.round(iy[idx]).astype(int), np.round(ix[idx]).astype(int)] = idx
+    if (grid < 0).any():
+        raise AssertionError("cell-center grid extraction incomplete")
+    return grid
+
+
+def grid_coordinates(mesh_data):
+    """(c, c, 2) physical coordinates of the cell-center grid."""
+    grid = cell_center_index_grid(mesh_data)
+    mids = np.asarray(mesh_data.midpoints)
+    return mids[grid.reshape(-1)].reshape(grid.shape + (2,))
+
+
+# --- data generation via the vmapped FEM engine ----------------------
+
+
+def make_plume_dataset(mesh_data, domain, key, n_samples, *,
+                       d_range=(0.05, 0.5), v_max=1.5,
+                       sigma_range=(0.8, 2.0), center_box=8.0,
+                       order=1, tol=1e-7, maxiter=200):
+    """Solver-manufactured operator-learning dataset.
+
+    Samples ``n_samples`` Gaussian-plume problems (log-uniform D,
+    uniform wind in a disk of radius ``v_max``, uniform release width
+    and center), integrates ALL of them to t=T with one vmapped FEM
+    program (diagnostics/ensemble.ensemble_forecast), and returns
+
+    - ``X``: (n, c, c, 6) input fields — IC at cell centers + constant
+      channels (D, vx, vy) + the coordinate grid (x, y);
+    - ``Y``: (n, c, c, 1) FEM final fields at cell centers;
+    - ``problems``: the sampled problem list (ground-truth queries).
+    """
+    from airpollution_tpu.diagnostics.ensemble import (ensemble_forecast,
+                                                       stack_problems)
+    from airpollution_tpu.problems import ShiftedPlumeProblem
+
+    ks = jax.random.split(key, 5)
+    lo, hi = np.log(d_range[0]), np.log(d_range[1])
+    Ds = np.exp(np.asarray(jax.random.uniform(
+        ks[0], (n_samples,), minval=lo, maxval=hi)))
+    ang = np.asarray(jax.random.uniform(
+        ks[1], (n_samples,), minval=0.0, maxval=2 * np.pi))
+    rad = v_max * np.sqrt(np.asarray(jax.random.uniform(
+        ks[2], (n_samples,))))
+    vs = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    sig = np.asarray(jax.random.uniform(
+        ks[3], (n_samples,), minval=sigma_range[0],
+        maxval=sigma_range[1]))
+    ctr = np.asarray(jax.random.uniform(
+        ks[4], (n_samples, 2), minval=-center_box, maxval=center_box))
+
+    problems = [ShiftedPlumeProblem(
+        v=(float(vs[i, 0]), float(vs[i, 1])), D=float(Ds[i]),
+        sigma=float(sig[i]),
+        center=(float(ctr[i, 0]), float(ctr[i, 1])))
+        for i in range(n_samples)]
+    fc = ensemble_forecast(mesh_data, domain, problems, order=order,
+                           tol=tol, maxiter=maxiter)
+    members = fc["members"]  # (n, n_seg)
+
+    grid = jnp.asarray(cell_center_index_grid(mesh_data).reshape(-1))
+    coords = jnp.asarray(grid_coordinates(mesh_data),
+                         dtype=members.dtype)
+    c = coords.shape[0]
+
+    u0 = jax.vmap(lambda p: p.initial_condition_fn(mesh_data.midpoints))(
+        stack_problems(problems)
+    )
+
+    def to_grid(field):
+        return field[:, grid].reshape(-1, c, c)
+
+    ic = to_grid(u0)
+    Y = to_grid(members)[..., None]
+    const = jnp.stack([jnp.asarray(Ds), jnp.asarray(vs[:, 0]),
+                       jnp.asarray(vs[:, 1])], axis=1).astype(ic.dtype)
+    const_ch = jnp.broadcast_to(const[:, None, None, :],
+                                (n_samples, c, c, 3))
+    coord_ch = jnp.broadcast_to(coords[None], (n_samples, c, c, 2))
+    # Normalize coordinates to [-1, 1] so channel scales are comparable.
+    coord_ch = coord_ch / jnp.max(jnp.abs(coords))
+    X = jnp.concatenate([ic[..., None], const_ch, coord_ch], axis=-1)
+    return X, Y.astype(X.dtype), problems
+
+
+# --- training ---------------------------------------------------------
+
+
+def relative_l2(params, X, Y, batch=32):
+    """Mean per-sample relative L2 error of the FNO on (X, Y)."""
+    outs = []
+    for i in range(0, X.shape[0], batch):
+        pred = fno_apply(params, X[i:i + batch])
+        yb = Y[i:i + batch]
+        num = jnp.sqrt(((pred - yb) ** 2).sum(axis=(1, 2, 3)))
+        den = jnp.sqrt((yb ** 2).sum(axis=(1, 2, 3)))
+        outs.append(num / jnp.maximum(den, 1e-12))
+    return float(jnp.concatenate(outs).mean())
+
+
+@partial(jax.jit, static_argnames=("epochs", "batch", "lr"))
+def _train_scan(params, opt_state, X, Y, key, epochs: int, batch: int,
+                lr: float):
+    import optax
+
+    opt = optax.adam(lr)
+
+    def loss_fn(p, xb, yb):
+        pred = fno_apply(p, xb)
+        num = ((pred - yb) ** 2).sum(axis=(1, 2, 3))
+        den = jnp.maximum((yb ** 2).sum(axis=(1, 2, 3)), 1e-12)
+        return jnp.mean(num / den)  # relative-L2^2 loss (standard FNO)
+
+    n = X.shape[0]
+
+    def step(carry, k):
+        p, s = carry
+        idx = jax.random.randint(k, (batch,), 0, n)
+        l, g = jax.value_and_grad(loss_fn)(p, X[idx], Y[idx])
+        upd, s = opt.update(g, s, p)
+        p = jax.tree.map(lambda a, u: a + u, p, upd)
+        return (p, s), l
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), jax.random.split(key, epochs))
+    return params, opt_state, losses
+
+
+def train_fno(params, X, Y, *, epochs=2000, batch=16, lr=1e-3,
+              key=None, opt_state=None):
+    """Adam training, the whole epoch loop one jitted `lax.scan`
+    (models/pinn.py trainer discipline). Returns (params, opt_state,
+    losses) — pass opt_state back in to continue training."""
+    import optax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if opt_state is None:
+        opt_state = optax.adam(lr).init(params)
+    return _train_scan(params, opt_state, X, Y, key, int(epochs),
+                       int(batch), float(lr))

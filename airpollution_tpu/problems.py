@@ -419,6 +419,36 @@ class Problem(AdDifProblem):
         return jnp.zeros_like(xyt[..., 0])
 
 
+class ShiftedPlumeProblem(Problem):
+    """Gaussian plume released at an arbitrary center (cx, cy).
+
+    The reference's closed form (utils/common.py:47-50) translated:
+    the plume tracks (cx + vx t, cy + vy t). Used as the operator-
+    learning problem family (models/fno.py) — every member keeps an
+    exact solution, so surrogate predictions can be scored against
+    both the FEM field and the closed form. All parameters are traced
+    pytree leaves (vmappable ensembles / datasets)."""
+
+    def __init__(self, v=(1.0, 0.5), D=0.1, sigma=1.0, center=(0.0, 0.0),
+                 reaction=0.0):
+        super().__init__(v, D, sigma, reaction)
+        self.cx = center[0]
+        self.cy = center[1]
+
+    def analytical_solution(self, xyt):
+        xyt = jnp.asarray(xyt)
+        if xyt.shape[-1] != 3:
+            raise ValueError("xyt must have 3 columns (x, y, t)")
+        x, y, t = xyt[..., 0], xyt[..., 1], xyt[..., 2]
+        denom = 4.0 * self.D * t + self.sigma**2
+        num = ((x - self.cx - self.v[0] * t) ** 2
+               + (y - self.cy - self.v[1] * t) ** 2)
+        plume = jnp.exp(-num / denom) / (jnp.pi * denom)
+        if isinstance(self.reaction, (int, float)) and self.reaction == 0.0:
+            return plume
+        return plume * jnp.exp(-self.reaction * t)
+
+
 class SquarePulseProblem(AdDifProblem):
     """Square-pulse release problem ("Problem 3" case study).
 
@@ -931,6 +961,9 @@ class MultiSpeciesProblem:
 
 
 _register_problem_pytree(Problem, ("v", "D", "sigma", "reaction"))
+_register_problem_pytree(
+    ShiftedPlumeProblem, ("v", "D", "sigma", "cx", "cy", "reaction")
+)
 _register_problem_pytree(
     TurningWindProblem,
     ("v", "D", "speed", "omega_t", "phi0", "sigma", "x0", "y0",

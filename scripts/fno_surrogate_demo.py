@@ -1,0 +1,175 @@
+"""Train the FNO operator surrogate on solver-manufactured plume data.
+
+The pitch (models/fno.py): the vmapped FEM engine manufactures
+ground-truth datasets in seconds, an FNO trains on them in minutes, and
+the result answers NEW (D, v, sigma, center) queries in one forward
+pass — an amortized solution operator next to the per-instance FEM and
+PINN paths. Every sample keeps a closed form (ShiftedPlumeProblem), so
+the surrogate is scored against both the FEM field and the exact
+solution on held-out problems.
+
+Writes results_snapshot/fno_surrogate.json (--write).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+if os.environ.get("APT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+import airpollution_tpu as apt
+from airpollution_tpu.models import fno
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh_size", type=int, default=65)
+    ap.add_argument("--nt", type=int, default=128)
+    ap.add_argument("--n_train", type=int, default=640)
+    ap.add_argument("--n_test", type=int, default=128)
+    ap.add_argument("--modes", type=int, default=16)
+    ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=12000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1.5e-3)
+    ap.add_argument("--lr_decay_chunks", type=int, default=4,
+                    help="halve the LR this many times over training")
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    log(f"backend: {jax.default_backend()}")
+
+    domain = apt.Domain()
+    md = apt.MeshData(apt.create_mesh(args.mesh_size, 20.0), domain,
+                      nt=args.nt)
+    n_all = args.n_train + args.n_test
+    t0 = time.time()
+    X, Y, probs = fno.make_plume_dataset(
+        md, domain, jax.random.PRNGKey(0), n_all)
+    Y.block_until_ready()
+    t_data = time.time() - t0
+    log(f"dataset: {n_all} FEM solves ({md.number_of_segments} DOFs, "
+        f"nt={args.nt}) in {t_data:.1f}s -> X{tuple(X.shape)}")
+    Xtr, Ytr = X[:args.n_train], Y[:args.n_train]
+    Xte, Yte = X[args.n_train:], Y[args.n_train:]
+
+    params = fno.init_fno_params(
+        jax.random.PRNGKey(1), in_ch=X.shape[-1], modes=args.modes,
+        width=args.width, depth=args.depth)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    log(f"FNO: modes={args.modes} width={args.width} depth={args.depth} "
+        f"-> {n_params / 1e6:.2f}M params")
+
+    # Stepped LR decay via repeated train_fno calls (each chunk reuses
+    # the one compiled scan per (epochs, batch, lr) signature).
+    chunks = max(1, args.lr_decay_chunks)
+    per = args.epochs // chunks
+    opt_state = None
+    lr = args.lr
+    t0 = time.time()
+    losses_all = []
+    for ci in range(chunks):
+        key = jax.random.PRNGKey(100 + ci)
+        params, opt_state, losses = fno.train_fno(
+            params, Xtr, Ytr, epochs=per, batch=args.batch, lr=lr,
+            key=key, opt_state=None if ci == 0 else opt_state)
+        losses.block_until_ready()
+        losses_all.append(np.asarray(losses))
+        if ci == 0:
+            t_first = time.time() - t0
+            log(f"chunk 0 ({per} steps, incl. compile): {t_first:.1f}s")
+        lr *= 0.5
+    t_train = time.time() - t0
+    losses_all = np.concatenate(losses_all)
+    log(f"train: {args.epochs} steps in {t_train:.1f}s "
+        f"({args.epochs / t_train:.0f} steps/s); loss "
+        f"{losses_all[0]:.3f} -> {losses_all[-1]:.5f}")
+
+    rel_tr = fno.relative_l2(params, Xtr, Ytr)
+    rel_te = fno.relative_l2(params, Xte, Yte)
+
+    # Score held-out predictions against the CLOSED FORM too.
+    coords = jnp.asarray(fno.grid_coordinates(md), dtype=X.dtype)
+    cc = coords.reshape(-1, 2)
+    T = domain.T
+    exact = []
+    for p in probs[args.n_train:]:
+        xyt = jnp.concatenate(
+            [cc, jnp.full((cc.shape[0], 1), T, dtype=cc.dtype)], axis=1)
+        exact.append(np.asarray(p.analytical_solution(xyt)).reshape(
+            coords.shape[0], coords.shape[0]))
+    exact = np.stack(exact)[..., None]
+    pred = np.asarray(fno_predict_batched(params, Xte))
+    num = np.sqrt(((pred - exact) ** 2).sum(axis=(1, 2, 3)))
+    den = np.sqrt((exact ** 2).sum(axis=(1, 2, 3)))
+    rel_exact = float((num / np.maximum(den, 1e-12)).mean())
+    # The FEM's own error against the closed form — the floor the
+    # surrogate is trained toward.
+    yte = np.asarray(Yte)
+    numf = np.sqrt(((yte - exact) ** 2).sum(axis=(1, 2, 3)))
+    rel_fem = float((numf / np.maximum(den, 1e-12)).mean())
+    log(f"rel-L2 vs FEM: train {rel_tr:.4f}, holdout {rel_te:.4f}; "
+        f"holdout vs closed form {rel_exact:.4f} (FEM itself "
+        f"{rel_fem:.4f})")
+
+    # Inference throughput: fields per second at a production batch.
+    bs = min(128, args.n_test)
+    f = jax.jit(lambda xb: fno.fno_apply(params, xb))
+    f(Xte[:bs]).block_until_ready()
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        f(Xte[:bs]).block_until_ready()
+    t_inf = (time.time() - t0) / reps
+    fields_per_s = bs / t_inf
+    log(f"inference: {fields_per_s:.0f} fields/s (batch {bs})")
+
+    out = {
+        "mesh_size": args.mesh_size, "grid": int(X.shape[1]),
+        "nt": args.nt, "n_train": args.n_train, "n_test": args.n_test,
+        "modes": args.modes, "width": args.width, "depth": args.depth,
+        "n_params": n_params, "epochs": args.epochs,
+        "batch": args.batch, "lr": args.lr,
+        "dataset_gen_s": t_data, "train_s": t_train,
+        "train_steps_per_sec": args.epochs / t_train,
+        "loss_first": float(losses_all[0]),
+        "loss_last": float(losses_all[-1]),
+        "rel_l2_train_vs_fem": rel_tr,
+        "rel_l2_holdout_vs_fem": rel_te,
+        "rel_l2_holdout_vs_exact": rel_exact,
+        "rel_l2_fem_vs_exact": rel_fem,
+        "inference_fields_per_sec": fields_per_s,
+        "backend": jax.default_backend(),
+    }
+    if args.write:
+        path = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "results_snapshot",
+            "fno_surrogate.json"))
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        log(f"wrote {path}")
+    log(json.dumps(out))
+
+
+def fno_predict_batched(params, X, batch=32):
+    outs = []
+    for i in range(0, X.shape[0], batch):
+        outs.append(fno.fno_apply(params, X[i:i + batch]))
+    return jnp.concatenate(outs)
+
+
+if __name__ == "__main__":
+    main()
