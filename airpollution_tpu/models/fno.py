@@ -259,11 +259,13 @@ def relative_l2(params, X, Y, batch=32):
     return float(jnp.concatenate(outs).mean())
 
 
-@partial(jax.jit, static_argnames=("epochs", "batch", "lr"))
-def _train_scan(params, opt_state, X, Y, key, epochs: int, batch: int,
-                lr: float):
+@partial(jax.jit, static_argnames=("epochs", "batch"))
+def _train_scan(params, opt_state, X, Y, key, lr, epochs: int,
+                batch: int):
     import optax
 
+    # lr is TRACED: every chunk of a stepped-LR schedule reuses one
+    # compiled scan (remote compiles cost minutes, CLAUDE.md).
     opt = optax.adam(lr)
 
     def loss_fn(p, xb, yb):
@@ -298,5 +300,6 @@ def train_fno(params, X, Y, *, epochs=2000, batch=16, lr=1e-3,
         key = jax.random.PRNGKey(0)
     if opt_state is None:
         opt_state = optax.adam(lr).init(params)
-    return _train_scan(params, opt_state, X, Y, key, int(epochs),
-                       int(batch), float(lr))
+    return _train_scan(params, opt_state, X, Y, key,
+                       jnp.asarray(lr, jnp.float32), int(epochs),
+                       int(batch))
