@@ -39,7 +39,8 @@ import numpy as np
 __all__ = [
     "FNOParams", "init_fno_params", "fno_apply",
     "cell_center_index_grid", "grid_coordinates",
-    "make_plume_dataset", "train_fno", "relative_l2",
+    "make_plume_dataset", "make_plume_time_dataset",
+    "train_fno", "relative_l2",
 ]
 
 
@@ -175,24 +176,10 @@ def grid_coordinates(mesh_data):
 # --- data generation via the vmapped FEM engine ----------------------
 
 
-def make_plume_dataset(mesh_data, domain, key, n_samples, *,
-                       d_range=(0.05, 0.5), v_max=1.5,
-                       sigma_range=(0.8, 2.0), center_box=8.0,
-                       order=1, tol=1e-7, maxiter=200):
-    """Solver-manufactured operator-learning dataset.
-
-    Samples ``n_samples`` Gaussian-plume problems (log-uniform D,
-    uniform wind in a disk of radius ``v_max``, uniform release width
-    and center), integrates ALL of them to t=T with one vmapped FEM
-    program (diagnostics/ensemble.ensemble_forecast), and returns
-
-    - ``X``: (n, c, c, 6) input fields — IC at cell centers + constant
-      channels (D, vx, vy) + the coordinate grid (x, y);
-    - ``Y``: (n, c, c, 1) FEM final fields at cell centers;
-    - ``problems``: the sampled problem list (ground-truth queries).
-    """
-    from airpollution_tpu.diagnostics.ensemble import (ensemble_forecast,
-                                                       stack_problems)
+def _sample_plume_problems(key, n_samples, d_range, v_max, sigma_range,
+                           center_box):
+    """Sample a plume-problem family: log-uniform D, uniform wind in a
+    disk of radius ``v_max``, uniform release width and center."""
     from airpollution_tpu.problems import ShiftedPlumeProblem
 
     ks = jax.random.split(key, 5)
@@ -215,6 +202,30 @@ def make_plume_dataset(mesh_data, domain, key, n_samples, *,
         sigma=float(sig[i]),
         center=(float(ctr[i, 0]), float(ctr[i, 1])))
         for i in range(n_samples)]
+    return problems, Ds, vs
+
+
+def make_plume_dataset(mesh_data, domain, key, n_samples, *,
+                       d_range=(0.05, 0.5), v_max=1.5,
+                       sigma_range=(0.8, 2.0), center_box=8.0,
+                       order=1, tol=1e-7, maxiter=200):
+    """Solver-manufactured operator-learning dataset.
+
+    Samples ``n_samples`` Gaussian-plume problems
+    (:func:`_sample_plume_problems`), integrates ALL of them to t=T with
+    one vmapped FEM program (diagnostics/ensemble.ensemble_forecast),
+    and returns
+
+    - ``X``: (n, c, c, 6) input fields — IC at cell centers + constant
+      channels (D, vx, vy) + the coordinate grid (x, y);
+    - ``Y``: (n, c, c, 1) FEM final fields at cell centers;
+    - ``problems``: the sampled problem list (ground-truth queries).
+    """
+    from airpollution_tpu.diagnostics.ensemble import (ensemble_forecast,
+                                                       stack_problems)
+
+    problems, Ds, vs = _sample_plume_problems(
+        key, n_samples, d_range, v_max, sigma_range, center_box)
     fc = ensemble_forecast(mesh_data, domain, problems, order=order,
                            tol=tol, maxiter=maxiter)
     members = fc["members"]  # (n, n_seg)
@@ -242,6 +253,108 @@ def make_plume_dataset(mesh_data, domain, key, n_samples, *,
     coord_ch = coord_ch / jnp.max(jnp.abs(coords))
     X = jnp.concatenate([ic[..., None], const_ch, coord_ch], axis=-1)
     return X, Y.astype(X.dtype), problems
+
+
+def make_plume_time_dataset(mesh_data, domain, key, n_samples, *,
+                            n_times=4, include_t0=False, chunk=64,
+                            d_range=(0.05, 0.5), v_max=1.5,
+                            sigma_range=(0.8, 2.0), center_box=8.0,
+                            order=1, tol=1e-7, maxiter=200,
+                            stiffness_convention="correct"):
+    """Space-TIME operator-learning dataset: (problem, t) -> c(., t).
+
+    Like :func:`make_plume_dataset`, but each sampled problem
+    contributes ``n_times`` strided trajectory snapshots (every
+    ``(nt-1)//n_times`` steps, the CRBESolver ``snapshot_every``
+    convention) instead of only the final state, and the inputs gain a
+    normalized-time channel t/T. Training an FNO on these rows yields a
+    TIME-CONDITIONED surrogate: one forward pass answers c(x, y, t) for
+    a new (D, v, sigma, center, t) query — the full space-time field
+    the reference's solvers produce per-instance
+    (/root/reference/crbe.py:406-433), amortized over a problem family.
+
+    Trajectories are manufactured in chunks of ``chunk`` members (one
+    vmapped ``run_time_loop`` program with ``store_solutions=True``;
+    the last chunk is padded by repeating members so every chunk reuses
+    the same compiled shape) and strided on device before transfer.
+
+    Returns ``X``: (n_samples*n_times, c, c, 7) with channels
+    (ic, D, vx, vy, x, y, t/T); ``Y``: matching FEM fields;
+    ``problems``: the n_samples problem instances (row i uses problem
+    ``i // n_times``); ``times``: the (n_times,) snapshot times shared
+    by every problem.
+    """
+    from airpollution_tpu.diagnostics.ensemble import stack_problems
+    from airpollution_tpu.models.crbe import assemble, run_time_loop
+
+    md = mesh_data
+    if (md.nt - 1) % n_times:
+        raise ValueError(
+            f"n_times={n_times} must divide nt-1={md.nt - 1} "
+            f"(strided-snapshot convention)")
+    stride = (md.nt - 1) // n_times
+    dt = domain.T / (md.nt - 1)
+
+    problems, Ds, vs = _sample_plume_problems(
+        key, n_samples, d_range, v_max, sigma_range, center_box)
+
+    def solve_traj(problem, u0):
+        ops = assemble(md, problem, dt, order, stiffness_convention)
+        sols, _ = run_time_loop(
+            ops, u0, mesh_data=md, problem=problem, dt=dt, order=order,
+            tol=tol, maxiter=maxiter, store_solutions=True)
+        return sols[::stride]  # (n_times+1, n_seg), row 0 = IC
+
+    solve_batch = jax.jit(jax.vmap(solve_traj))
+
+    trajs = []
+    for i in range(0, n_samples, chunk):
+        sub = problems[i:i + chunk]
+        n_pad = chunk - len(sub) if n_samples > chunk else 0
+        if n_pad:
+            sub = sub + [sub[-1]] * n_pad
+        batched = stack_problems(sub)
+        u0 = jax.vmap(
+            lambda p: jnp.asarray(
+                p.initial_condition_fn(md.midpoints), md.midpoints.dtype)
+        )(batched)
+        out = solve_batch(batched, u0)
+        trajs.append(out[:len(out) - n_pad] if n_pad else out)
+    traj = jnp.concatenate(trajs)  # (n, n_times+1, n_seg)
+    j0 = 0 if include_t0 else 1
+    traj = traj[:, j0:]
+    times = np.arange(j0, n_times + 1) * (stride * dt)
+    k_t = times.shape[0]
+
+    grid = jnp.asarray(cell_center_index_grid(md).reshape(-1))
+    coords = jnp.asarray(grid_coordinates(md), dtype=traj.dtype)
+    c = coords.shape[0]
+
+    u0_all = jax.vmap(
+        lambda p: jnp.asarray(
+            p.initial_condition_fn(md.midpoints), md.midpoints.dtype)
+    )(stack_problems(problems))
+    ic = u0_all[:, grid].reshape(n_samples, c, c)
+    Y = traj[:, :, grid].reshape(n_samples, k_t, c, c)
+
+    const = jnp.stack([jnp.asarray(Ds), jnp.asarray(vs[:, 0]),
+                       jnp.asarray(vs[:, 1])], axis=1).astype(ic.dtype)
+    # Per-row channel stack, broadcast over the k_t snapshot copies.
+    ic_rows = jnp.broadcast_to(ic[:, None], (n_samples, k_t, c, c))
+    const_rows = jnp.broadcast_to(const[:, None, None, None, :],
+                                  (n_samples, k_t, c, c, 3))
+    coord_ch = coords / jnp.max(jnp.abs(coords))
+    coord_rows = jnp.broadcast_to(coord_ch[None, None],
+                                  (n_samples, k_t, c, c, 2))
+    t_ch = jnp.asarray(times, ic.dtype) / domain.T
+    t_rows = jnp.broadcast_to(t_ch[None, :, None, None, None],
+                              (n_samples, k_t, c, c, 1))
+    X = jnp.concatenate([ic_rows[..., None], const_rows, coord_rows,
+                         t_rows], axis=-1)
+    n_rows = n_samples * k_t
+    return (X.reshape(n_rows, c, c, 7),
+            Y.reshape(n_rows, c, c)[..., None].astype(X.dtype),
+            problems, times)
 
 
 # --- training ---------------------------------------------------------

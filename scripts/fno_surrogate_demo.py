@@ -8,7 +8,11 @@ PINN paths. Every sample keeps a closed form (ShiftedPlumeProblem), so
 the surrogate is scored against both the FEM field and the exact
 solution on held-out problems.
 
-Writes results_snapshot/fno_surrogate.json (--write).
+Writes results_snapshot/fno_surrogate.json (--write). With --n_times K
+the surrogate is TIME-CONDITIONED: trained on K trajectory snapshots per
+problem with a t/T input channel (fno.make_plume_time_dataset), scored
+against the closed form at every snapshot time, and written to
+results_snapshot/fno_time_surrogate.json instead.
 """
 
 import argparse
@@ -48,6 +52,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--lr_decay_chunks", type=int, default=4,
                     help="halve the LR this many times over training")
+    ap.add_argument("--n_times", type=int, default=0,
+                    help="train a TIME-CONDITIONED surrogate on this "
+                    "many trajectory snapshots per problem (0 = "
+                    "final-state operator)")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     log(f"backend: {jax.default_backend()}")
@@ -57,14 +65,24 @@ def main():
                       nt=args.nt)
     n_all = args.n_train + args.n_test
     t0 = time.time()
-    X, Y, probs = fno.make_plume_dataset(
-        md, domain, jax.random.PRNGKey(0), n_all)
+    if args.n_times:
+        X, Y, probs, snap_times = fno.make_plume_time_dataset(
+            md, domain, jax.random.PRNGKey(0), n_all,
+            n_times=args.n_times)
+        rows_per = args.n_times
+    else:
+        X, Y, probs = fno.make_plume_dataset(
+            md, domain, jax.random.PRNGKey(0), n_all)
+        snap_times, rows_per = None, 1
     Y.block_until_ready()
     t_data = time.time() - t0
     log(f"dataset: {n_all} FEM solves ({md.number_of_segments} DOFs, "
         f"nt={args.nt}) in {t_data:.1f}s -> X{tuple(X.shape)}")
-    Xtr, Ytr = X[:args.n_train], Y[:args.n_train]
-    Xte, Yte = X[args.n_train:], Y[args.n_train:]
+    # Split by PROBLEM (rows of one problem stay together) so holdout
+    # scores measure generalization to unseen (D, v, sigma, center).
+    n_tr_rows = args.n_train * rows_per
+    Xtr, Ytr = X[:n_tr_rows], Y[:n_tr_rows]
+    Xte, Yte = X[n_tr_rows:], Y[n_tr_rows:]
 
     params = fno.init_fno_params(
         jax.random.PRNGKey(1), in_ch=X.shape[-1], modes=args.modes,
@@ -101,16 +119,19 @@ def main():
     rel_tr = fno.relative_l2(params, Xtr, Ytr)
     rel_te = fno.relative_l2(params, Xte, Yte)
 
-    # Score held-out predictions against the CLOSED FORM too.
+    # Score held-out predictions against the CLOSED FORM too (at every
+    # snapshot time in the time-conditioned mode, matching row order).
     coords = jnp.asarray(fno.grid_coordinates(md), dtype=X.dtype)
     cc = coords.reshape(-1, 2)
-    T = domain.T
+    eval_times = [domain.T] if snap_times is None else list(snap_times)
     exact = []
     for p in probs[args.n_train:]:
-        xyt = jnp.concatenate(
-            [cc, jnp.full((cc.shape[0], 1), T, dtype=cc.dtype)], axis=1)
-        exact.append(np.asarray(p.analytical_solution(xyt)).reshape(
-            coords.shape[0], coords.shape[0]))
+        for t in eval_times:
+            xyt = jnp.concatenate(
+                [cc, jnp.full((cc.shape[0], 1), t, dtype=cc.dtype)],
+                axis=1)
+            exact.append(np.asarray(p.analytical_solution(xyt)).reshape(
+                coords.shape[0], coords.shape[0]))
     exact = np.stack(exact)[..., None]
     pred = np.asarray(fno_predict_batched(params, Xte))
     num = np.sqrt(((pred - exact) ** 2).sum(axis=(1, 2, 3)))
@@ -140,6 +161,9 @@ def main():
     out = {
         "mesh_size": args.mesh_size, "grid": int(X.shape[1]),
         "nt": args.nt, "n_train": args.n_train, "n_test": args.n_test,
+        "n_times": args.n_times,
+        "snapshot_times": None if snap_times is None
+        else [float(t) for t in snap_times],
         "modes": args.modes, "width": args.width, "depth": args.depth,
         "n_params": n_params, "epochs": args.epochs,
         "batch": args.batch, "lr": args.lr,
@@ -155,9 +179,10 @@ def main():
         "backend": jax.default_backend(),
     }
     if args.write:
+        name = ("fno_time_surrogate.json" if args.n_times
+                else "fno_surrogate.json")
         path = os.path.abspath(os.path.join(
-            os.path.dirname(__file__), "..", "results_snapshot",
-            "fno_surrogate.json"))
+            os.path.dirname(__file__), "..", "results_snapshot", name))
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
         log(f"wrote {path}")

@@ -87,6 +87,39 @@ def test_dataset_matches_serial_solver():
                                ic.reshape(12, 12), atol=1e-6)
 
 
+def test_time_dataset_matches_serial_snapshots():
+    from airpollution_tpu.models.crbe import CRBESolver
+
+    md = _md(13, nt=9)
+    X, Y, probs, times = fno.make_plume_time_dataset(
+        md, Domain(), jax.random.PRNGKey(3), 5, n_times=4, chunk=2)
+    # 5 problems x 4 times, 7 channels (ic, D, vx, vy, x, y, t/T).
+    assert X.shape == (20, 12, 12, 7) and Y.shape == (20, 12, 12, 1)
+    np.testing.assert_allclose(times, Domain().T * np.arange(1, 5) / 4)
+    grid = fno.cell_center_index_grid(md).reshape(-1)
+    s = CRBESolver(Domain(), probs[3], md, snapshot_every=2)
+    s.solve()
+    # Problem 3 (second chunk, exercising chunking+padding), time j=2.
+    row = 3 * 4 + 1
+    ref = np.asarray(s.solutions[2])[grid].reshape(12, 12)
+    np.testing.assert_allclose(np.asarray(Y[row, ..., 0]), ref,
+                               atol=1e-5)
+    # Time channel is constant per row and equals t/T.
+    tch = np.asarray(X[row, ..., 6])
+    np.testing.assert_allclose(tch, times[1] / Domain().T, atol=1e-6)
+    # IC channel is the t=0 field regardless of the row's time.
+    ic = np.asarray(probs[3].initial_condition_fn(md.midpoints))[grid]
+    np.testing.assert_allclose(np.asarray(X[row, ..., 0]),
+                               ic.reshape(12, 12), atol=1e-6)
+
+
+def test_time_dataset_validation():
+    md = _md(9, nt=9)
+    with pytest.raises(ValueError, match="must divide"):
+        fno.make_plume_time_dataset(md, Domain(), jax.random.PRNGKey(0),
+                                    2, n_times=3)
+
+
 def test_training_fits_small_dataset():
     md = _md(17, nt=12)
     X, Y, _ = fno.make_plume_dataset(md, Domain(),
