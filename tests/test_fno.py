@@ -120,6 +120,48 @@ def test_time_dataset_validation():
                                     2, n_times=3)
 
 
+def test_dp_training_matches_serial():
+    """Sharded trainer == serial trainer (same key) to float
+    reassociation: the psum'd global loss replays the exact serial
+    batch-mean, so parameters track step for step."""
+    from airpollution_tpu.parallel import make_mesh
+    from airpollution_tpu.parallel.fno_parallel import train_fno_dp
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (24, 16, 16, 4), jnp.float32)
+    Y = jax.random.normal(jax.random.fold_in(key, 1), (24, 16, 16, 1),
+                          jnp.float32)
+    params = fno.init_fno_params(jax.random.PRNGKey(1), in_ch=4,
+                                 modes=4, width=8, depth=2, proj=16)
+    kt = jax.random.PRNGKey(5)
+    p_ser, _, l_ser = fno.train_fno(params, X, Y, epochs=4, batch=8,
+                                    lr=1e-3, key=kt)
+    mesh = make_mesh({"data": 4})
+    p_dp, opt_dp, l_dp = train_fno_dp(mesh, params, X, Y, epochs=4,
+                                      batch=8, lr=1e-3, key=kt)
+    # Step-1 loss is computed BEFORE any update: exact agreement here
+    # proves the sharded batch reconstruction replays the serial draw.
+    np.testing.assert_allclose(float(l_dp[0]), float(l_ser[0]),
+                               rtol=1e-6)
+    # Later steps drift by float reassociation only (psum'd f32 grads
+    # through Adam's step-1 g/|g| sign sensitivity) — close, not bitwise.
+    np.testing.assert_allclose(np.asarray(l_dp), np.asarray(l_ser),
+                               rtol=1e-2)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ser)):
+        # Per-param drift between the two runs is bounded by 2*lr per
+        # step (each Adam update has magnitude ~lr; worst case they
+        # anti-align); sharding bugs produce O(1) divergence instead.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2 * 4 * 1e-3 * 1.25)
+    # Continuation threading opt_state stays healthy and finite.
+    p2, _, l2 = train_fno_dp(mesh, p_dp, X, Y, epochs=3, batch=8,
+                             lr=5e-4, key=jax.random.PRNGKey(6),
+                             opt_state=opt_dp)
+    assert np.isfinite(np.asarray(l2)).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        train_fno_dp(mesh, params, X, Y, epochs=1, batch=6)
+
+
 def test_training_fits_small_dataset():
     md = _md(17, nt=12)
     X, Y, _ = fno.make_plume_dataset(md, Domain(),
