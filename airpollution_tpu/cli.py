@@ -501,6 +501,86 @@ def cmd_fit_exchange(args):
     }))
 
 
+def cmd_fno(args):
+    """Train the FNO operator surrogate on solver-manufactured plume
+    data (models/fno.py) and report holdout accuracy + inference
+    throughput; the CLI face of the third model family."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import airpollution_tpu as apt
+    from airpollution_tpu.models import fno
+
+    domain = apt.Domain()
+    md = _mesh_data(args, domain)
+    n_all = args.n_train + args.n_test
+    t0 = time.time()
+    if args.n_times:
+        X, Y, _, _ = fno.make_plume_time_dataset(
+            md, domain, jax.random.PRNGKey(args.seed), n_all,
+            n_times=args.n_times)
+        rows_per = args.n_times
+    else:
+        X, Y, _ = fno.make_plume_dataset(
+            md, domain, jax.random.PRNGKey(args.seed), n_all)
+        rows_per = 1
+    Y.block_until_ready()
+    t_data = time.time() - t0
+    n_tr = args.n_train * rows_per
+    Xtr, Ytr, Xte, Yte = X[:n_tr], Y[:n_tr], X[n_tr:], Y[n_tr:]
+
+    params = fno.init_fno_params(
+        jax.random.PRNGKey(args.seed + 1), in_ch=X.shape[-1],
+        modes=args.modes, width=args.width, depth=args.depth)
+
+    n_dev = len(jax.devices())
+    use_dp = args.data_parallel and n_dev > 1
+    batch = args.batch
+    t0 = time.time()
+    if use_dp:
+        from airpollution_tpu.parallel import make_mesh, train_fno_dp
+
+        batch = -(-batch // n_dev) * n_dev
+        mesh = make_mesh({"data": n_dev})
+        params, _, losses = train_fno_dp(
+            mesh, params, Xtr, Ytr, epochs=args.epochs, batch=batch,
+            lr=args.lr, key=jax.random.PRNGKey(args.seed + 2))
+    else:
+        params, _, losses = fno.train_fno(
+            params, Xtr, Ytr, epochs=args.epochs, batch=batch,
+            lr=args.lr, key=jax.random.PRNGKey(args.seed + 2))
+    losses.block_until_ready()
+    t_train = time.time() - t0
+
+    rel_te = fno.relative_l2(params, Xte, Yte)
+    bs = min(64, Xte.shape[0])
+    f = jax.jit(lambda xb: fno.fno_apply(params, xb))
+    f(Xte[:bs]).block_until_ready()
+    t0 = time.time()
+    for _ in range(10):
+        f(Xte[:bs]).block_until_ready()
+    fields_per_s = bs / ((time.time() - t0) / 10)
+
+    if args.save:
+        from airpollution_tpu.io.checkpoint import save_pytree
+
+        save_pytree(args.save, params)
+        print(f"saved FNO params to {args.save}", file=sys.stderr)
+    print(json.dumps({
+        "method": "fno", "mesh_size": args.mesh_size, "nt": args.nt,
+        "n_train": args.n_train, "n_test": args.n_test,
+        "n_times": args.n_times, "epochs": args.epochs, "batch": batch,
+        "data_parallel": bool(use_dp), "n_devices": n_dev if use_dp else 1,
+        "dataset_gen_s": round(t_data, 2), "train_s": round(t_train, 2),
+        "loss_first": float(losses[0]), "loss_last": float(losses[-1]),
+        "rel_l2_holdout_vs_fem": rel_te,
+        "inference_fields_per_sec": round(fields_per_s, 1),
+    }))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="airpollution_tpu",
                                 description=__doc__.splitlines()[0])
@@ -603,6 +683,30 @@ def build_parser():
     sp.add_argument("--checkpoint_dir", default="",
                     help="Checkpointed training with crash resume")
     sp.set_defaults(fn=cmd_pinn)
+
+    sp = sub.add_parser(
+        "fno", help="Train the FNO operator surrogate on "
+        "solver-manufactured plume data")
+    sp.add_argument("--mesh_size", type=int, default=33)
+    sp.add_argument("--nt", type=int, default=64)
+    sp.add_argument("--n_train", type=int, default=128)
+    sp.add_argument("--n_test", type=int, default=32)
+    sp.add_argument("--n_times", type=int, default=0,
+                    help="snapshots per problem for a TIME-CONDITIONED "
+                         "surrogate (0 = final-state operator)")
+    sp.add_argument("--modes", type=int, default=12)
+    sp.add_argument("--width", type=int, default=32)
+    sp.add_argument("--depth", type=int, default=4)
+    sp.add_argument("--epochs", type=int, default=2000)
+    sp.add_argument("--batch", type=int, default=16)
+    sp.add_argument("--lr", type=float, default=1.5e-3)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--data_parallel", action="store_true",
+                    help="shard the minibatch over all devices "
+                         "(parallel/fno_parallel.py)")
+    sp.add_argument("--save", default="",
+                    help="save trained params to this .npz")
+    sp.set_defaults(fn=cmd_fno)
 
     sp = sub.add_parser("invert", help="Recover D from an observed field")
     common(sp)

@@ -227,3 +227,27 @@ def test_cli_solve_with_obstacle(in_tmp_dir, capsys):
     _, dead = obstacle_masks(md, p)
     sols = np.load("obst.npz")["solutions"]
     assert np.abs(sols[1:, np.asarray(dead)]).max() == 0.0
+
+
+def test_cli_fno_trains_and_saves(in_tmp_dir, capsys):
+    cli.main(["fno", "--mesh_size", "13", "--nt", "8", "--n_train", "12",
+              "--n_test", "4", "--modes", "4", "--width", "8",
+              "--depth", "2", "--epochs", "40", "--batch", "4",
+              "--save", "fno.npz"])
+    res = _last_json(capsys)
+    assert res["method"] == "fno" and res["data_parallel"] is False
+    assert np.isfinite(res["rel_l2_holdout_vs_fem"])
+    assert res["loss_last"] < res["loss_first"]
+    assert os.path.exists("fno.npz")
+
+
+def test_cli_fno_data_parallel(in_tmp_dir, capsys):
+    cli.main(["fno", "--mesh_size", "13", "--nt", "8", "--n_train", "12",
+              "--n_test", "4", "--modes", "4", "--width", "8",
+              "--depth", "2", "--epochs", "20", "--batch", "6",
+              "--data_parallel"])
+    res = _last_json(capsys)
+    # batch 6 rounds up to a multiple of the 8 virtual devices.
+    assert res["data_parallel"] is True and res["batch"] == 8
+    assert res["n_devices"] == 8
+    assert np.isfinite(res["loss_last"])
