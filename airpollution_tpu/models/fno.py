@@ -208,7 +208,7 @@ def _sample_plume_problems(key, n_samples, d_range, v_max, sigma_range,
 def make_plume_dataset(mesh_data, domain, key, n_samples, *,
                        d_range=(0.05, 0.5), v_max=1.5,
                        sigma_range=(0.8, 2.0), center_box=8.0,
-                       order=1, tol=1e-7, maxiter=200):
+                       order=1, tol=1e-7, maxiter=200, mesh=None):
     """Solver-manufactured operator-learning dataset.
 
     Samples ``n_samples`` Gaussian-plume problems
@@ -220,6 +220,11 @@ def make_plume_dataset(mesh_data, domain, key, n_samples, *,
       channels (D, vx, vy) + the coordinate grid (x, y);
     - ``Y``: (n, c, c, 1) FEM final fields at cell centers;
     - ``problems``: the sampled problem list (ground-truth queries).
+
+    With ``mesh`` given (a Mesh with a 'trial' axis), the ground-truth
+    solves are sharded over devices (ensemble_forecast semantics) —
+    data manufacture scales with the chip count like training does
+    (parallel/fno_parallel.py).
     """
     from airpollution_tpu.diagnostics.ensemble import (ensemble_forecast,
                                                        stack_problems)
@@ -227,7 +232,7 @@ def make_plume_dataset(mesh_data, domain, key, n_samples, *,
     problems, Ds, vs = _sample_plume_problems(
         key, n_samples, d_range, v_max, sigma_range, center_box)
     fc = ensemble_forecast(mesh_data, domain, problems, order=order,
-                           tol=tol, maxiter=maxiter)
+                           tol=tol, maxiter=maxiter, mesh=mesh)
     members = fc["members"]  # (n, n_seg)
 
     grid = jnp.asarray(cell_center_index_grid(mesh_data).reshape(-1))

@@ -113,6 +113,20 @@ def test_time_dataset_matches_serial_snapshots():
                                ic.reshape(12, 12), atol=1e-6)
 
 
+def test_dataset_sharded_generation_matches_serial():
+    from airpollution_tpu.parallel import make_mesh
+
+    md = _md(13, nt=8)
+    X0, Y0, _ = fno.make_plume_dataset(md, Domain(),
+                                       jax.random.PRNGKey(9), 5)
+    mesh = make_mesh({"trial": 4})
+    X1, Y1, _ = fno.make_plume_dataset(md, Domain(),
+                                       jax.random.PRNGKey(9), 5,
+                                       mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X0), atol=1e-6)
+
+
 def test_time_dataset_validation():
     md = _md(9, nt=9)
     with pytest.raises(ValueError, match="must divide"):
