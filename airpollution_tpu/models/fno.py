@@ -365,15 +365,29 @@ def make_plume_time_dataset(mesh_data, domain, key, n_samples, *,
 # --- training ---------------------------------------------------------
 
 
+@jax.jit
+def _rel_l2_batch(params, xb, yb):
+    pred = fno_apply(params, xb)
+    num = jnp.sqrt(((pred - yb) ** 2).sum(axis=(1, 2, 3)))
+    den = jnp.sqrt((yb ** 2).sum(axis=(1, 2, 3)))
+    return num / jnp.maximum(den, 1e-12)
+
+
 def relative_l2(params, X, Y, batch=32):
-    """Mean per-sample relative L2 error of the FNO on (X, Y)."""
+    """Mean per-sample relative L2 error of the FNO on (X, Y).
+
+    Jitted per batch (eager dispatch is prohibitive on the remote-compile
+    TPU tunnel); the last partial batch is padded to the common shape so
+    the whole sweep reuses one compiled program."""
+    n = X.shape[0]
     outs = []
-    for i in range(0, X.shape[0], batch):
-        pred = fno_apply(params, X[i:i + batch])
-        yb = Y[i:i + batch]
-        num = jnp.sqrt(((pred - yb) ** 2).sum(axis=(1, 2, 3)))
-        den = jnp.sqrt((yb ** 2).sum(axis=(1, 2, 3)))
-        outs.append(num / jnp.maximum(den, 1e-12))
+    for i in range(0, n, batch):
+        xb, yb = X[i:i + batch], Y[i:i + batch]
+        k = xb.shape[0]
+        if k < batch:
+            pad = [(0, batch - k)] + [(0, 0)] * (X.ndim - 1)
+            xb, yb = jnp.pad(xb, pad), jnp.pad(yb, pad)
+        outs.append(_rel_l2_batch(params, xb, yb)[:k])
     return float(jnp.concatenate(outs).mean())
 
 

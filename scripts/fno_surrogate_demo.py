@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--lr_decay_chunks", type=int, default=4,
                     help="halve the LR this many times over training")
+    ap.add_argument("--scan_chunk", type=int, default=200,
+                    help="epochs per jitted scan call (long device "
+                    "executions trip the remote tunnel; every call "
+                    "reuses ONE compiled program — opt_state threads "
+                    "through)")
     ap.add_argument("--n_times", type=int, default=0,
                     help="train a TIME-CONDITIONED surrogate on this "
                     "many trajectory snapshots per problem (0 = "
@@ -99,16 +104,25 @@ def main():
     lr = args.lr
     t0 = time.time()
     losses_all = []
+    sc = min(args.scan_chunk, per)
     for ci in range(chunks):
-        key = jax.random.PRNGKey(100 + ci)
-        params, opt_state, losses = fno.train_fno(
-            params, Xtr, Ytr, epochs=per, batch=args.batch, lr=lr,
-            key=key, opt_state=None if ci == 0 else opt_state)
-        losses.block_until_ready()
-        losses_all.append(np.asarray(losses))
-        if ci == 0:
-            t_first = time.time() - t0
-            log(f"chunk 0 ({per} steps, incl. compile): {t_first:.1f}s")
+        # Inner scan chunks: same (epochs, batch) signature + traced lr
+        # -> one compiled program for the WHOLE schedule.
+        done = 0
+        while done < per:
+            n_ep = min(sc, per - done)
+            key = jax.random.PRNGKey(100 + 1000 * ci + done)
+            params, opt_state, losses = fno.train_fno(
+                params, Xtr, Ytr, epochs=n_ep, batch=args.batch, lr=lr,
+                key=key, opt_state=None if ci == 0 and done == 0
+                else opt_state)
+            losses.block_until_ready()
+            losses_all.append(np.asarray(losses))
+            if ci == 0 and done == 0:
+                t_first = time.time() - t0
+                log(f"first scan chunk ({n_ep} steps, incl. compile): "
+                    f"{t_first:.1f}s")
+            done += n_ep
         lr *= 0.5
     t_train = time.time() - t0
     losses_all = np.concatenate(losses_all)
@@ -190,9 +204,16 @@ def main():
 
 
 def fno_predict_batched(params, X, batch=32):
+    import jax as _jax
+
+    apply = _jax.jit(fno.fno_apply)  # eager dispatch is slow on the tunnel
     outs = []
     for i in range(0, X.shape[0], batch):
-        outs.append(fno.fno_apply(params, X[i:i + batch]))
+        xb = X[i:i + batch]
+        k = xb.shape[0]
+        if k < batch:  # pad so every call reuses one compiled program
+            xb = jnp.pad(xb, [(0, batch - k)] + [(0, 0)] * (X.ndim - 1))
+        outs.append(apply(params, xb)[:k])
     return jnp.concatenate(outs)
 
 
