@@ -32,7 +32,9 @@ from airpollution_tpu.problems import (
     SquarePulseProblem,
     TurningWindProblem,
 )
-from airpollution_tpu.mesh import Mesh, MeshData, create_mesh, create_unstructured_mesh
+from airpollution_tpu.mesh import (Mesh, MeshData, create_mesh,
+                                   create_unstructured_mesh, read_msh,
+                                   write_msh)
 
 __version__ = "0.1.0"
 
@@ -51,4 +53,6 @@ __all__ = [
     "MeshData",
     "create_mesh",
     "create_unstructured_mesh",
+    "read_msh",
+    "write_msh",
 ]

@@ -8,6 +8,7 @@ from airpollution_tpu.mesh.topology import (
     enumerate_edges,
 )
 from airpollution_tpu.mesh.data import MeshData
+from airpollution_tpu.mesh.msh_io import read_msh, write_msh
 
 __all__ = [
     "Mesh",
@@ -18,4 +19,6 @@ __all__ = [
     "build_ell_pattern",
     "enumerate_edges",
     "MeshData",
+    "read_msh",
+    "write_msh",
 ]

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from airpollution_tpu.models.fno import fno_apply
 
-__all__ = ["build_fno_dp_trainer"]
+__all__ = ["build_fno_dp_trainer", "train_fno_dp"]
 
 
 def build_fno_dp_trainer(mesh: Mesh, *, epochs: int, batch: int,

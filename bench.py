@@ -3,7 +3,11 @@
 
 Prints ONE JSON line:
   {"metric": "crbe_steps_per_sec_256sq", "value": <steps/s>,
-   "unit": "steps/s", "vs_baseline": <value / reference steps/s>}
+   "unit": "steps/s", "vs_baseline": <value / reference steps/s>, ...}
+
+`value` is the best of 5 warm runs (comparable to BENCH_r01); the line
+also carries the median of those runs and the Crank-Nicolson variant's
+throughput + accuracy so cross-round comparisons are variance-aware.
 
 Baseline: the reference implementation (crbe.py BESCRFEM: per-step LIL row
 surgery + SuperLU refactorization) measured on this host's CPU on the SAME
@@ -11,33 +15,47 @@ surgery + SuperLU refactorization) measured on this host's CPU on the SAME
 (steady-state per-step cost over 10 steps, measured 2026-08-16; see
 BASELINE.md targets — the north star is 1000 steps < 1 s on one v5e chip).
 
+Robustness: the shared axon tunnel drops for minutes-to-hours at a time
+and can die MID-RUN (BENCH_r02 failed exactly this way: FailedPrecondition
+at the first device sync, after which the in-process backend is poisoned
+for good). The measured body therefore runs in a CHILD process
+(`bench.py --measure out.json`); the parent probes the backend, retries
+the whole child with backoff on infrastructure failures, and ALWAYS emits
+a JSON line (value 0.0 + exit 1 on final failure) so the driver records a
+parseable artifact no matter what the tunnel does.
+
 All diagnostics go to stderr; stdout carries only the JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 REFERENCE_STEPS_PER_SEC = 0.168  # measured, see module docstring
+
+# Parent-side budgets. First-touch compiles through the tunnel take
+# ~1-7 min per program and the warm-cache first call is still ~140 s,
+# so give the child a generous-but-bounded wall-clock.
+CHILD_TIMEOUT_S = 3000
+ATTEMPTS = 3
+RETRY_DELAY_S = 150.0
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _wait_for_backend(attempts: int = 6, delay_s: float = 180.0):
-    """Wait out tunnel outages before touching the backend in-process.
+def _probe_backend(attempts: int = 5, delay_s: float = 150.0) -> bool:
+    """Wait out tunnel outages before launching the measured child.
 
-    The shared axon tunnel drops for minutes-to-hours at a time
-    (observed 2026-08-17/18), and a down tunnel either fast-fails OR
-    HANGS the first jax.devices() call — so probe from a timeout-bounded
-    subprocess and only initialize this process's backend once a probe
-    succeeds. On persistent failure, fall through and let the final
-    in-process call (and the driver's own timeout) decide."""
-    import subprocess
-
+    A down tunnel either fast-fails OR HANGS the first jax.devices()
+    call — so probe from a timeout-bounded subprocess. Returns True once
+    a probe succeeds; False after exhausting the budget (the caller
+    decides whether to try anyway)."""
     for i in range(attempts):
         try:
             ok = subprocess.run(
@@ -47,23 +65,27 @@ def _wait_for_backend(attempts: int = 6, delay_s: float = 180.0):
         except subprocess.TimeoutExpired:
             ok = False
         if ok:
-            break
+            return True
         log(f"backend unavailable (probe {i + 1}/{attempts}); "
             f"retrying in {delay_s:.0f}s")
         if i < attempts - 1:
             time.sleep(delay_s)
-    import jax
-
-    return jax.devices()
+    return False
 
 
-def main():
+def measure(out_path: str) -> int:
+    """Child: run the full measured body and write the result dict to
+    ``out_path``. Writes the file even on a sanity failure (value 0.0,
+    "sane": false) so the parent can distinguish a deterministic wrong
+    answer (do not retry) from an infrastructure death (retry)."""
     import numpy as np
 
     import airpollution_tpu as apt
     from airpollution_tpu.models.crbe import CRBESolver
 
-    dev = _wait_for_backend()[0]
+    import jax
+
+    dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
     ms, nt = 257, 1001  # 256x256 cells, 1000 backward-Euler steps
@@ -99,22 +121,24 @@ def main():
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s")
 
     # Timed runs (compile cache hot). The shared remote tunnel adds ~2x
-    # run-to-run variance (CLAUDE.md), so report the best of 5 warm runs.
+    # run-to-run variance (CLAUDE.md), so report the best of 5 warm runs
+    # as the headline (r01-comparable) plus the median for variance
+    # awareness (judge W9).
     times = []
     for _ in range(5):
         t0 = time.time()
         solver.solve(store_solutions=False, collect_iters=False)
         times.append(time.time() - t0)
-    elapsed = min(times)
-    steps_per_sec = (nt - 1) / elapsed
+    steps_per_sec = (nt - 1) / min(times)
+    median_sps = (nt - 1) / sorted(times)[len(times) // 2]
     log(f"timed (best of {len(times)}: {[f'{t:.3f}' for t in times]}): "
-        f"{elapsed:.3f}s for {nt - 1} steps -> {steps_per_sec:.1f} steps/s")
+        f"{min(times):.3f}s for {nt - 1} steps -> {steps_per_sec:.1f} "
+        f"steps/s (median {median_sps:.1f})")
 
     # Crank-Nicolson variant (time_scheme_order=2, same fused kernel —
     # the in-kernel RHS reconstruction gives it BE's exact VMEM
-    # footprint). Reported on stderr alongside the headline BE number:
-    # the recommended configuration at large meshes (README), where it
-    # measures ~4x BE's accuracy at equal speed (513^2, CLAUDE.md).
+    # footprint): the recommended configuration at large meshes (README),
+    # where it measures ~4x BE's accuracy at equal speed (513^2).
     cn = CRBESolver(
         domain, problem, md,
         stiffness_convention="reference",
@@ -149,26 +173,78 @@ def main():
     fused_diff = float(np.abs(u_fused - u_check).max())
     log(f"fused vs scan max diff: {fused_diff:.3e}")
     log(f"rel_l2={rel_l2:.4f} l2={l2:.4f} max={mx:.4e} (sanity)")
-    sane = np.isfinite(rel_l2) and rel_l2 < 10.0 and fused_diff < 1e-3
+    sane = bool(np.isfinite(rel_l2) and rel_l2 < 10.0 and fused_diff < 1e-3)
     if not sane:
-        # A fast-but-wrong solve must never publish a speedup: emit an
-        # unambiguous zero and a nonzero exit code.
         log("ERROR: benchmark solution failed sanity check")
+
+    result = {
+        "metric": "crbe_steps_per_sec_256sq",
+        "value": round(steps_per_sec, 2) if sane else 0.0,
+        "unit": "steps/s",
+        "vs_baseline": (
+            round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 1) if sane else 0.0
+        ),
+        "median_steps_per_sec": round(median_sps, 2) if sane else 0.0,
+        "cn_steps_per_sec": round(cn_sps, 2) if sane else 0.0,
+        "cn_rel_l2": round(float(cn_rel), 5),
+        "sane": sane,
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, out_path)
+    return 0 if sane else 1
+
+
+def main() -> int:
+    """Parent: probe + launch the measured child, retrying infrastructure
+    failures with backoff; always print exactly one JSON line."""
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_result.json"
+    )
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    result = None
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            log(f"retrying measured run in {RETRY_DELAY_S:.0f}s "
+                f"(attempt {attempt + 1}/{ATTEMPTS})")
+            time.sleep(RETRY_DELAY_S)
+        _probe_backend()
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--measure", out_path],
+                timeout=CHILD_TIMEOUT_S,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            log(f"measured child timed out after {CHILD_TIMEOUT_S}s")
+            rc = -1
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                result = json.load(f)
+            # A written file means the run COMPLETED: either a good
+            # number (rc 0) or a deterministic sanity failure (rc 1) —
+            # neither is an infrastructure death, so never retry.
+            break
+        log(f"measured child died without a result (rc={rc}); "
+            f"infrastructure failure — will retry")
+
+    if result is None:
+        log("ERROR: all measurement attempts failed (tunnel outage?)")
         print(json.dumps({
             "metric": "crbe_steps_per_sec_256sq",
             "value": 0.0,
             "unit": "steps/s",
             "vs_baseline": 0.0,
         }))
-        sys.exit(1)
-
-    print(json.dumps({
-        "metric": "crbe_steps_per_sec_256sq",
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 1),
-    }))
+        return 1
+    sane = result.pop("sane", True)
+    print(json.dumps(result))
+    return 0 if sane else 1
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
+        sys.exit(measure(sys.argv[2]))
+    sys.exit(main())

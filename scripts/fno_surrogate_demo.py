@@ -105,6 +105,14 @@ def main():
     t0 = time.time()
     losses_all = []
     sc = min(args.scan_chunk, per)
+    if per % sc:
+        # Every inner call must have the SAME static epochs value or the
+        # ragged final chunk compiles a second program (minutes on the
+        # tunnel) — round the per-chunk count up to a multiple of sc.
+        per_new = ((per + sc - 1) // sc) * sc
+        log(f"note: epochs/chunk {per} -> {per_new} (multiple of "
+            f"scan_chunk={sc} keeps one compiled program)")
+        per = per_new
     for ci in range(chunks):
         # Inner scan chunks: same (epochs, batch) signature + traced lr
         # -> one compiled program for the WHOLE schedule.
@@ -203,10 +211,14 @@ def main():
     log(json.dumps(out))
 
 
-def fno_predict_batched(params, X, batch=32):
-    import jax as _jax
+# Module-scope jitted apply: every fno_predict_batched call shares ONE
+# trace/compile cache (a fresh jax.jit wrapper per call would re-pay
+# trace + executable reload on the remote-compile tunnel).
+_fno_apply_jit = jax.jit(fno.fno_apply)
 
-    apply = _jax.jit(fno.fno_apply)  # eager dispatch is slow on the tunnel
+
+def fno_predict_batched(params, X, batch=32):
+    apply = _fno_apply_jit  # eager dispatch is slow on the tunnel
     outs = []
     for i in range(0, X.shape[0], batch):
         xb = X[i:i + batch]
