@@ -618,6 +618,12 @@ def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,
                          dtype=midpoints.dtype)
         xyt = jnp.concatenate([midpoints, t_col], axis=1)
         lift = jnp.where(bmask, problem.boundary_fn(xyt), 0.0)
+        if dead is not None:
+            # Dead DOFs get a ZERO lift exactly like the per-step
+            # branch above — boundary_fn is plume data evaluated at
+            # interior midpoints there (round-2 latent defect: this
+            # branch painted plume values into the solid).
+            lift = jnp.where(dead, jnp.zeros((), lift.dtype), lift)
         solutions = (u_final + lift)[None, :]
     return solutions, iters
 

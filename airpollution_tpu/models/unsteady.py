@@ -42,7 +42,8 @@ _CHUNK_CACHE_MAX = 8
 
 
 def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
-                 source_quadrature, interpret, dmask=None, rect=None):
+                 source_quadrature, interpret, dmask=None, rect=None,
+                 dead=None):
     """Chunk body on the CANVAS stripe kernel: assemble at the chunk
     midpoint, extract the per-DOF coefficient stack, re-estimate the
     Chebyshev interval (the operator changes with the wind), run the
@@ -52,7 +53,13 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
     ``dmask``/``rect``: Robin support — the REDUCED Dirichlet mask
     (models/crbe.robin_terms) and the widened interior-rectangle bounds
     (ops/pallas_hbm.robin_rect_bounds); the per-chunk assembly already
-    folds the alpha * |e| wall diagonal into the coefficients."""
+    folds the alpha * |e| wall diagonal into the coefficients.
+
+    ``dead``: obstacle dead-DOF mask — already OR-ed into ``dmask`` by
+    the caller (masked mass keeps the kernel state exactly 0 there,
+    models/crbe._build_solve_fn); passed separately only so the lift
+    can zero those rows (boundary_fn is plume data, not obstacle
+    data)."""
     from functools import partial
 
     import jax
@@ -113,6 +120,8 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
         t_col = jnp.broadcast_to(t_end, (md.midpoints.shape[0],))[:, None]
         xyt = jnp.concatenate([md.midpoints, t_col], axis=1)
         lift = jnp.where(bmask, prob.boundary_fn(xyt), 0.0)
+        if dead is not None:
+            lift = jnp.where(dead, jnp.zeros((), lift.dtype), lift)
         return (u_hom + lift)[None, :], u_hom
 
     return chunk
@@ -172,13 +181,6 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     n_chunks = n_steps // k
     dt = float(md.domain.T) / n_steps
     obstacles = getattr(problem, "obstacles", None) or None
-    if fused and obstacles:
-        from airpollution_tpu.models.crbe import reject_obstacles
-
-        reject_obstacles(
-            problem, "the fused canvas chunk path (matvec_impl="
-            "'fused_hbm'); use matvec_impl='scan'"
-        )
     robin = getattr(problem, "robin_sides", None) or None
     if fused and robin:
         from airpollution_tpu.problems import (
@@ -202,6 +204,7 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                            points=md.points,
                            segment_lengths=md.segment_lengths)
     bmask = robin_terms(md, problem)[0]
+    dead = None
     if obstacles:
         # Solid obstacles under time-varying wind: the per-chunk
         # assemble() masks the solid triangles itself; the chunk view
@@ -229,8 +232,9 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         chunk = _fused_chunk(md, dt, k, time_scheme_order,
                              stiffness_convention, chebyshev_iters,
                              extrapolate_warm_start, source_quadrature,
-                             fused_interpret, dmask=bmask if robin
-                             else None, rect=rect)
+                             fused_interpret,
+                             dmask=bmask if (robin or obstacles)
+                             else None, rect=rect, dead=dead)
     else:
         def chunk(u0_c, t0_c, prob):
             # Operator frozen at the chunk midpoint (quasi-static; the
@@ -281,6 +285,11 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
             _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
 
     u = jnp.asarray(problem.initial_condition_fn(md.midpoints))
+    if dead is not None:
+        # Carve the IC out of the solid: row 0 shows the carved domain
+        # (run_time_loop parity) and the fused chunk's kernel state
+        # starts exactly 0 there.
+        u = jnp.where(dead, jnp.zeros((), u.dtype), u)
     rows = [u[None, :]]  # row 0: the full IC (crbe.py:364 semantics)
     out = None
     for c in range(n_chunks):

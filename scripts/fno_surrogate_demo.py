@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1.5e-3)
+    ap.add_argument("--weight_decay", type=float, default=0.0,
+                    help="decoupled AdamW decay (generalization lever "
+                    "for small manufactured datasets)")
     ap.add_argument("--lr_decay_chunks", type=int, default=4,
                     help="halve the LR this many times over training")
     ap.add_argument("--scan_chunk", type=int, default=200,
@@ -122,6 +125,7 @@ def main():
             key = jax.random.PRNGKey(100 + 1000 * ci + done)
             params, opt_state, losses = fno.train_fno(
                 params, Xtr, Ytr, epochs=n_ep, batch=args.batch, lr=lr,
+                weight_decay=args.weight_decay,
                 key=key, opt_state=None if ci == 0 and done == 0
                 else opt_state)
             losses.block_until_ready()
@@ -188,7 +192,7 @@ def main():
         else [float(t) for t in snap_times],
         "modes": args.modes, "width": args.width, "depth": args.depth,
         "n_params": n_params, "epochs": args.epochs,
-        "batch": args.batch, "lr": args.lr,
+        "batch": args.batch, "lr": args.lr, "weight_decay": args.weight_decay,
         "dataset_gen_s": t_data, "train_s": t_train,
         "train_steps_per_sec": args.epochs / t_train,
         "loss_first": float(losses_all[0]),

@@ -315,6 +315,30 @@ def test_obstacle_sourced_fused_hbm_matches_scan():
     assert np.abs(u_fused[0][np.asarray(dead)]).max() == 0.0
 
 
+def test_final_state_only_keeps_solid_zero_nonzero_boundary_fn():
+    """Regression (round-2 latent defect): run_time_loop's
+    store_solutions=False epilogue lifted boundary_fn — plume data —
+    onto dead DOFs (the per-step branch zeroed them). With a problem
+    whose boundary_fn is nonzero at interior coordinates (the plume
+    closed form), final-state-only and trajectory modes must agree and
+    keep the solid at exactly 0 on the scan paths."""
+    md = _md(12, nt=6)
+    p = Problem(v=(0.5, 0.2), D=0.3, sigma=1.0)  # nonzero boundary_fn
+    p.obstacles = ((-4.0, 0.0, -3.0, 3.0),)
+    _, dead = obstacle_masks(md, p)
+    dead = np.asarray(dead)
+    assert dead.any()
+    for impl in ("ell", "stencil"):
+        s = CRBESolver(Domain(), p, md, matvec_impl=impl)
+        traj = np.asarray(s.solve(store_solutions=True))
+        s2 = CRBESolver(Domain(), p, md, matvec_impl=impl)
+        final = np.asarray(s2.solve(store_solutions=False))
+        assert np.abs(final[0][dead]).max() == 0.0
+        # Two compiled programs evaluate the lift with different fusion
+        # — equal to rounding (measured 1e-25), not bitwise.
+        np.testing.assert_allclose(final[0], traj[-1], atol=1e-14)
+
+
 def test_obstacle_survives_pytree_roundtrip_and_dirichlet_consistency():
     md = _md(12)
     p = SquarePulseProblem()
