@@ -113,7 +113,8 @@ class CanyonEmitter(AdDifProblem):
         return self.source_xy(xyt[..., 0], xyt[..., 1], xyt[..., 2])
 
 
-def run(ms, nt, every, warm=True):
+def run(ms, nt, every, warm=True, matvec_impl="stencil",
+        chebyshev_iters=8):
     mesh = apt.create_mesh(ms, domain_size=20.0)
     domain = apt.Domain()
     md = apt.MeshData(mesh, domain, nt=nt)
@@ -123,14 +124,23 @@ def run(ms, nt, every, warm=True):
     shadow = street & (mids[:, 0] > 8.0) & (mids[:, 0] < 16.0)
 
     out = {"mesh_size": ms, "n_dofs": int(md.number_of_segments),
-           "nt": nt, "snapshot_every": every, "scheme": "crank-nicolson"}
+           "nt": nt, "snapshot_every": every, "scheme": "crank-nicolson",
+           "matvec_impl": matvec_impl,
+           "chebyshev_iters": (chebyshev_iters
+                               if matvec_impl == "fused_hbm" else None)}
     fields = {}
     for name, buildings in (("canyon", True), ("flat", False)):
         problem = CanyonEmitter(buildings=buildings)
-        solver = CRBESolver(domain, problem, md, matvec_impl="stencil",
-                            time_scheme_order=2,
-                            extrapolate_warm_start=True,
-                            snapshot_every=every)
+        kw = dict(matvec_impl=matvec_impl, time_scheme_order=2,
+                  extrapolate_warm_start=True, snapshot_every=every)
+        if matvec_impl == "fused_hbm":
+            # City-scale configuration: the canvas stripe kernel now
+            # carries buildings (masked coefficients + dead canvases,
+            # judge W5), deposition walls and the in-kernel street
+            # source — Chebyshev scope.
+            kw.update(solver_method="chebyshev",
+                      chebyshev_iters=chebyshev_iters)
+        solver = CRBESolver(domain, problem, md, **kw)
         t0 = time.time()
         U = solver.solve(store_solutions=True)
         U.block_until_ready()
@@ -146,6 +156,16 @@ def run(ms, nt, every, warm=True):
             log(f"[{ms}^2 {name}] warm {dt_solve:.3f}s -> "
                 f"{(nt - 1) / dt_solve:.0f} steps/s")
         Un = np.asarray(U)
+        if not np.isfinite(Un).all():
+            # A diverged solve must never write a NaN row (the
+            # chebyshev applicability gate is a worst-case-rate
+            # heuristic; long horizons near the boundary can still
+            # amplify) — fail loudly so callers can retry at
+            # balanced dt (nt ~ proportional to mesh size).
+            raise SystemExit(
+                f"[{ms}^2 {name}] solve diverged (NaN) — rerun with "
+                f"more time steps (balanced dt) or more "
+                f"chebyshev_iters")
         fields[name] = Un
 
         m = np.asarray(solver.global_mass_diag)
@@ -196,18 +216,38 @@ def main():
     ap.add_argument("--mesh_sizes", type=int, nargs="+", default=[257])
     ap.add_argument("--nt", type=int, nargs="+", default=[1001])
     ap.add_argument("--snapshot_every", type=int, nargs="+", default=[100])
+    ap.add_argument("--matvec_impl", default="stencil",
+                    choices=("stencil", "ell", "fused_hbm"),
+                    help="fused_hbm = the canvas stripe kernel "
+                    "(city-scale meshes; Chebyshev)")
+    ap.add_argument("--chebyshev_iters", type=int, default=8)
     ap.add_argument("--no_warm", action="store_true")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     log(f"backend: {jax.default_backend()}")
-    rows = [run(ms, nt, ev, warm=not args.no_warm)
+    rows = [run(ms, nt, ev, warm=not args.no_warm,
+                matvec_impl=args.matvec_impl,
+                chebyshev_iters=args.chebyshev_iters)
             for ms, nt, ev in zip(args.mesh_sizes, args.nt,
                                   args.snapshot_every, strict=True)]
     if args.write:
         path = os.path.join(os.path.dirname(__file__), "..",
                             "results_snapshot", "obstacle_canyon.json")
-        with open(os.path.abspath(path), "w") as f:
-            json.dump(rows, f, indent=1)
+        # Merge by (mesh_size, matvec_impl) with any existing rows so
+        # stripe-kernel runs append to the stencil-path artifact.
+        path = os.path.abspath(path)
+        old = []
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+        keyf = lambda r: (r["mesh_size"], r.get("matvec_impl", "stencil"))
+        merged = {keyf(r): r for r in old}
+        merged.update({keyf(r): r for r in rows})
+        rows_out = sorted(merged.values(),
+                          key=lambda r: (r["mesh_size"],
+                                         r.get("matvec_impl", "")))
+        with open(path, "w") as f:
+            json.dump(rows_out, f, indent=1)
         log(f"wrote {os.path.abspath(path)}")
 
 
