@@ -456,10 +456,19 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     GLOBAL wall coordinate lines (the owning device's block and its
     neighbors' halo rows compute identical loads); vector-only
     ``robin_g`` overrides raise.
-    """
-    from airpollution_tpu.models.crbe import reject_obstacles, robin_terms
 
-    reject_obstacles(problem, "the distributed canvas stripe solver")
+    Interior obstacles (problem.obstacles) are supported exactly like
+    the serial canvas path (models/crbe._build_solve_fn): the masked
+    assembly's carve rides the sharded coefficient stack (dead DOFs are
+    identity rows with exactly-zero columns), the dead mask joins the
+    Dirichlet set driving the masked mass (b = 0 there, so a state
+    entering the kernel as 0 stays EXACTLY 0 through every linear
+    recurrence — block sharding is unaffected: halo rows of dead DOFs
+    carry the same zeros), the IC is carved, and the lift is zeroed on
+    dead rows. City-scale canyon runs can therefore shard over chips.
+    """
+    from airpollution_tpu.models.crbe import obstacle_masks, robin_terms
+
     robin = getattr(problem, "robin_sides", None) or None
     g_on = False
     if robin:
@@ -568,7 +577,11 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     def solve_impl(u0, aux, coeff_stack, bpack):
         # aux / coeff_stack ride as jit ARGUMENTS (O(N) closure
         # constants become compile payload — models/crbe.py _solve_aux).
-        perm, inv, midpoints, boundary_mask = aux
+        perm, inv, midpoints, boundary_mask, dead_a = aux
+        if dead_a is not None:
+            # Carve the IC out of the solid (serial-path parity; the
+            # kernel state then starts exactly 0 there).
+            u0 = jnp.where(dead_a, jnp.zeros((), u0.dtype), u0)
         dtype = u0.dtype
         step_call = _build_step_call(dtype)
         bpack = jnp.asarray(bpack, dtype)
@@ -643,7 +656,8 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             out_specs=out_spec, check_vma=False,
         )
 
-        lift_at = lifting.make_lift(problem, midpoints, boundary_mask)
+        lift_at = lifting.make_lift(problem, midpoints, boundary_mask,
+                                    zero_mask=dead_a)
 
         if snapshot_every is None:
             u_can = fn(u0_can, coeff_stack)[:, :n, :n]
@@ -666,8 +680,13 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
     jitted = jax.jit(solve_impl)
     # Reduced Dirichlet set under Robin (== boundary_mask without):
     # drives the masked mass in the coefficient stack and the lift.
+    # Obstacle dead DOFs join it (serial canvas parity).
     dmask = robin_terms(md, problem)[0]
-    aux = (perm, inv, jnp.asarray(md.midpoints), jnp.asarray(dmask))
+    _, dead = obstacle_masks(md, problem)
+    if dead is not None:
+        dmask = dmask | dead
+    aux = (perm, inv, jnp.asarray(md.midpoints), jnp.asarray(dmask),
+           dead)
 
     @jax.jit
     def _operand_fn(ops: GlobalOperators, u0, perm, bmask):
