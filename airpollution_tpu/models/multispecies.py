@@ -274,6 +274,7 @@ class MultiSpeciesSolver:
                  solver_method: str = "bicgstab", chebyshev_iters: int = 8,
                  source_quadrature: str = "mass_lumped",
                  matvec_impl: str = "auto", splitting: str = "auto",
+                 snapshot_every=None, chebyshev_policy: str = "reroute",
                  transport_solver_kwargs=None):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -304,8 +305,32 @@ class MultiSpeciesSolver:
                 "transport_solver_kwargs configure the single-species "
                 "CRBESolver of the commute route only"
             )
-        if matvec_impl not in ("auto", "ell", "stencil", "uniform"):
+        if matvec_impl not in ("auto", "ell", "stencil", "uniform",
+                               "fused_hbm"):
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
+        # matvec_impl='fused_hbm': the canvas stripe kernel. Under the
+        # commute split it simply rides CRBESolver (every species is a
+        # single-species fused solve); under Strang it runs the
+        # per-step K-launch + chemistry-einsum loop
+        # (ops/pallas_hbm.fused_multispecies_canvas_hbm) — the
+        # city-scale path for emission inventories + chemistry, where
+        # commute is not exact. Shared transport + Chebyshev scope.
+        if matvec_impl == "fused_hbm":
+            if not problem.shared_transport:
+                raise ValueError(
+                    "matvec_impl='fused_hbm' needs shared (v, D) across "
+                    "species (ONE coefficient stack serves every "
+                    "species; per-species operators are ELL-only)"
+                )
+            if mesh_data.structured_n is None:
+                raise ValueError(
+                    "matvec_impl='fused_hbm' requires a structured mesh"
+                )
+            if solver_method != "chebyshev":
+                raise ValueError(
+                    "matvec_impl='fused_hbm' needs solver_method="
+                    "'chebyshev' (the stripe kernels are reduction-free)"
+                )
         # Robin/deposition walls (species-level spec): the per-DOF paths
         # only — ELL always; the family stencil matvec when transport is
         # shared (equal alphas; the assembled alpha*|e| diagonal rides
@@ -330,7 +355,8 @@ class MultiSpeciesSolver:
             if matvec_impl in ("stencil", "uniform"):
                 raise ValueError(
                     "interior obstacles (problem.obstacles) run on the "
-                    "ELL multi-species path — use matvec_impl='ell' or "
+                    "ELL multi-species path (or the canvas stripe "
+                    "kernel) — use matvec_impl='ell', 'fused_hbm', or "
                     "'auto'"
                 )
         if matvec_impl in ("stencil", "uniform"):
@@ -344,6 +370,13 @@ class MultiSpeciesSolver:
                     "stencil matvec requires a structured mesh "
                     "(create_mesh-produced)"
                 )
+        if snapshot_every is not None and (
+            snapshot_every < 1 or (mesh_data.nt - 1) % snapshot_every
+        ):
+            raise ValueError("snapshot_every must be a positive divisor "
+                             "of nt-1")
+        self.snapshot_every = snapshot_every
+        self.chebyshev_policy = chebyshev_policy
         self.matvec_impl = matvec_impl
         self.domain = domain
         self.problem = problem
@@ -398,7 +431,152 @@ class MultiSpeciesSolver:
                 and self.mesh_data.structured_n is not None
                 and not getattr(self.problem, "obstacles", None))
 
+    def _fused_bounds(self, ops):
+        """Eager shared spectral interval + applicability gate for the
+        fused Strang path (models/crbe._check_chebyshev_applicable
+        discipline: estimated once per operator set, host floats, and a
+        divergence-prone spectrum must not silently burn a run on the
+        Chebyshev-only stripe kernel)."""
+        cached = getattr(self, "_fused_bounds_cache", None)
+        if cached is not None and cached[0] is ops:
+            return cached[1]
+        from functools import partial as _partial
+
+        from airpollution_tpu.ops import linalg, sparse
+
+        mv = _partial(sparse.ell_matvec, ops.system)
+        z = jnp.zeros_like(ops.system_diag)
+        scale = 1.0 / jnp.sqrt(ops.system_diag)
+        lo, hi = linalg.power_bounds(mv, z, scale=scale)
+        beta = linalg.skew_norm(mv, z, scale=scale)
+        factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
+        if not (factor < 0.97):
+            msg = (
+                f"Chebyshev worst-case convergence factor {factor:.3f} "
+                f">= 0.97 (advection-dominated operator) and the fused "
+                f"multispecies path is Chebyshev-only — use "
+                f"matvec_impl='ell'/'stencil' with "
+                f"solver_method='bicgstab', or reduce dt"
+            )
+            if self.chebyshev_policy == "reroute":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg + " (chebyshev_policy='warn': "
+                          "proceeding anyway)", stacklevel=3)
+        bounds = (float(lo), float(hi))
+        self._fused_bounds_cache = (ops, bounds)
+        return bounds
+
+    def _build_fused_solve_fn(self, store_solutions: bool):
+        """Strang splitting on the canvas stripe kernel
+        (ops/pallas_hbm.fused_multispecies_canvas_hbm): per step, K
+        kernel launches on one shared coefficient stack + two exact
+        (K, K) chemistry einsums applied directly to the species canvas
+        stack. The city-scale configuration for emission inventories +
+        chemistry (where the exact 'commute' factorization does not
+        apply); Robin alpha walls and interior obstacles ride the
+        coefficients exactly like the single-species canvas path."""
+        from airpollution_tpu.mesh.data import structured_grid
+        from airpollution_tpu.ops import pallas_hbm
+        from airpollution_tpu.ops import stencil as stencil_mod
+
+        md = self.mesh_data
+        strided = store_solutions and self.snapshot_every is not None
+        if store_solutions and not strided:
+            raise ValueError(
+                "the fused multispecies path returns the final state "
+                "only — pass snapshot_every=k to MultiSpeciesSolver for "
+                "strided snapshots with store_solutions=True"
+            )
+        pattern = stencil_mod.get_pattern(md)
+        perm = jnp.asarray(pattern.perm)
+        inv = jnp.asarray(pattern.inv_perm)
+        sp0 = self.problem.species[0]
+        bmask = robin_terms(md, sp0)[0]
+        _, dead = obstacle_masks(md, sp0)
+        if dead is not None:
+            bmask = bmask | dead
+        robin = getattr(sp0, "robin_sides", None) or None
+        rect = (pallas_hbm.robin_rect_bounds(pattern.c, robin)
+                if robin else None)
+        use_ka = self.time_scheme_order == 2
+        n_steps = md.nt - 1
+        dt = self.dt
+        k_snap = self.snapshot_every if strided else None
+        sourced = not self.problem.zero_source
+        source_fns = tuple(
+            None if getattr(sp, "zero_source", False) else sp.source_xy
+            for sp in self.problem.species
+        ) if sourced else None
+        grid = structured_grid(md) if sourced else None
+        lumped = self.source_quadrature == "mass_lumped"
+        interpret = jax.default_backend() != "tpu"
+        R_static = self.problem.R
+        problem = self.problem
+        chebyshev_iters = self.chebyshev_iters
+
+        def solve_impl(ops, C0, aux):
+            perm_a, inv_a, midpoints_a, bmask_a, dead_a, bounds = aux
+            if dead_a is not None:
+                # Carve the IC out of the solid (run_multispecies_loop
+                # parity; kernel state starts exactly 0 there — the
+                # chemistry einsums preserve the zero columns).
+                C0 = jnp.where(dead_a[None, :], jnp.zeros((), C0.dtype),
+                               C0)
+            coeffs = stencil_mod.extract_coefficients(
+                pattern, ops.system.vals
+            )
+            bmask_fam = bmask_a[perm_a]
+            mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm_a])
+            inv_diag_fam = 1.0 / ops.system_diag[perm_a]
+            R = jnp.asarray(R_static, C0.dtype)
+            E_half = expm(-(0.5 * dt) * R)
+            out = pallas_hbm.fused_multispecies_canvas_hbm(
+                pattern, coeffs, mass_fam, inv_diag_fam,
+                C0[:, perm_a], E_half,
+                n_steps=n_steps, n_iters=chebyshev_iters,
+                bounds=bounds, use_ka=use_ka, rect=rect,
+                snapshot_every=k_snap, source_fns=source_fns,
+                source_lumped=lumped, grid=grid, dt=dt,
+                interpret=interpret,
+            )
+
+            def lift(t):
+                lifted = jnp.where(
+                    bmask_a[None, :],
+                    problem.boundary_values(midpoints_a, t, R=R), 0.0
+                )
+                if dead_a is not None:
+                    lifted = jnp.where(
+                        dead_a[None, :], jnp.zeros((), lifted.dtype),
+                        lifted
+                    )
+                return lifted
+
+            if not strided:
+                t_final = jnp.asarray(dt * n_steps, C0.dtype)
+                return (out[:, inv_a] + lift(t_final))[None]
+            times = dt * k_snap * jnp.arange(
+                1, n_steps // k_snap + 1, dtype=C0.dtype
+            )
+            rows = out[:, :, inv_a] + jax.vmap(lift)(times)
+            return jnp.concatenate([C0[None], rows], axis=0)
+
+        jfn = jax.jit(solve_impl)
+        midpoints = jnp.asarray(md.midpoints)
+        bmask_arr = jnp.asarray(bmask)
+
+        def fn(ops, C0):
+            bounds = self._fused_bounds(ops)
+            aux = (perm, inv, midpoints, bmask_arr, dead, bounds)
+            return jfn(ops, C0, aux)
+
+        return fn
+
     def _build_solve_fn(self, store_solutions: bool):
+        if self.matvec_impl == "fused_hbm":
+            return self._build_fused_solve_fn(store_solutions)
         base = dict(
             problem=self.problem, dt=self.dt,
             order=self.time_scheme_order,
@@ -483,6 +661,8 @@ class MultiSpeciesSolver:
             chebyshev_iters=self.chebyshev_iters,
             matvec_impl=self.matvec_impl,
         )
+        if self.snapshot_every is not None:
+            base["snapshot_every"] = self.snapshot_every
         base.update(self.transport_solver_kwargs)
         if getattr(self, "_transport_solvers", None) is None:
             self._transport_solvers = [

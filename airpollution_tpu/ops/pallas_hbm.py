@@ -928,6 +928,187 @@ def fused_solve_canvas_hbm(pattern, coeffs, mass_masked_fam, inv_diag_fam,
     return from_canvases(pattern, H, V, D)
 
 
+def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
+                                  inv_diag_fam, C0_fam, E_half, *,
+                                  n_steps: int, n_iters: int, bounds,
+                                  use_ka: bool = False,
+                                  stripe_rows: int | None = None,
+                                  rect=None, snapshot_every=None,
+                                  source_fns=None, source_lumped=True,
+                                  grid=None, t0=0.0, dt=None,
+                                  interpret: bool = False):
+    """Strang-split multi-species loop on the canvas stripe kernel.
+
+    City-scale coupled chemistry: the serial multispecies path
+    (models/multispecies.run_multispecies_loop) interleaves an EXACT
+    chemistry exponential with K implicit transport solves per step —
+    on the scan paths that's K SpMV-Krylov solves per step, which at
+    1025^2+ is an order of magnitude off the stripe kernel's pace. Here
+    each step runs K canvas stripe-kernel launches (shared transport:
+    ONE coefficient stack serves every species — the kernel's per-step
+    semantics, state in -> solve(system, rhs(state)) warm-started from
+    state, are exactly the Strang transport substep) and the chemistry
+    half-steps are two (K, K) einsums applied DIRECTLY to the canvas
+    stack — zero layout conversion inside the loop; family<->canvas
+    conversion happens once at entry/exit.
+
+    ``C0_fam``: (K, N) initial state in family layout (FULL — boundary
+    values included; after step 1 the canvas state is homogeneous, so
+    the chemistry mixes zeros on Dirichlet/dead cells and the zero
+    columns stay exactly zero, matching run_multispecies_loop).
+    ``E_half``: the (K, K) half-step exponential expm(-dt/2 R).
+    ``bounds``: one shared (lo, hi) spectral interval (shared operator).
+    Chebyshev only; Robin alpha walls ride the coefficients + ``rect``
+    exactly like :func:`fused_solve_canvas_hbm`.
+
+    ``source_fns``: optional K-tuple of elementwise ``(x, y, t) -> s``
+    per-species emission hooks (None entries = that species is
+    source-free) evaluated in-kernel on iota-rebuilt coordinates —
+    THE case the exact 'commute' factorization cannot express (sources
+    break the chemistry/transport commutation), i.e. emission
+    inventories + chemistry at stripe-kernel scale. Requires ``grid``
+    (xmin, ymin, h) and ``dt`` like :func:`fused_solve_canvas_hbm`.
+
+    Returns the final homogeneous (K, N) family state, or with
+    ``snapshot_every=k`` the (n_snaps, K, N) strided homogeneous
+    snapshots (no u0 row — assembly/lift is the caller's).
+    """
+    from airpollution_tpu.ops.pallas_solver import coeff_canvases
+
+    K = C0_fam.shape[0]
+    n, c = pattern.n, pattern.c
+    dtype = C0_fam.dtype
+    depth = n_iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    S = stripe_rows or _choose_stripe_rows_planes(
+        n, _canvas_n_planes(False), halo
+    )
+    if S % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    n_stripes = -(-n // S)
+    n_pad = n_stripes * S
+    n_lane = _lane_pad(n)
+    W = min(S + 2 * halo, n_pad)
+
+    pad = ((0, 0), (0, n_pad - n), (0, n_lane - n))
+    coeff = jnp.pad(
+        jnp.stack(coeff_canvases(pattern, coeffs)
+                  + to_canvases(pattern, mass_masked_fam)
+                  + to_canvases(pattern, inv_diag_fam)).astype(dtype),
+        pad,
+    )
+    # (K, 3, n_pad, n_lane) species canvas stack.
+    U = jnp.stack([
+        jnp.pad(jnp.stack(to_canvases(pattern, C0_fam[k])), pad)
+        for k in range(K)
+    ])
+    E_half = jnp.asarray(E_half, dtype)
+
+    source_fns = tuple(source_fns) if source_fns else (None,) * K
+    if len(source_fns) != K:
+        raise ValueError("source_fns must have one entry per species")
+    needs_t = any(f is not None for f in source_fns)
+    if needs_t and (grid is None or dt is None):
+        raise ValueError("source_fns require grid=(xmin, ymin, h) and dt")
+
+    parts = [jnp.stack([jnp.asarray(b, dtype) for b in bounds])]
+    if needs_t:
+        parts.append(jnp.stack([
+            jnp.asarray(grid[0], dtype), jnp.asarray(grid[1], dtype),
+            jnp.asarray(grid[2], dtype), jnp.asarray(dt, dtype),
+        ]))
+    packed = jnp.concatenate(parts)
+    row0 = jnp.zeros((1,), jnp.int32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+
+    def build_step_call(source_fn):
+        kernel = partial(
+            _canvas_step_kernel, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
+            n_lane=n_lane, n_iters=n_iters, has_ka=use_ka,
+            extrapolate=False, source_fn=source_fn, source_steady=False,
+            source_lumped=source_lumped, rect=rect, robin_g_fn=None,
+            robin_sides=(),
+        )
+        scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+                   pltpu.VMEM((2, 3, W, n_lane), dtype)]
+        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+        scratch += [pltpu.SemaphoreType.DMA((2, 2)),
+                    pltpu.SemaphoreType.DMA((2, 1))]
+        # The kernel's ref layout is static per source hook: a
+        # source-free species' program takes NO t ref even when other
+        # species' programs do.
+        n_smem = 3 if source_fn is not None else 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((3, n_pad, n_lane), dtype),),
+            in_specs=[smem] * n_smem + [hbm] * 2,
+            out_specs=(hbm,),
+            scratch_shapes=scratch,
+            compiler_params=_vmem_limit_planes(
+                W, n_lane, _canvas_n_planes(False)
+            ),
+            interpret=interpret,
+        )
+
+    # One pallas_call per distinct species source hook (None entries
+    # share the source-free program).
+    free_call = None
+    step_calls = []
+    for f in source_fns:
+        if f is None:
+            if free_call is None:
+                free_call = build_step_call(None)
+            step_calls.append(free_call)
+        else:
+            step_calls.append(build_step_call(f))
+
+    ts = None
+    if needs_t:
+        ts = jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * jnp.arange(
+            1, n_steps + 1, dtype=dtype
+        ).reshape(n_steps, 1)
+
+    def step(U_c, t):
+        # Chemistry half-step (exact), K transport kernel launches
+        # (K is small and static — an unrolled python loop), second
+        # chemistry half-step. Mirrors run_multispecies_loop.step.
+        Uh = jnp.einsum("ks,s...->k...", E_half, U_c)
+        Ut = jnp.stack([
+            step_calls[k](
+                packed, row0,
+                *((t,) if source_fns[k] is not None else ()),
+                coeff, Uh[k],
+            )[0]
+            for k in range(K)
+        ])
+        return jnp.einsum("ks,s...->k...", E_half, Ut), None
+
+    def to_fam(U_c):
+        return jnp.stack([
+            from_canvases(pattern, U_c[k, 0, :n, :n],
+                          U_c[k, 1, :n, :n], U_c[k, 2, :n, :n])
+            for k in range(K)
+        ])
+
+    if snapshot_every is None:
+        U, _ = jax.lax.scan(step, U, ts, length=n_steps)
+        return to_fam(U)
+    if snapshot_every < 1 or n_steps % snapshot_every:
+        raise ValueError("snapshot_every must be a positive divisor "
+                         "of n_steps")
+    n_chunks = n_steps // snapshot_every
+    ts_chunks = (ts.reshape(n_chunks, snapshot_every, 1)
+                 if needs_t else None)
+
+    def chunk(U_c, ts_c):
+        U_n, _ = jax.lax.scan(step, U_c, ts_c, length=snapshot_every)
+        return U_n, U_n
+
+    _, snaps = jax.lax.scan(chunk, U, ts_chunks, length=n_chunks)
+    return jax.vmap(to_fam)(snaps)
+
+
 def _vmem_limit_planes(W: int, WL: int, n_planes: int):
     """Scoped-VMEM limit from a plane count (canvas stripe kernel)."""
     need = int(n_planes * W * WL * 4 * 1.3) + 2 * 1024 * 1024

@@ -376,3 +376,110 @@ def test_robin_validation_side_partition_and_g():
         MultiSpeciesSolver(Domain(), MultiSpeciesProblem(
             [p3], np.zeros((1, 1))), _mesh(6, Domain(), 5),
             matvec_impl="uniform", splitting="strang")
+
+
+# --- Fused Strang path: the canvas stripe kernel (round 3) ------------
+# pallas_hbm.fused_multispecies_canvas_hbm: per step, K kernel launches
+# on ONE shared coefficient stack + two exact (K, K) chemistry einsums
+# applied directly to the species canvas stack — the city-scale
+# configuration for emission inventories + chemistry, where the exact
+# 'commute' factorization does not apply.
+
+
+@pytest.mark.kernels
+def test_fused_hbm_strang_matches_ell_sourced_chemistry():
+    """Sourced species + coupled chemistry (commute NOT exact): the
+    fused Strang path equals the ELL Strang scan at the same Chebyshev
+    iteration count, final-state and strided-snapshot modes alike."""
+    domain = Domain(T=2.0)
+    R = np.array([[0.3, -0.1], [-0.2, 0.4]])
+    src = GaussianSourceProblem(q=2.0, xs=1.0, ys=-2.0, sigma_s=2.0)
+    msp = MultiSpeciesProblem((src, Problem(sigma=2.0)), R)
+    assert not msp.zero_source
+    md = _mesh(12, domain, nt=17)
+
+    ref = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                             matvec_impl="ell", splitting="strang",
+                             solver_method="chebyshev",
+                             chebyshev_iters=12)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                               matvec_impl="fused_hbm",
+                               splitting="strang",
+                               solver_method="chebyshev",
+                               chebyshev_iters=12)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    assert u_fused.shape == u_ref.shape == (1, 2, md.number_of_segments)
+    np.testing.assert_allclose(u_fused, u_ref, atol=1e-8)
+
+    # Strided snapshots: every row (row 0 = full IC) matches the scan's
+    # stored rows at the stride.
+    traj_ref = np.asarray(ref.solve(store_solutions=True))[::8]
+    strided = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                 matvec_impl="fused_hbm",
+                                 splitting="strang",
+                                 solver_method="chebyshev",
+                                 chebyshev_iters=12, snapshot_every=8)
+    traj = np.asarray(strided.solve(store_solutions=True))
+    assert traj.shape == traj_ref.shape
+    np.testing.assert_allclose(traj, traj_ref, atol=1e-8)
+
+
+@pytest.mark.kernels
+def test_fused_hbm_strang_robin_obstacle_matches_ell():
+    """Deposition walls + interior obstacles on the fused multispecies
+    path: the carve and the alpha * |e| wall diagonal ride the shared
+    coefficient stack; solid DOFs stay exactly 0 across every species."""
+    from airpollution_tpu.models.crbe import obstacle_masks
+
+    domain = Domain(T=1.0)
+    R = np.array([[0.2, 0.0], [-0.2, 0.1]])
+    sp_a = Problem(sigma=1.0)
+    sp_b = Problem(sigma=2.0)
+    for sp in (sp_a, sp_b):
+        sp.robin_sides = {"bottom": 0.3}
+        sp.obstacles = ((-5.0, -1.0, -3.0, 3.0),)
+    msp = MultiSpeciesProblem((sp_a, sp_b), R)
+    md = _mesh(12, domain, nt=9)
+
+    ref = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                             matvec_impl="ell", splitting="strang",
+                             solver_method="chebyshev",
+                             chebyshev_iters=12)
+    u_ref = np.asarray(ref.solve(store_solutions=False))
+    fused = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                               matvec_impl="fused_hbm",
+                               splitting="strang",
+                               solver_method="chebyshev",
+                               chebyshev_iters=12)
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ref, atol=1e-8)
+    _, dead = obstacle_masks(md, sp_a)
+    assert np.abs(u_fused[0][:, np.asarray(dead)]).max() == 0.0
+
+
+def test_fused_hbm_validation_and_commute_route():
+    """fused_hbm needs shared transport + chebyshev; under the commute
+    split it rides CRBESolver's fused kernels and matches ELL."""
+    domain = Domain(T=2.0)
+    md = _mesh(12, domain, nt=17)
+    with pytest.raises(ValueError, match="shared"):
+        MultiSpeciesSolver(
+            domain,
+            MultiSpeciesProblem((Problem(D=0.1), Problem(D=0.02)),
+                                np.zeros((2, 2))),
+            md, matvec_impl="fused_hbm", solver_method="chebyshev")
+    R = np.array([[0.3, -0.1], [-0.2, 0.4]])
+    msp = MultiSpeciesProblem((Problem(sigma=1.0), Problem(sigma=2.0)), R)
+    with pytest.raises(ValueError, match="chebyshev"):
+        MultiSpeciesSolver(domain, msp, md, matvec_impl="fused_hbm")
+
+    # Commute route (zero sources): fused transport via CRBESolver.
+    ell = MultiSpeciesSolver(domain, msp, md, matvec_impl="ell",
+                             splitting="commute")
+    u_ell = np.asarray(ell.solve(store_solutions=False))
+    fused = MultiSpeciesSolver(domain, msp, md, matvec_impl="fused_hbm",
+                               solver_method="chebyshev",
+                               chebyshev_iters=16, splitting="commute")
+    u_fused = np.asarray(fused.solve(store_solutions=False))
+    np.testing.assert_allclose(u_fused, u_ell, atol=2e-6)
