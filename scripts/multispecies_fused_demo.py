@@ -1,0 +1,183 @@
+"""Fused multispecies at scale: emission inventory + chemistry on TPU.
+
+The production shape the Strang fused path exists for
+(models/multispecies.MultiSpeciesSolver matvec_impl='fused_hbm',
+ops/pallas_hbm.fused_multispecies_canvas_hbm): a 3-species decay chain
+A -> B -> C where species A is continuously emitted by a point source —
+sources break the exact 'commute' factorization, so every step must
+interleave the chemistry exponential with K implicit transport solves.
+On the scan paths that is K SpMV-Krylov solves per step; the fused path
+runs K canvas stripe-kernel launches per step with the chemistry as two
+(K, K) einsums on the species canvas stack.
+
+Per mesh size: warm steps/s for the fused path, the stencil family scan
+(the strongest scan baseline, shared transport), and their agreement;
+the chain masses (A fed by the source, B and C filled only through
+the chain) as the physics record. Writes
+results_snapshot/multispecies_fused.json (--write).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+if os.environ.get("APT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+import airpollution_tpu as apt
+from airpollution_tpu.models.multispecies import MultiSpeciesSolver
+from airpollution_tpu.problems import (
+    GaussianSourceProblem,
+    MultiSpeciesProblem,
+    Problem,
+)
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def make_problem():
+    # A -> B -> C chain (rates 0.4, 0.2), species A emitted steadily.
+    R = np.array([
+        [0.4, 0.0, 0.0],
+        [-0.4, 0.2, 0.0],
+        [0.0, -0.2, 0.0],
+    ])
+    src = GaussianSourceProblem(q=2.0, xs=-6.0, ys=0.0, sigma_s=1.5,
+                                v=(1.0, 0.2), D=0.3)
+    b = Problem(v=(1.0, 0.2), D=0.3, sigma=1.0)
+    c = Problem(v=(1.0, 0.2), D=0.3, sigma=1.0)
+    # B and C start clean — everything they hold came through the chain.
+    z = lambda self, xy: jnp.zeros(jnp.asarray(xy).shape[:-1],
+                                   jnp.asarray(xy).dtype)
+    for sp in (b, c):
+        sp.initial_condition_fn = z.__get__(sp)
+        sp.boundary_fn = (
+            lambda self, xyt: jnp.zeros(jnp.asarray(xyt).shape[:-1],
+                                        jnp.asarray(xyt).dtype)
+        ).__get__(sp)
+    return MultiSpeciesProblem((src, b, c), R)
+
+
+def run(ms, nt, iters, scan_check, warm=True):
+    domain = apt.Domain()
+    md = apt.MeshData(apt.create_mesh(ms, domain.Lx), domain, nt=nt)
+    msp = make_problem()
+    out = {"mesh_size": ms, "n_dofs": int(md.number_of_segments),
+           "n_species": 3, "nt": nt, "chebyshev_iters": iters,
+           "scheme": "crank-nicolson"}
+
+    fused = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                               matvec_impl="fused_hbm",
+                               splitting="strang",
+                               solver_method="chebyshev",
+                               chebyshev_iters=iters)
+    t0 = time.time()
+    U = fused.solve(store_solutions=False)
+    U.block_until_ready()
+    log(f"[{ms}^2 fused] first solve (compile+run) {time.time()-t0:.1f}s")
+    if warm:
+        t0 = time.time()
+        U = fused.solve(store_solutions=False)
+        U.block_until_ready()
+        dt_f = time.time() - t0
+        out["fused_warm_solve_s"] = dt_f
+        out["fused_steps_per_sec"] = (nt - 1) / dt_f
+        log(f"[{ms}^2 fused] warm {dt_f:.3f}s -> "
+            f"{(nt - 1) / dt_f:.0f} steps/s")
+    Un = np.asarray(U)[0]
+    assert np.isfinite(Un).all(), "fused solve diverged"
+    m = np.asarray(fused._require_ops().mass_diag)
+    masses = Un @ m
+    out["mass_A"], out["mass_B"], out["mass_C"] = map(float, masses)
+    log(f"[{ms}^2] chain masses A/B/C = "
+        f"{masses[0]:.4f}/{masses[1]:.4f}/{masses[2]:.4f}")
+
+    if scan_check:
+        scan = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                  matvec_impl="stencil",
+                                  splitting="strang",
+                                  solver_method="chebyshev",
+                                  chebyshev_iters=iters)
+        t0 = time.time()
+        V = scan.solve(store_solutions=False)
+        V.block_until_ready()
+        log(f"[{ms}^2 scan] first solve (compile+run) "
+            f"{time.time()-t0:.1f}s")
+        if warm:
+            t0 = time.time()
+            V = scan.solve(store_solutions=False)
+            V.block_until_ready()
+            dt_s = time.time() - t0
+            out["scan_warm_solve_s"] = dt_s
+            out["scan_steps_per_sec"] = (nt - 1) / dt_s
+            out["fused_speedup_vs_scan"] = dt_s / out["fused_warm_solve_s"]
+            log(f"[{ms}^2 scan] warm {dt_s:.3f}s -> "
+                f"{(nt - 1) / dt_s:.0f} steps/s "
+                f"(fused speedup {dt_s / out['fused_warm_solve_s']:.1f}x)")
+        Vn = np.asarray(V)[0]
+        scale = np.abs(Vn).max()
+        diff = np.abs(Un - Vn).max() / scale
+        out["fused_vs_scan_rel_maxdiff"] = float(diff)
+        log(f"[{ms}^2] fused vs scan rel maxdiff {diff:.2e}")
+        # Both sides run fixed-k Chebyshev against a continuously
+        # sourced field, so each carries ~2e-3 of iteration error in a
+        # DIFFERENT noise pattern (measured at 257^2/nt=1001/k=8: fused
+        # and scan are each 2.37e-3 rel-max from the tight BiCGStab
+        # solve, and from each other). Tight equality lives in the f64
+        # unit tests (tests/test_multispecies.py); this is the at-scale
+        # divergence guard.
+        assert diff < 5e-3, diff
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh_sizes", type=int, nargs="+",
+                    default=[257, 513])
+    ap.add_argument("--nt", type=int, nargs="+", default=[1001, 1001])
+    ap.add_argument("--chebyshev_iters", type=int, default=6)
+    ap.add_argument("--scan_check_below", type=int, default=400,
+                    help="also run the scan baseline + equality check "
+                    "for meshes below this size")
+    ap.add_argument("--no_warm", action="store_true")
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    log(f"backend: {jax.default_backend()}")
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "results_snapshot",
+        "multispecies_fused.json"))
+
+    def write_row(row):
+        # Incremental merge-write: a later size diverging (or the
+        # tunnel dying) must not lose completed rows.
+        old = []
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+        merged = {r["mesh_size"]: r for r in old}
+        merged[row["mesh_size"]] = row
+        with open(path, "w") as f:
+            json.dump(sorted(merged.values(),
+                             key=lambda r: r["mesh_size"]), f, indent=1)
+        log(f"wrote {path} (+{row['mesh_size']})")
+
+    for ms, nt in zip(args.mesh_sizes, args.nt, strict=True):
+        row = run(ms, nt, args.chebyshev_iters,
+                  scan_check=ms < args.scan_check_below,
+                  warm=not args.no_warm)
+        if args.write:
+            write_row(row)
+
+
+if __name__ == "__main__":
+    main()
