@@ -1563,7 +1563,8 @@ class CRBESolver:
     def _warn_cheb_factor(self):
         """User-facing divergence warning from the cached applicability
         factor (no-op when the factor is comfortably inside the
-        convergence ellipse)."""
+        convergence ellipse AND the iteration count buys a real
+        per-step reduction)."""
         import warnings
 
         factor = self._cheb_factor
@@ -1576,6 +1577,25 @@ class CRBESolver:
                 f"interval [{lo:.3f}, {hi:.3f}], skew "
                 f"{self._cheb_skew:.3f}) — the solve may converge slowly "
                 f"or diverge; use solver_method='bicgstab'.",
+                stacklevel=4,
+            )
+        elif factor > 0.0 and factor ** self.chebyshev_iters > 0.5:
+            # The asymptotic factor passes, but k iterations buy < 2x
+            # per-step residual reduction — over long horizons
+            # (especially with a live source re-injecting error every
+            # step) the solve can drift or diverge even though the gate
+            # passed (measured: 1025^2 canyon at nt=2001 and the
+            # 3-species chain at nt=1001 both NaN'd this way; balanced
+            # dt ~ h restores convergence).
+            k_rec = int(math.ceil(math.log(0.1) / math.log(factor)))
+            warnings.warn(
+                f"chebyshev_iters={self.chebyshev_iters} gives only a "
+                f"{1.0 / factor ** self.chebyshev_iters:.1f}x worst-case "
+                f"per-step residual reduction for this operator "
+                f"(convergence factor {factor:.3f}) — long-horizon or "
+                f"sourced solves may drift or diverge; use "
+                f"chebyshev_iters>={k_rec}, more time steps "
+                f"(dt ~ h), or solver_method='bicgstab'.",
                 stacklevel=4,
             )
 
@@ -1750,8 +1770,14 @@ class CRBESolver:
         if self.solver_method == "chebyshev":
             reroute = self.chebyshev_policy == "reroute"
             self._check_chebyshev_applicable(ops, warn=not reroute)
-            if reroute and not (self._cheb_factor < 0.97):
-                self._reroute_divergent_chebyshev()
+            if reroute:
+                if not (self._cheb_factor < 0.97):
+                    self._reroute_divergent_chebyshev()
+                elif not getattr(self, "_cheb_warn_evaluated", False):
+                    # Sub-threshold factors still get the
+                    # marginal-iteration-count warning (once).
+                    self._cheb_warn_evaluated = True
+                    self._warn_cheb_factor()
         if getattr(self, "_u0_cache", None) is None:
             # The IC is a pure function of (problem, midpoints): evaluate
             # once per solver instead of eager op-by-op every solve()

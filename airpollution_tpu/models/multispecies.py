@@ -464,6 +464,19 @@ class MultiSpeciesSolver:
 
             warnings.warn(msg + " (chebyshev_policy='warn': "
                           "proceeding anyway)", stacklevel=3)
+        elif factor > 0.0 and factor ** self.chebyshev_iters > 0.5:
+            import math as _math
+            import warnings
+
+            k_rec = int(_math.ceil(_math.log(0.1) / _math.log(factor)))
+            warnings.warn(
+                f"chebyshev_iters={self.chebyshev_iters} gives only a "
+                f"{1.0 / factor ** self.chebyshev_iters:.1f}x worst-case "
+                f"per-step residual reduction (factor {factor:.3f}) — "
+                f"long-horizon sourced solves may drift or diverge; use "
+                f"chebyshev_iters>={k_rec} or more time steps (dt ~ h).",
+                stacklevel=3,
+            )
         bounds = (float(lo), float(hi))
         self._fused_bounds_cache = (ops, bounds)
         return bounds

@@ -267,3 +267,31 @@ def test_warn_survives_silent_policy_probe():
         warnings.simplefilter("always")
         s._check_chebyshev_applicable(ops, warn=True)
     assert not any("diverge" in str(x.message) for x in w)
+
+
+def test_marginal_iteration_count_warns():
+    """factor < 0.97 but k too small for a real per-step reduction:
+    warn with a recommended k (the at-scale divergence mode — the gate
+    passed yet 1025^2 long-horizon runs NaN'd at small k; round 3)."""
+    import warnings
+
+    domain, problem = Domain(), Problem()
+    # ms=16/nt=9: factor 0.947 — passes the 0.97 gate, but k=8 buys
+    # only ~1.5x per-step reduction (0.947^8 = 0.65 > 0.5).
+    md = MeshData(create_mesh(16, 20.0), domain, nt=9)
+    s = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                   solver_method="chebyshev", chebyshev_iters=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s.solve(store_solutions=False)
+    assert s.solver_method == "chebyshev"  # no reroute: factor < 0.97
+    msgs = [str(x.message) for x in w]
+    assert any("per-step residual reduction" in m for m in msgs), msgs
+    # ... and an adequate k stays silent (0.947^32 = 0.17).
+    s2 = CRBESolver(domain, problem, md, matvec_impl="uniform",
+                    solver_method="chebyshev", chebyshev_iters=32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s2.solve(store_solutions=False)
+    assert not any("per-step residual reduction" in str(x.message)
+                   for x in w)
