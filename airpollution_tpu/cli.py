@@ -218,6 +218,75 @@ def cmd_solve(args):
     }))
 
 
+def cmd_multispecies(args):
+    """K-species coupled-chemistry solve (models/multispecies): a decay
+    chain built from --rates, optional steady emitter on species 0, on
+    any of the multispecies engines incl. the fused canvas stripe
+    kernel (matvec_impl='fused_hbm')."""
+    import numpy as np
+
+    import airpollution_tpu as apt
+    from airpollution_tpu.models.multispecies import MultiSpeciesSolver
+    from airpollution_tpu.problems import (
+        GaussianSourceProblem,
+        MultiSpeciesProblem,
+        Problem,
+    )
+
+    rates = args.rates
+    K = len(rates) + 1
+    R = np.zeros((K, K))
+    for i, r in enumerate(rates):
+        R[i, i] += r
+        R[i + 1, i] -= r
+    domain = apt.Domain()
+    species = []
+    for k in range(K):
+        if k == 0 and args.source_q > 0:
+            # common's --xs defaults to None (auto-center semantics for
+            # `solve --problem gaussian_source`); here the emitter needs
+            # a concrete location.
+            xs = -6.0 if args.xs is None else args.xs
+            species.append(GaussianSourceProblem(
+                q=args.source_q, xs=xs, ys=args.ys,
+                sigma_s=args.sigma_s, v=tuple(args.v), D=args.D))
+        else:
+            species.append(Problem(v=tuple(args.v), D=args.D,
+                                   sigma=args.sigma))
+    msp = MultiSpeciesProblem(tuple(species), R)
+    md = _mesh_data(args, domain)
+    solver = MultiSpeciesSolver(
+        domain, msp, md, time_scheme_order=args.order,
+        matvec_impl=args.matvec_impl, splitting=args.splitting,
+        solver_method=args.solver_method,
+        chebyshev_iters=args.chebyshev_iters,
+        snapshot_every=args.snapshot_every or None,
+    )
+    store = bool(args.snapshot_every)
+    sols = solver.solve(store_solutions=store)
+    out = {
+        "method": "multispecies", "mesh_size": args.mesh_size,
+        "n_species": K, "rates": list(rates), "nt": args.nt,
+        "order": args.order, "matvec_impl": args.matvec_impl,
+        "splitting": solver.splitting,
+        "n_dofs": int(md.number_of_segments),
+        "solve_time_s": round(solver.solve_time, 4),
+        "steps_per_sec": round((args.nt - 1) / solver.solve_time, 1),
+        "rows": int(sols.shape[0]),
+    }
+    if msp.has_analytical:
+        total = solver.compute_errors()
+        out["rel_l2_total"] = total["rel_l2_error"]
+        out["rel_l2_per_species"] = [
+            p["rel_l2_error"] for p in total["per_species"]
+        ]
+    m = np.asarray(solver._require_ops().mass_diag)
+    if m.ndim == 2:
+        m = m[0]
+    out["final_masses"] = [float(x) for x in np.asarray(sols[-1]) @ m]
+    print(json.dumps(out))
+
+
 def cmd_pinn(args):
     from airpollution_tpu.models.pinn import PINN
 
@@ -684,6 +753,30 @@ def build_parser():
     sp.add_argument("--save_all", action="store_true",
                     help="Save every snapshot (with --save)")
     sp.set_defaults(fn=cmd_solve)
+
+    sp = sub.add_parser(
+        "multispecies",
+        help="K-species coupled-chemistry solve (decay chain)",
+    )
+    common(sp)
+    sp.add_argument("--order", type=int, default=2, choices=(1, 2))
+    sp.add_argument("--rates", type=float, nargs="+", default=[0.4, 0.2],
+                    help="chain rates A->B->... (K = len+1 species)")
+    sp.add_argument("--source_q", type=float, default=0.0,
+                    help="steady Gaussian emitter on species 0 at "
+                         "(--xs, --ys) width --sigma_s (0 = plume ICs "
+                         "only, keeps the expm oracle)")
+    sp.add_argument("--matvec_impl", default="auto",
+                    choices=("auto", "ell", "stencil", "uniform",
+                             "fused_hbm"))
+    sp.add_argument("--splitting", default="auto",
+                    choices=("auto", "strang", "commute"))
+    sp.add_argument("--solver_method", default="bicgstab",
+                    choices=("bicgstab", "chebyshev"))
+    sp.add_argument("--chebyshev_iters", type=int, default=8)
+    sp.add_argument("--snapshot_every", type=int, default=0,
+                    help="store every k-th state (0 = final only)")
+    sp.set_defaults(fn=cmd_multispecies)
 
     sp = sub.add_parser("pinn", help="Train a PINN")
     common(sp)

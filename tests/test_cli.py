@@ -251,3 +251,23 @@ def test_cli_fno_data_parallel(in_tmp_dir, capsys):
     assert res["data_parallel"] is True and res["batch"] == 8
     assert res["n_devices"] == 8
     assert np.isfinite(res["loss_last"])
+
+
+def test_cli_multispecies_chain(in_tmp_dir, capsys):
+    """multispecies subcommand: expm-mixture oracle errors on the scan
+    route, and the fused Strang route (sourced chain, canvas stripe
+    kernel) reports finite masses."""
+    cli.main(["multispecies", "--mesh_size", "10", "--nt", "9"])
+    res = _last_json(capsys)
+    assert res["method"] == "multispecies" and res["n_species"] == 3
+    assert np.isfinite(res["rel_l2_total"])
+    assert len(res["final_masses"]) == 3
+
+    cli.main(["multispecies", "--mesh_size", "10", "--nt", "9",
+              "--matvec_impl", "fused_hbm", "--solver_method",
+              "chebyshev", "--splitting", "strang", "--source_q", "1.5",
+              "--rates", "0.3"])
+    res = _last_json(capsys)
+    assert res["splitting"] == "strang" and res["n_species"] == 2
+    assert "rel_l2_total" not in res  # sourced: no closed form
+    assert all(np.isfinite(m) for m in res["final_masses"])
