@@ -23,6 +23,7 @@ from airpollution_tpu.parallel.stencil_shard import build_halo_solver
 from airpollution_tpu.parallel.hbm_shard import (
     build_canvas_hbm_halo_solver,
     build_hbm_halo_solver,
+    build_multispecies_hbm_halo_solver,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "crbe_diffusion_sweep",
     "build_halo_solver", "build_hbm_halo_solver",
     "build_canvas_hbm_halo_solver",
+    "build_multispecies_hbm_halo_solver",
 ]

@@ -743,3 +743,306 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
         return jitted(u0, aux, stack, bpack)
 
     return solve
+
+
+def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
+                                       dt, *, order=1, iters=8,
+                                       axis="mp", snapshot_every=None,
+                                       stripe_rows=None,
+                                       interpret=False,
+                                       source_quadrature="mass_lumped"):
+    """Distributed FUSED MULTISPECIES solver: Strang chemistry on the
+    block-sharded canvas stripe kernel.
+
+    Combines :func:`build_canvas_hbm_halo_solver`'s sharding (row blocks
+    + whole-step halo slabs + the step-invariant coefficient stack
+    halo-extended once) with the serial fused multispecies loop
+    (ops/pallas_hbm.fused_multispecies_canvas_hbm): per step, per
+    device —
+
+    1. ONE ppermute pair refreshes the halo rows of the whole
+       (K, 3, ext_rows, lanes) species stack (chemistry adds no spatial
+       coupling, so the per-step domain of dependence — and the halo —
+       is the single-species one, and K species share the two slab
+       exchanges);
+    2. the chemistry half-step ``einsum('ks,s...->k...')`` runs
+       LOCALLY on the extended block (pointwise in space, so applying
+       it to refreshed halo rows reproduces bit-for-bit what the
+       owning neighbor computes for those rows — no extra exchange);
+    3. K sharded-block kernel launches share the ONE extended
+       coefficient block (shared transport); the second half-step
+       einsum closes the Strang sandwich. Stale output halos are
+       refreshed by the next step's ppermute before anything reads
+       them.
+
+    ``problem`` is a MultiSpeciesProblem with shared transport; Robin
+    alpha walls (equal specs, g = 0 — problem-validated) ride the
+    coefficients + widened rectangles, interior obstacles ride the
+    masked coefficients (dead state stays exactly 0; the chemistry
+    einsum preserves zero columns). Per-species emission hooks
+    (``species[k].source_xy``) compile per-species kernels evaluated on
+    GLOBAL iota coordinates, so block + halo rows see the owning
+    device's values. Chebyshev only, final-state or strided snapshots.
+
+    Returns ``solve(ops, C0) -> (1, K, N)`` (or ``(n_snaps+1, K, N)``
+    strided rows with boundary_values lifts, row 0 = carved IC) —
+    ``ops`` the SHARED assembled GlobalOperators.
+    """
+    from jax.scipy.linalg import expm
+
+    from airpollution_tpu.models.crbe import obstacle_masks, robin_terms
+
+    p = problem
+    if not p.shared_transport:
+        raise ValueError(
+            "the distributed fused multispecies solver needs shared "
+            "(v, D) across species (one coefficient stack serves all)"
+        )
+    md = mesh_data
+    if getattr(md, "structured_n", None) is None:
+        raise ValueError("canvas halo solver requires a structured mesh")
+    if source_quadrature not in ("mass_lumped", "reference"):
+        raise ValueError(
+            f"unknown source_quadrature {source_quadrature!r}"
+        )
+    sp0 = p.species[0]
+    robin = getattr(sp0, "robin_sides", None) or None
+    K = p.n_species
+    pattern = stencil_mod.get_pattern(md)
+    perm = jnp.asarray(pattern.perm)
+    inv = jnp.asarray(pattern.inv_perm)
+    n, c = pattern.n, pattern.c
+    n_dev = mesh.shape[axis]
+    n_steps = md.nt - 1
+    if snapshot_every is not None and (
+        snapshot_every < 1 or n_steps % snapshot_every
+    ):
+        raise ValueError("snapshot_every must be a positive divisor "
+                         "of nt-1")
+
+    use_ka = order == 2
+    depth = iters + 1 + (1 if use_ka else 0)
+    halo = -(-(depth + 1) // 8) * 8
+    if stripe_rows is not None and stripe_rows % 8:
+        raise ValueError("stripe_rows must be a multiple of 8")
+    S, local = _block_layout(
+        n, n_dev, halo, False, stripe_rows,
+        planes=pallas_hbm._canvas_n_planes(False),
+    )
+    n_pad = local * n_dev
+    n_lane = -(-n // 128) * 128
+    ext_rows = local + 2 * halo
+    W = S + 2 * halo
+
+    sourced = not p.zero_source
+    source_fns = tuple(
+        None if getattr(sp, "zero_source", False) else sp.source_xy
+        for sp in p.species
+    ) if sourced else (None,) * K
+    needs_t = any(f is not None for f in source_fns)
+    if needs_t:
+        from airpollution_tpu.mesh.data import structured_grid
+
+        _grid_pack = jnp.asarray(list(structured_grid(md)) + [float(dt)])
+    lumped = source_quadrature == "mass_lumped"
+
+    rect = pallas_hbm.robin_rect_bounds(c, robin) if robin else None
+
+    def _build_step_call(dtype, source_fn):
+        kernel = partial(
+            pallas_hbm._canvas_step_kernel, c=c, n_pad=ext_rows, S=S,
+            W=W, halo=halo, n_lane=n_lane, n_iters=iters, has_ka=use_ka,
+            extrapolate=False, int_start=halo, n_stripes=local // S,
+            source_fn=source_fn, source_steady=False,
+            source_lumped=lumped, rect=rect,
+            robin_g_fn=None, robin_sides=(),
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+                   pltpu.VMEM((2, 3, W, n_lane), dtype)]
+        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+        scratch += [pltpu.SemaphoreType.DMA((2, 2)),
+                    pltpu.SemaphoreType.DMA((2, 1))]
+        n_smem = 3 if source_fn is not None else 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((3, ext_rows, n_lane),
+                                            dtype),),
+            in_specs=[smem] * n_smem + [hbm] * 2,
+            out_specs=(hbm,),
+            scratch_shapes=scratch,
+            compiler_params=pallas_hbm._vmem_limit_planes(
+                W, n_lane, pallas_hbm._canvas_n_planes(False)
+            ),
+            interpret=interpret,
+        )
+
+    def solve_impl(C0, aux, coeff_stack, bpack):
+        perm_a, inv_a, midpoints_a, bmask_a, dead_a = aux
+        if dead_a is not None:
+            C0 = jnp.where(dead_a[None, :], jnp.zeros((), C0.dtype), C0)
+        dtype = C0.dtype
+        bpack = jnp.asarray(bpack, dtype)
+        R = jnp.asarray(p.R, dtype)
+        E_half = expm(-(0.5 * dt) * R)
+
+        free_call = None
+        step_calls = []
+        for f in source_fns:
+            if f is None:
+                if free_call is None:
+                    free_call = _build_step_call(dtype, None)
+                step_calls.append(free_call)
+            else:
+                step_calls.append(_build_step_call(dtype, f))
+
+        U0 = jnp.stack([
+            jnp.pad(jnp.stack(to_canvases(pattern, C0[k][perm_a])),
+                    ((0, 0), (0, n_pad - n), (0, n_lane - n)))
+            for k in range(K)
+        ])  # (K, 3, n_pad, n_lane)
+
+        ts = None
+        if needs_t:
+            ts = jnp.asarray(dt, dtype) * jnp.arange(
+                1, n_steps + 1, dtype=dtype
+            ).reshape(n_steps, 1)
+
+        def device_solve(U0_loc, coeff_loc, E_h):
+            dev = jax.lax.axis_index(axis)
+            row0 = (dev * local - halo).astype(jnp.int32)[None]
+            cdn = _halo_from_below(
+                coeff_loc[:, local - halo:local], axis
+            )
+            cup = _halo_from_above(coeff_loc[:, :halo], axis)
+            ext_c = jnp.concatenate([cdn, coeff_loc, cup], axis=1)
+            carry0 = jnp.pad(U0_loc, ((0, 0), (0, 0), (halo, halo),
+                                      (0, 0)))
+
+            def step(U_c, t):
+                dn = _halo_from_below(
+                    U_c[:, :, local:local + halo], axis
+                )
+                up = _halo_from_above(U_c[:, :, halo:2 * halo], axis)
+                U_c = U_c.at[:, :, :halo].set(dn)
+                U_c = U_c.at[:, :, halo + local:].set(up)
+                Uh = jnp.einsum("ks,s...->k...", E_h, U_c)
+                Ut = jnp.stack([
+                    step_calls[k](
+                        bpack, row0,
+                        *((t,) if source_fns[k] is not None else ()),
+                        ext_c, Uh[k],
+                    )[0]
+                    for k in range(K)
+                ])
+                return jnp.einsum("ks,s...->k...", E_h, Ut), None
+
+            if snapshot_every is None:
+                U, _ = jax.lax.scan(step, carry0, ts, length=n_steps)
+                return U[:, :, halo:halo + local]
+
+            n_chunks = n_steps // snapshot_every
+            ts_chunks = (ts.reshape(n_chunks, snapshot_every, 1)
+                         if needs_t else None)
+
+            def chunk(U_c, ts_c):
+                U_c, _ = jax.lax.scan(step, U_c, ts_c,
+                                      length=snapshot_every)
+                return U_c, U_c[:, :, halo:halo + local]
+
+            _, snaps = jax.lax.scan(chunk, carry0, ts_chunks,
+                                    length=n_chunks)
+            return snaps
+
+        out_spec = (P(None, None, axis, None) if snapshot_every is None
+                    else P(None, None, None, axis, None))
+        fn = jax.shard_map(
+            device_solve, mesh=mesh,
+            in_specs=(P(None, None, axis, None), P(None, axis, None),
+                      P()),
+            out_specs=out_spec, check_vma=False,
+        )
+
+        def lift(t):
+            lifted = jnp.where(
+                bmask_a[None, :],
+                p.boundary_values(midpoints_a, t, R=R), 0.0
+            )
+            if dead_a is not None:
+                lifted = jnp.where(
+                    dead_a[None, :], jnp.zeros((), lifted.dtype), lifted
+                )
+            return lifted
+
+        def to_fam_stack(U_can):
+            return jnp.stack([
+                from_canvases(pattern, U_can[k, 0, :n, :n],
+                              U_can[k, 1, :n, :n], U_can[k, 2, :n, :n])
+                for k in range(K)
+            ])
+
+        if snapshot_every is None:
+            U = fn(U0, coeff_stack, E_half)[:, :, :n, :n]
+            t_final = jnp.asarray(dt * n_steps, dtype)
+            return (to_fam_stack(U)[:, inv_a] + lift(t_final))[None]
+        snaps = fn(U0, coeff_stack, E_half)[:, :, :, :n, :n]
+        rows = jax.vmap(to_fam_stack)(snaps)[:, :, inv_a]
+        times = dt * snapshot_every * jnp.arange(
+            1, n_steps // snapshot_every + 1, dtype=dtype
+        )
+        rows = rows + jax.vmap(lift)(times)
+        return jnp.concatenate([C0[None], rows], axis=0)
+
+    jitted = jax.jit(solve_impl)
+    dmask = robin_terms(md, sp0)[0]
+    _, dead = obstacle_masks(md, sp0)
+    if dead is not None:
+        dmask = dmask | dead
+    aux = (perm, inv, jnp.asarray(md.midpoints), jnp.asarray(dmask),
+           dead)
+
+    @jax.jit
+    def _operand_fn(ops: GlobalOperators, C0, perm_v, bmask):
+        from airpollution_tpu.ops import sparse
+        from airpollution_tpu.ops.pallas_solver import coeff_canvases
+
+        coeffs = stencil_mod.extract_coefficients(
+            pattern, ops.system.vals
+        )
+        bmask_fam = bmask[perm_v]
+        mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm_v])
+        inv_diag_fam = 1.0 / ops.system_diag[perm_v]
+        stack = jnp.stack(
+            coeff_canvases(pattern, coeffs)
+            + to_canvases(pattern, mass_fam)
+            + to_canvases(pattern, inv_diag_fam)
+        ).astype(C0.dtype)
+        stack = jnp.pad(
+            stack, ((0, 0), (0, n_pad - n), (0, n_lane - n))
+        )
+        bounds = linalg.power_bounds(
+            partial(sparse.ell_matvec, ops.system),
+            jnp.zeros_like(ops.system_diag),
+            scale=1.0 / jnp.sqrt(ops.system_diag),
+        )
+        parts = [jnp.stack([jnp.asarray(b) for b in bounds])]
+        if needs_t:
+            parts.append(_grid_pack)
+        return stack, jnp.concatenate(parts)
+
+    cache = {"ops": None, "prepared": None}
+
+    def solve(ops: GlobalOperators, C0):
+        if ops is None:
+            raise ValueError(
+                "the distributed fused multispecies solver needs the "
+                "shared assembled GlobalOperators"
+            )
+        if cache["ops"] is not ops:
+            cache["ops"] = ops
+            cache["prepared"] = _operand_fn(ops, C0, perm, aux[3])
+        stack, bpack = cache["prepared"]
+        return jitted(C0, aux, stack, bpack)
+
+    return solve

@@ -494,3 +494,62 @@ def test_canvas_shard_robin_g_load_matches_serial():
     traj0 = np.asarray(s0.solve(store_solutions=True))
     m = np.asarray(serial.global_mass_diag)
     assert (traj[-1] @ m) > (traj0[-1] @ m) + 1e-3
+
+
+def test_multispecies_shard_matches_serial_fused():
+    """Distributed fused multispecies (Strang chemistry on the sharded
+    canvas stripe kernel): one slab-exchange pair serves all K species,
+    the chemistry einsum runs locally on the extended block, and the
+    result equals the SERIAL fused multispecies path to rounding —
+    sourced chain + deposition wall + interior obstacle included, with
+    solid DOFs exactly 0 across species and snapshots."""
+    from airpollution_tpu.models.crbe import obstacle_masks
+    from airpollution_tpu.models.multispecies import MultiSpeciesSolver
+    from airpollution_tpu.parallel.hbm_shard import (
+        build_multispecies_hbm_halo_solver,
+    )
+    from airpollution_tpu.problems import (
+        GaussianSourceProblem,
+        MultiSpeciesProblem,
+        Problem,
+    )
+
+    domain = Domain(T=1.0)
+    md = MeshData(create_mesh(12, 20.0), domain, nt=9,
+                  dtype=jnp.float64)
+    R = np.array([[0.3, 0.0], [-0.3, 0.1]])
+    src = GaussianSourceProblem(q=2.0, xs=-6.0, ys=2.0, sigma_s=2.0,
+                                v=(0.4, -0.1), D=0.6)
+    sp_b = Problem(v=(0.4, -0.1), D=0.6, sigma=1.5)
+    for sp in (src, sp_b):
+        sp.robin_sides = {"bottom": 0.3}
+        sp.obstacles = ((2.0, 6.0, -2.0, 2.0),)
+    msp = MultiSpeciesProblem((src, sp_b), R)
+
+    serial = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                matvec_impl="fused_hbm",
+                                splitting="strang",
+                                solver_method="chebyshev",
+                                chebyshev_iters=10, snapshot_every=4)
+    traj_serial = np.asarray(serial.solve(store_solutions=True))
+
+    mesh = make_mesh({"mp": 8})
+    solver = build_multispecies_hbm_halo_solver(
+        mesh, md, msp, serial.dt, order=2, iters=10, snapshot_every=4,
+        stripe_rows=8, interpret=True,
+    )
+    traj = np.asarray(solver(serial._require_ops(),
+                             serial.set_initial_condition()))
+    assert traj.shape == traj_serial.shape
+    np.testing.assert_allclose(traj, traj_serial, atol=1e-11)
+    _, dead = obstacle_masks(md, src)
+    assert np.abs(traj[:, :, np.asarray(dead)]).max() == 0.0
+
+    # Final-state-only mode agrees with the strided run's last row.
+    final_solver = build_multispecies_hbm_halo_solver(
+        mesh, md, msp, serial.dt, order=2, iters=10,
+        stripe_rows=8, interpret=True,
+    )
+    final = np.asarray(final_solver(serial._require_ops(),
+                                    serial.set_initial_condition()))
+    np.testing.assert_allclose(final[0], traj[-1], atol=1e-12)
