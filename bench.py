@@ -199,6 +199,23 @@ def measure(out_path: str) -> int:
 def main() -> int:
     """Parent: probe + launch the measured child, retrying infrastructure
     failures with backoff; always print exactly one JSON line."""
+    import signal
+
+    def _terminated(signum, frame):
+        # The driver's own timeout may SIGTERM us mid-retry: still emit
+        # the unambiguous-zero JSON line before dying (SIGKILL is the
+        # only unguardable case).
+        log(f"terminated (signal {signum}) before a measurement "
+            f"completed")
+        print(json.dumps({
+            "metric": "crbe_steps_per_sec_256sq",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, _terminated)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_result.json"
     )
