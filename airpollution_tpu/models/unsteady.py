@@ -43,7 +43,7 @@ _CHUNK_CACHE_MAX = 8
 
 def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
                  source_quadrature, interpret, dmask=None, rect=None,
-                 dead=None):
+                 dead=None, fixed_bounds=None):
     """Chunk body on the CANVAS stripe kernel: assemble at the chunk
     midpoint, extract the per-DOF coefficient stack, re-estimate the
     Chebyshev interval (the operator changes with the wind), run the
@@ -59,7 +59,14 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
     the caller (masked mass keeps the kernel state exactly 0 there,
     models/crbe._build_solve_fn); passed separately only so the lift
     can zero those rows (boundary_fn is plume data, not obstacle
-    data)."""
+    data).
+
+    ``fixed_bounds``: host-float spectral interval baked into the
+    compiled chunk — skips the per-chunk power_bounds (~100 matvecs;
+    the quasi-static cost is reassembly-bound, so this is one of its
+    levers). Caller's responsibility that the frozen interval brackets
+    every chunk's spectrum (solve_time_varying reestimate_bounds=False
+    widens the mid-horizon estimate by 10%)."""
     from functools import partial
 
     import jax
@@ -89,11 +96,15 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
         bmask_fam = bmask[perm]
         mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
         inv_diag_fam = 1.0 / ops.system_diag[perm]
-        matvec = partial(stencil_mod.stencil_matvec, pattern, coeffs)
-        bounds = linalg.power_bounds(
-            matvec, jnp.zeros_like(mass_fam),
-            scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
-        )
+        if fixed_bounds is not None:
+            bounds = fixed_bounds
+        else:
+            matvec = partial(stencil_mod.stencil_matvec, pattern,
+                             coeffs)
+            bounds = linalg.power_bounds(
+                matvec, jnp.zeros_like(mass_fam),
+                scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+            )
         src_kw = {}
         if sourced:
             src_kw = dict(
@@ -137,6 +148,7 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                        source_quadrature: str = "mass_lumped",
                        store_solutions: bool = True,
                        matvec_impl: str = "scan",
+                       reestimate_bounds: bool = True,
                        fused_interpret: bool | None = None):
     """Solve a ``time_varying`` problem; returns the (nt, n) trajectory
     with CRBESolver.solve(store_solutions=True) row semantics (row 0 =
@@ -155,8 +167,15 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
     i.e. the large-mesh fused engine with a wind that changes every
     chunk: Chebyshev iterations (``chebyshev_iters``), final-state-only
     (``store_solutions=False``), not differentiable. The spectral
-    interval is re-estimated per chunk (the operator changes with the
-    wind).
+    interval is re-estimated per chunk by default (the operator changes
+    with the wind); ``reestimate_bounds=False`` freezes one
+    mid-horizon estimate widened by 10% into the compiled chunk.
+    MEASURED NEGATIVE at 513^2-1025^2 (2026-08-20): the frozen variant
+    is not faster (power_bounds is a minor share of the
+    reassembly-bound chunk cost) and the widened interval degrades the
+    fixed-k Chebyshev contraction enough to move answers by ~1e-2 at
+    k=8/1025^2 — keep the default unless a profile shows power_bounds
+    dominating (tiny chunks).
     """
     md = mesh_data
     n_steps = md.nt - 1
@@ -229,12 +248,39 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
             rect = pallas_hbm.robin_rect_bounds(
                 stencil_mod.get_pattern(md).c, robin
             )
+        fixed_bounds = None
+        if not reestimate_bounds:
+            # One eager mid-horizon estimate, widened 10% each way so a
+            # slowly drifting spectrum stays bracketed (Chebyshev only
+            # needs containment; a slightly wide interval costs rate,
+            # not correctness).
+            from functools import partial as _partial
+
+            from airpollution_tpu.ops import linalg as _linalg
+            from airpollution_tpu.ops import stencil as _stencil
+
+            ops_mid = assemble(md, problem, dt, time_scheme_order,
+                               stiffness_convention,
+                               coeff_time=0.5 * float(md.domain.T))
+            pat = _stencil.get_pattern(md)
+            coeffs_mid = _stencil.extract_coefficients(
+                pat, ops_mid.system.vals
+            )
+            mv = _partial(_stencil.stencil_matvec, pat, coeffs_mid)
+            perm_b = jnp.asarray(pat.perm)
+            diag_fam = ops_mid.system_diag[perm_b]
+            lo, hi = _linalg.power_bounds(
+                mv, jnp.zeros_like(diag_fam),
+                scale=1.0 / jnp.sqrt(diag_fam),
+            )
+            fixed_bounds = (0.9 * float(lo), 1.1 * float(hi))
         chunk = _fused_chunk(md, dt, k, time_scheme_order,
                              stiffness_convention, chebyshev_iters,
                              extrapolate_warm_start, source_quadrature,
                              fused_interpret,
                              dmask=bmask if (robin or obstacles)
-                             else None, rect=rect, dead=dead)
+                             else None, rect=rect, dead=dead,
+                             fixed_bounds=fixed_bounds)
     else:
         def chunk(u0_c, t0_c, prob):
             # Operator frozen at the chunk midpoint (quasi-static; the
@@ -263,6 +309,7 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                  int(chebyshev_iters), bool(extrapolate_warm_start),
                  bool(differentiable), source_quadrature,
                  bool(store_solutions), matvec_impl,
+                 bool(reestimate_bounds),
                  # The closure bakes the lift-strip bmask (reduced by
                  # Robin sides) — a cache hit across different Robin
                  # specs would silently zero deposition-wall DOFs in

@@ -38,16 +38,21 @@ def log(*a):
     print(*a, flush=True)
 
 
+FROZEN_BOUNDS = False
+
+
 def run(ms, nt, every, iters, warm=True):
     domain = apt.Domain()
     md = apt.MeshData(apt.create_mesh(ms, domain.Lx), domain, nt=nt)
     p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.3)
     out = {"mesh_size": ms, "n_dofs": int(md.number_of_segments),
            "nt": nt, "reassemble_every": every,
-           "chebyshev_iters": iters, "scheme": "crank-nicolson"}
+           "chebyshev_iters": iters, "scheme": "crank-nicolson",
+           "frozen_bounds": FROZEN_BOUNDS}
     kw = dict(reassemble_every=every, time_scheme_order=2,
               chebyshev_iters=iters, extrapolate_warm_start=True,
-              store_solutions=False, matvec_impl="fused_hbm")
+              store_solutions=False, matvec_impl="fused_hbm",
+              reestimate_bounds=not FROZEN_BOUNDS)
     t0 = time.time()
     u = solve_time_varying(p, md, **kw)
     u.block_until_ready()
@@ -85,10 +90,16 @@ def main():
     ap.add_argument("--reassemble_every", type=int, nargs="+",
                     default=[50, 100])
     ap.add_argument("--chebyshev_iters", type=int, default=8)
+    ap.add_argument("--frozen_bounds", action="store_true",
+                    help="reestimate_bounds=False: one widened "
+                    "mid-horizon spectral interval for every chunk "
+                    "(exact for speed-preserving winds)")
     ap.add_argument("--no_warm", action="store_true")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     log(f"backend: {jax.default_backend()}")
+    global FROZEN_BOUNDS
+    FROZEN_BOUNDS = args.frozen_bounds
     path = os.path.abspath(os.path.join(
         os.path.dirname(__file__), "..", "results_snapshot",
         "unsteady_scale.json"))

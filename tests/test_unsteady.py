@@ -445,3 +445,23 @@ def test_fused_chunks_robin_g_matches_scan_chunks():
     p0.robin_sides = dict(_GFluxTurning.robin_sides)
     ref0 = solve_time_varying(p0, md, solver="chebyshev", **kw)
     assert float(jnp.max(jnp.abs(ref - ref0))) > 1e-3 * scale
+
+
+def test_fused_chunks_frozen_bounds_match_reestimated():
+    """reestimate_bounds=False (one widened mid-horizon interval baked
+    into the chunk) agrees with the per-chunk estimate on a
+    speed-preserving wind — the interval is exact there, and the wider
+    bracket costs rate, not correctness."""
+    p = TurningWindProblem(speed=1.0, omega_t=0.5, D=0.3)
+    domain = Domain()
+    md = MeshData(create_mesh(12, 20.0), domain, nt=13,
+                  dtype=jnp.float64)
+    kw = dict(reassemble_every=4, time_scheme_order=2,
+              chebyshev_iters=12, extrapolate_warm_start=True,
+              store_solutions=False, matvec_impl="fused_hbm",
+              fused_interpret=True)
+    ref = solve_time_varying(p, md, **kw)
+    frozen = solve_time_varying(p, md, reestimate_bounds=False, **kw)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert scale > 1e-4
+    assert float(jnp.max(jnp.abs(frozen - ref))) < 1e-6 * scale
