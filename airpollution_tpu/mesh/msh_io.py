@@ -95,9 +95,11 @@ def _parse_v2(blocks: dict[str, list[str]]) -> tuple[np.ndarray, np.ndarray]:
     return pts, np.asarray(tris, dtype=np.int32).reshape(-1, 3)
 
 
-def _parse_v4(blocks: dict[str, list[str]]) -> tuple[np.ndarray, np.ndarray]:
-    """MSH 4.x ASCII: entity-blocked nodes (tags first, coordinates
-    after, per block) and entity-blocked elements."""
+def _parse_v4(blocks: dict[str, list[str]],
+              v40: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """MSH 4.x ASCII: entity-blocked nodes and elements. 4.1 stores a
+    block's node tags first and coordinates after; 4.0 stores
+    ``tag x y z`` per line (``v40``)."""
     nodes = blocks["Nodes"]
     n_blocks, n_nodes = (int(x) for x in nodes[0].split()[:2])
     tags = np.empty(n_nodes, dtype=np.int64)
@@ -107,13 +109,21 @@ def _parse_v4(blocks: dict[str, list[str]]) -> tuple[np.ndarray, np.ndarray]:
     for _ in range(n_blocks):
         n_in = int(nodes[pos].split()[3])
         pos += 1
-        for b in range(n_in):
-            tags[k + b] = int(nodes[pos + b])
-        for b in range(n_in):
-            parts = nodes[pos + n_in + b].split()
-            pts[k + b, 0] = float(parts[0])
-            pts[k + b, 1] = float(parts[1])
-        pos += 2 * n_in
+        if v40:
+            for b in range(n_in):
+                parts = nodes[pos + b].split()
+                tags[k + b] = int(parts[0])
+                pts[k + b, 0] = float(parts[1])
+                pts[k + b, 1] = float(parts[2])
+            pos += n_in
+        else:
+            for b in range(n_in):
+                tags[k + b] = int(nodes[pos + b])
+            for b in range(n_in):
+                parts = nodes[pos + n_in + b].split()
+                pts[k + b, 0] = float(parts[0])
+                pts[k + b, 1] = float(parts[1])
+            pos += 2 * n_in
         k += n_in
     index = {int(t): i for i, t in enumerate(tags)}
 
@@ -164,7 +174,9 @@ def read_msh(path: str) -> Mesh:
     if "Nodes" not in blocks or "Elements" not in blocks:
         raise ValueError(f"{path}: missing $Nodes/$Elements section")
     if version >= 4.0:
-        pts, tris = _parse_v4(blocks)
+        # 4.0 and 4.1 differ in the $Nodes block layout (4.0: one
+        # 'tag x y z' line per node; 4.1: tags first, coords after).
+        pts, tris = _parse_v4(blocks, v40=version < 4.1)
     elif version >= 2.0:
         pts, tris = _parse_v2(blocks)
     else:
@@ -187,7 +199,10 @@ def write_msh(mesh: Mesh, path: str) -> str:
     n, t = len(pts), len(tris)
     lines = [
         "$MeshFormat", "4.1 0 8", "$EndMeshFormat",
-        "$Entities", "0 0 1 0", "2 1 0 0 0 0 0 0 0", "$EndEntities",
+        # One surface entity, TAG 1 (the tag the $Nodes/$Elements
+        # blocks reference below): tag, 6 bbox coords, 0 physical
+        # tags, 0 bounding curves.
+        "$Entities", "0 0 1 0", "1 0 0 0 0 0 0 0 0", "$EndEntities",
         "$Nodes", f"1 {n} 1 {n}", f"2 1 0 {n}",
     ]
     lines += [str(i + 1) for i in range(n)]

@@ -1569,17 +1569,21 @@ class CRBESolver:
 
         factor = self._cheb_factor
         lo, hi = self._cheb_bounds
-        if not (factor < 0.97):
+        _, k_rec, marginal = linalg.chebyshev_gate(
+            lo, hi, self._cheb_skew, self.chebyshev_iters
+        )
+        if not (factor < linalg.CHEBYSHEV_FACTOR_GATE):
             warnings.warn(
                 f"Chebyshev worst-case convergence factor {factor:.3f} is "
-                f"close to or above 1 (threshold 0.97) for this operator "
+                f"close to or above 1 (threshold "
+                f"{linalg.CHEBYSHEV_FACTOR_GATE}) for this operator "
                 f"(advection-dominated regime: "
                 f"interval [{lo:.3f}, {hi:.3f}], skew "
                 f"{self._cheb_skew:.3f}) — the solve may converge slowly "
                 f"or diverge; use solver_method='bicgstab'.",
                 stacklevel=4,
             )
-        elif factor > 0.0 and factor ** self.chebyshev_iters > 0.5:
+        elif marginal:
             # The asymptotic factor passes, but k iterations buy < 2x
             # per-step residual reduction — over long horizons
             # (especially with a live source re-injecting error every
@@ -1587,7 +1591,6 @@ class CRBESolver:
             # passed (measured: 1025^2 canyon at nt=2001 and the
             # 3-species chain at nt=1001 both NaN'd this way; balanced
             # dt ~ h restores convergence).
-            k_rec = int(math.ceil(math.log(0.1) / math.log(factor)))
             warnings.warn(
                 f"chebyshev_iters={self.chebyshev_iters} gives only a "
                 f"{1.0 / factor ** self.chebyshev_iters:.1f}x worst-case "
@@ -1728,7 +1731,7 @@ class CRBESolver:
             factor = self._cheb_factor
         except Exception:
             factor = 1.0
-        if factor < 0.97:
+        if factor < linalg.CHEBYSHEV_FACTOR_GATE:
             k = int(min(24.0, max(
                 self.chebyshev_iters,
                 math.ceil(math.log(1e-4) / math.log(max(factor, 1e-6))),
@@ -1771,7 +1774,8 @@ class CRBESolver:
             reroute = self.chebyshev_policy == "reroute"
             self._check_chebyshev_applicable(ops, warn=not reroute)
             if reroute:
-                if not (self._cheb_factor < 0.97):
+                if not (self._cheb_factor
+                        < linalg.CHEBYSHEV_FACTOR_GATE):
                     self._reroute_divergent_chebyshev()
                 elif not getattr(self, "_cheb_warn_evaluated", False):
                     # Sub-threshold factors still get the

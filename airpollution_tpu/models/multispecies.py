@@ -449,11 +449,16 @@ class MultiSpeciesSolver:
         scale = 1.0 / jnp.sqrt(ops.system_diag)
         lo, hi = linalg.power_bounds(mv, z, scale=scale)
         beta = linalg.skew_norm(mv, z, scale=scale)
-        factor = float(linalg.chebyshev_convergence_factor(lo, hi, beta))
-        if not (factor < 0.97):
+        # Shared gate implementation (ops/linalg.chebyshev_gate) — one
+        # place for the thresholds/formulas across solvers.
+        factor, k_rec, marginal = linalg.chebyshev_gate(
+            lo, hi, beta, self.chebyshev_iters
+        )
+        if not (factor < linalg.CHEBYSHEV_FACTOR_GATE):
             msg = (
                 f"Chebyshev worst-case convergence factor {factor:.3f} "
-                f">= 0.97 (advection-dominated operator) and the fused "
+                f">= {linalg.CHEBYSHEV_FACTOR_GATE} (advection-dominated "
+                f"operator) and the fused "
                 f"multispecies path is Chebyshev-only — use "
                 f"matvec_impl='ell'/'stencil' with "
                 f"solver_method='bicgstab', or reduce dt"
@@ -464,11 +469,9 @@ class MultiSpeciesSolver:
 
             warnings.warn(msg + " (chebyshev_policy='warn': "
                           "proceeding anyway)", stacklevel=3)
-        elif factor > 0.0 and factor ** self.chebyshev_iters > 0.5:
-            import math as _math
+        elif marginal:
             import warnings
 
-            k_rec = int(_math.ceil(_math.log(0.1) / _math.log(factor)))
             warnings.warn(
                 f"chebyshev_iters={self.chebyshev_iters} gives only a "
                 f"{1.0 / factor ** self.chebyshev_iters:.1f}x worst-case "

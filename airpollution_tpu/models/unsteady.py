@@ -237,6 +237,7 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
         view.obstacle_dead_mask = dead
         bmask = bmask | dead
 
+    fixed_bounds = None
     if fused:
         rect = None
         if robin:
@@ -248,7 +249,6 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
             rect = pallas_hbm.robin_rect_bounds(
                 stencil_mod.get_pattern(md).c, robin
             )
-        fixed_bounds = None
         if not reestimate_bounds:
             # One eager mid-horizon estimate, widened 10% each way so a
             # slowly drifting spectrum stays bracketed (Chebyshev only
@@ -309,7 +309,13 @@ def solve_time_varying(problem, mesh_data, *, reassemble_every: int,
                  int(chebyshev_iters), bool(extrapolate_warm_start),
                  bool(differentiable), source_quadrature,
                  bool(store_solutions), matvec_impl,
-                 bool(reestimate_bounds),
+                 # The frozen interval's VALUES (not just the flag): the
+                 # chunk closure bakes the host floats, and they depend
+                 # on the problem's coefficients — a cache hit across
+                 # same-type problems with different winds would reuse a
+                 # stale spectrum. (The eager estimate above runs before
+                 # the cache lookup for the same reason.)
+                 bool(reestimate_bounds), fixed_bounds,
                  # The closure bakes the lift-strip bmask (reduced by
                  # Robin sides) — a cache hit across different Robin
                  # specs would silently zero deposition-wall DOFs in

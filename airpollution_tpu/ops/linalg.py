@@ -325,6 +325,36 @@ def chebyshev_convergence_factor(lo, hi, beta):
     return num / jnp.maximum(den, 1e-30)
 
 
+#: Worst-case-factor threshold above which a Chebyshev solve is
+#: divergence-prone (the applicability gates in models/crbe and
+#: models/multispecies — ONE constant so a retuning cannot leave a copy
+#: behind).
+CHEBYSHEV_FACTOR_GATE = 0.97
+
+
+def chebyshev_gate(lo, hi, beta, iters: int):
+    """Shared applicability/adequacy verdict for a Chebyshev config.
+
+    Returns ``(factor, k_rec, marginal)``: the worst-case asymptotic
+    factor (host float), the iteration count recommended for a 10x
+    per-step residual reduction, and whether the configuration is in
+    the MARGINAL band — factor below the divergence gate but
+    ``factor**iters > 0.5`` (< 2x per-step reduction), where
+    long-horizon/sourced solves drift even though the gate passes
+    (measured: 1025^2 runs NaN'd this way at small k). Both the serial
+    solver's check (models/crbe._warn_cheb_factor) and the fused
+    multispecies gate (models/multispecies._fused_bounds) consume this
+    one implementation."""
+    import math
+
+    factor = float(chebyshev_convergence_factor(lo, hi, beta))
+    marginal = bool(0.0 < factor < CHEBYSHEV_FACTOR_GATE
+                    and factor ** iters > 0.5)
+    k_rec = (int(math.ceil(math.log(0.1) / math.log(factor)))
+             if 0.0 < factor < 1.0 else 0)
+    return factor, k_rec, marginal
+
+
 def chebyshev(
     matvec: Callable,
     b: jax.Array,

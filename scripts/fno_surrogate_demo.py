@@ -142,8 +142,12 @@ def main():
         lr *= 0.5
     t_train = time.time() - t0
     losses_all = np.concatenate(losses_all)
-    log(f"train: {args.epochs} steps in {t_train:.1f}s "
-        f"({args.epochs / t_train:.0f} steps/s); loss "
+    # The ACTUAL trained-step count (chunk rounding may exceed
+    # args.epochs) — throughput and the artifact report this, not the
+    # requested number.
+    epochs_run = int(losses_all.shape[0])
+    log(f"train: {epochs_run} steps in {t_train:.1f}s "
+        f"({epochs_run / t_train:.0f} steps/s); loss "
         f"{losses_all[0]:.3f} -> {losses_all[-1]:.5f}")
 
     rel_tr = fno.relative_l2(params, Xtr, Ytr)
@@ -241,10 +245,10 @@ def main():
         "snapshot_times": None if snap_times is None
         else [float(t) for t in snap_times],
         "modes": args.modes, "width": args.width, "depth": args.depth,
-        "n_params": n_params, "epochs": args.epochs,
+        "n_params": n_params, "epochs": epochs_run,
         "batch": args.batch, "lr": args.lr, "weight_decay": args.weight_decay,
         "dataset_gen_s": t_data, "train_s": t_train,
-        "train_steps_per_sec": args.epochs / t_train,
+        "train_steps_per_sec": epochs_run / t_train,
         "loss_first": float(losses_all[0]),
         "loss_last": float(losses_all[-1]),
         "rel_l2_train_vs_fem": rel_tr,

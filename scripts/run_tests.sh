@@ -16,8 +16,15 @@
 set -u
 cd "$(dirname "$0")/.."
 
-NSHARDS="${1:-4}"
-shift 2>/dev/null || true
+# First arg is NSHARDS only when numeric; anything else (e.g. -k expr,
+# -x) passes straight to pytest — a non-numeric NSHARDS would abort the
+# shard loop's arithmetic and exit 0 having run nothing (false green).
+if [[ "${1:-}" =~ ^[0-9]+$ ]]; then
+  NSHARDS="$1"
+  shift
+else
+  NSHARDS=4
+fi
 
 mapfile -t FILES < <(ls tests/test_*.py | sort)
 total=${#FILES[@]}

@@ -106,3 +106,26 @@ def test_error_paths(tmp_path):
     )
     with pytest.raises(ValueError, match="triangle"):
         read_msh(str(empty))
+
+
+def test_v40_fixture_matches_generator():
+    """MSH 4.0 stores 'tag x y z' per node line (4.1 splits tags and
+    coordinates) — the committed 4.0 fixture parses identically."""
+    m = read_msh(os.path.join(DATA, "square_4_v40.msh"))
+    ref = create_mesh(4, 20.0)
+    np.testing.assert_array_equal(m.points, ref.points)
+    np.testing.assert_array_equal(m.triangles, ref.triangles)
+
+
+def test_written_entities_declare_the_referenced_surface():
+    """write_msh's $Entities must declare the SAME surface tag its
+    $Nodes/$Elements blocks reference (gmsh resolves blocks against
+    $Entities; an undeclared tag is a load error there even though
+    read_msh ignores the section)."""
+    with open(os.path.join(DATA, "square_5.msh")) as f:
+        lines = [ln.strip() for ln in f.read().splitlines()]
+    ent = lines.index("$Entities")
+    surf_tag = lines[ent + 2].split()[0]
+    nodes_hdr = lines[lines.index("$Nodes") + 2].split()
+    elems_hdr = lines[lines.index("$Elements") + 2].split()
+    assert nodes_hdr[1] == surf_tag and elems_hdr[1] == surf_tag
