@@ -40,7 +40,9 @@ for ((s = 0; s < NSHARDS; s++)); do
   echo "=== shard $((s + 1))/${NSHARDS}: ${#shard[@]} files ==="
   python -m pytest "${shard[@]}" -q "$@"
   rc=$?
-  if [ $rc -ne 0 ]; then
+  # rc=5 = "no tests collected" — expected for shards a -k/-m filter
+  # empties; not a failure.
+  if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
     echo "shard $((s + 1)) FAILED (rc=$rc)"
     overall=1
   fi
