@@ -106,7 +106,7 @@ def _solve_time_varying(args, domain, problem, md):
                    else None)
         print(f"saved field to {args.save}", file=sys.stderr)
     print(json.dumps({
-        "method": "crbe_quasi_static", "mesh_size": args.mesh_size,
+        "method": "crbe_quasi_static", **_mesh_json(args),
         "nt": args.nt, "order": args.order,
         "n_dofs": int(md.number_of_segments),
         "reassemble_every": args.reassemble_every,
@@ -171,6 +171,15 @@ def _mesh_data(args, domain):
                         domain, nt=args.nt)
 
 
+def _mesh_json(args):
+    """Resolution tag for the artifact JSON row. File-loaded meshes must
+    not be mislabeled with the unused --mesh_size (advisor finding,
+    round 3): emit the file path and a null mesh_size instead."""
+    if getattr(args, "mesh_file", None):
+        return {"mesh_size": None, "mesh_file": args.mesh_file}
+    return {"mesh_size": args.mesh_size}
+
+
 def cmd_solve(args):
     from airpollution_tpu.io.checkpoint import save_field
     from airpollution_tpu.models.crbe import CRBESolver
@@ -211,7 +220,7 @@ def cmd_solve(args):
                    times=times if store else None)
         print(f"saved field to {args.save}", file=sys.stderr)
     print(json.dumps({
-        "method": "crbe", "mesh_size": args.mesh_size, "nt": args.nt,
+        "method": "crbe", **_mesh_json(args), "nt": args.nt,
         "order": args.order, "n_dofs": int(md.number_of_segments),
         "solve_time_s": round(solver.solve_time, 4),
         "rel_l2": rel, "l2": l2, "max_error": mx,
@@ -265,7 +274,7 @@ def cmd_multispecies(args):
     store = bool(args.snapshot_every)
     sols = solver.solve(store_solutions=store)
     out = {
-        "method": "multispecies", "mesh_size": args.mesh_size,
+        "method": "multispecies", **_mesh_json(args),
         "n_species": K, "rates": list(rates), "nt": args.nt,
         "order": args.order, "matvec_impl": args.matvec_impl,
         "splitting": solver.splitting,
@@ -319,7 +328,7 @@ def cmd_pinn(args):
         lambda fn: model.compute_errors(md, fn), problem
     )
     print(json.dumps({
-        "method": "pinn", "mesh_size": args.mesh_size,
+        "method": "pinn", **_mesh_json(args),
         "epochs_run": len(history["total_loss"]),
         "final_loss": history["total_loss"][-1],
         "train_time_s": round(model.training_time, 2),
@@ -495,7 +504,7 @@ def cmd_ensemble(args):
     exc = out.get("exceedance")
     payload = {
         "method": "ensemble", "members": args.members,
-        "mesh_size": args.mesh_size, "nt": args.nt, "order": args.order,
+        **_mesh_json(args), "nt": args.nt, "order": args.order,
         "mean_field_max": float(out["mean"].max()),
         "spread_max": float(out["std"].max()),
         "exceedance_mean": {str(t): float(exc[i].mean())
@@ -653,7 +662,7 @@ def cmd_fno(args):
         save_pytree(args.save, params)
         print(f"saved FNO params to {args.save}", file=sys.stderr)
     print(json.dumps({
-        "method": "fno", "mesh_size": args.mesh_size, "nt": args.nt,
+        "method": "fno", **_mesh_json(args), "nt": args.nt,
         "n_train": args.n_train, "n_test": args.n_test,
         "n_times": args.n_times, "epochs": args.epochs, "batch": batch,
         "data_parallel": bool(use_dp), "n_devices": n_dev if use_dp else 1,

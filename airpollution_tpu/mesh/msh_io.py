@@ -173,14 +173,21 @@ def read_msh(path: str) -> Mesh:
         )
     if "Nodes" not in blocks or "Elements" not in blocks:
         raise ValueError(f"{path}: missing $Nodes/$Elements section")
-    if version >= 4.0:
-        # 4.0 and 4.1 differ in the $Nodes block layout (4.0: one
-        # 'tag x y z' line per node; 4.1: tags first, coords after).
-        pts, tris = _parse_v4(blocks, v40=version < 4.1)
-    elif version >= 2.0:
-        pts, tris = _parse_v2(blocks)
-    else:
-        raise ValueError(f"{path}: unsupported .msh version {version}")
+    try:
+        if version >= 4.0:
+            # 4.0 and 4.1 differ in the $Nodes block layout (4.0: one
+            # 'tag x y z' line per node; 4.1: tags first, coords after).
+            pts, tris = _parse_v4(blocks, v40=version < 4.1)
+        elif version >= 2.0:
+            pts, tris = _parse_v2(blocks)
+        else:
+            raise ValueError(f"{path}: unsupported .msh version {version}")
+    except KeyError as e:
+        # A triangle references a node tag absent from $Nodes — surface
+        # it as a file-format error, not a raw dict lookup failure.
+        raise ValueError(
+            f"{path}: element references undefined node tag {e.args[0]}"
+        ) from None
     if tris.shape[0] == 0:
         raise ValueError(f"{path}: no 3-node triangles in $Elements")
     return Mesh(points=pts, triangles=_orient_ccw(pts, tris),

@@ -1777,6 +1777,19 @@ class CRBESolver:
                 if not (self._cheb_factor
                         < linalg.CHEBYSHEV_FACTOR_GATE):
                     self._reroute_divergent_chebyshev()
+                    # The reroute just switched to BiCGStab: the
+                    # large-mesh float32 tolerance-floor policy must
+                    # still apply, or a >6M-DOF rerouted solve burns
+                    # solver_maxiter every step against an unreachable
+                    # f32 residual target (advisor finding, round 3).
+                    if (self.solver_method == "bicgstab"
+                            and self.mesh_data.number_of_segments
+                            > 6_000_000
+                            and not getattr(
+                                self, "_large_mesh_policy_applied", False
+                            )):
+                        self._large_mesh_policy_applied = True
+                        self._apply_large_mesh_solver_policy(ops)
                 elif not getattr(self, "_cheb_warn_evaluated", False):
                     # Sub-threshold factors still get the
                     # marginal-iteration-count warning (once).

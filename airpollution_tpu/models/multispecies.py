@@ -676,6 +676,7 @@ class MultiSpeciesSolver:
             solver_method=self.solver_method,
             chebyshev_iters=self.chebyshev_iters,
             matvec_impl=self.matvec_impl,
+            chebyshev_policy=self.chebyshev_policy,
         )
         if self.snapshot_every is not None:
             base["snapshot_every"] = self.snapshot_every
@@ -710,13 +711,24 @@ class MultiSpeciesSolver:
         self.solve_time = time.time() - t_start
         return self.solutions
 
+    def _config_key(self):
+        """Every solver attribute the jitted solve closures bake in
+        (mirrors CRBESolver._config_key — mutating any of these after a
+        solve() must not silently reuse a stale compiled program)."""
+        return (
+            self.time_scheme_order, self.solver_tol, self.solver_maxiter,
+            self.solver_method, self.chebyshev_iters, self.matvec_impl,
+            self.splitting, self.snapshot_every, self.chebyshev_policy,
+            self.stiffness_convention,
+        )
+
     def solve(self, store_solutions: bool = True):
         import time
 
         if self.splitting == "commute":
             return self._solve_commute(store_solutions)
         ops = self._require_ops()
-        key = (store_solutions,)
+        key = (store_solutions,) + self._config_key()
         fn = self._solve_fn_cache.get(key)
         if fn is None:
             fn = self._solve_fn_cache[key] = self._build_solve_fn(

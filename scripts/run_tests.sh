@@ -29,6 +29,7 @@ fi
 mapfile -t FILES < <(ls tests/test_*.py | sort)
 total=${#FILES[@]}
 overall=0
+ran_any=0
 start=$(date +%s)
 
 for ((s = 0; s < NSHARDS; s++)); do
@@ -41,12 +42,21 @@ for ((s = 0; s < NSHARDS; s++)); do
   python -m pytest "${shard[@]}" -q "$@"
   rc=$?
   # rc=5 = "no tests collected" — expected for shards a -k/-m filter
-  # empties; not a failure.
-  if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
+  # empties; not a failure PROVIDED some shard ran something.
+  if [ $rc -eq 0 ]; then
+    ran_any=1
+  elif [ $rc -ne 5 ]; then
     echo "shard $((s + 1)) FAILED (rc=$rc)"
     overall=1
   fi
 done
+
+# Every shard returned rc=5: the filter matched nothing anywhere (e.g.
+# a -k typo) — zero tests ran, which must not read as green.
+if [ $overall -eq 0 ] && [ $ran_any -eq 0 ]; then
+  echo "ERROR: no tests were collected in any shard (filter typo?)"
+  overall=1
+fi
 
 echo "=== total wall-clock: $(($(date +%s) - start))s, exit ${overall} ==="
 exit $overall
