@@ -300,17 +300,12 @@ def robin_terms(mesh_data, problem, alpha_override=None):
     return mesh_data.boundary_mask & ~robin_mask, robin_mask, alpha_vec
 
 
-def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
-             stiffness_convention: str = "correct",
-             coeff_time=None, robin_alpha=None) -> GlobalOperators:
-    """Assemble all global operators in one pass (crbe.py:326-362 analogue).
-
-    ``coeff_time``: evaluation time for TIME-VARYING coefficient hooks
-    (problems.AdDifProblem.time_varying) — required for such problems
-    (the quasi-static chunk driver models/unsteady.solve_time_varying
-    passes each chunk's midpoint time); a time-varying problem with no
-    ``coeff_time`` raises rather than silently freezing the t=0 wind.
-    """
+def _local_operators(mesh_data, problem, stiffness_convention,
+                     coeff_time):
+    """Shared local-matrix front end of :func:`assemble` /
+    :func:`assemble_canvas`: coefficient sampling (constant or
+    centroid-sampled fields, time-varying hooks), the vmapped local
+    matrices, and obstacle masking. Returns ``(loc, dead_mask)``."""
     md = mesh_data
     verts = md.points[md.triangles]  # (n_tri, 3, 2)
     time_varying = getattr(problem, "time_varying", False)
@@ -349,6 +344,24 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
             stiffness=loc.stiffness * keep[:, None, None],
             advection=loc.advection * keep[:, None, None],
         )
+    return loc, dead
+
+
+def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
+             stiffness_convention: str = "correct",
+             coeff_time=None, robin_alpha=None) -> GlobalOperators:
+    """Assemble all global operators in one pass (crbe.py:326-362 analogue).
+
+    ``coeff_time``: evaluation time for TIME-VARYING coefficient hooks
+    (problems.AdDifProblem.time_varying) — required for such problems
+    (the quasi-static chunk driver models/unsteady.solve_time_varying
+    passes each chunk's midpoint time); a time-varying problem with no
+    ``coeff_time`` raises rather than silently freezing the t=0 wind.
+    """
+    md = mesh_data
+    loc, dead = _local_operators(
+        md, problem, stiffness_convention, coeff_time
+    )
 
     t2s_flat = md.triangle_to_segments.reshape(-1)
     n_seg = md.number_of_segments
@@ -426,6 +439,109 @@ def assemble(mesh_data, problem, dt: float, time_scheme_order: int,
         system=system,
         system_diag=system_diag,
     )
+
+
+def assemble_canvas(mesh_data, problem, dt: float, time_scheme_order: int,
+                    stiffness_convention: str = "correct",
+                    coeff_time=None, robin_alpha=None):
+    """Direct local->canvas assembly for STRUCTURED meshes.
+
+    The general :func:`assemble` route scatters 9*n_tri local entries
+    into the ELL operator (``ell_from_entries`` — a sort-based segment
+    reduction, 0.58 s per call at 1025^2) and the canvas engines then
+    gather them back out (``extract_coefficients``, 0.15 s) — the
+    profiled bottleneck of the quasi-static time-varying chunk driver
+    (models/unsteady, reassembly-bound at 109 steps/s at 1025^2). On a
+    structured mesh both shuffles are unnecessary: every stencil term
+    canvas is a fixed 1-2-slice combination of the per-triangle local
+    matrices (ops/stencil.canvases_from_local), so this function builds
+    the SAME system canvases with static slicing only.
+
+    Returns ``(coeffs, mass_fam, system_diag_fam)`` in family layout:
+
+    - ``coeffs``: the 15 system coefficient canvases — equal to
+      ``extract_coefficients(pattern, assemble(...).system.vals)``
+      (f64-bitwise up to summation order; tests/test_stencil.py oracle)
+    - ``mass_fam`` = ``assemble(...).mass_diag[pattern.perm]``
+    - ``system_diag_fam`` = ``assemble(...).system_diag[pattern.perm]``
+
+    i.e. exactly the inputs of the canvas solve paths
+    (ops/pallas_hbm.fused_solve_canvas_hbm, the stencil scan matvec),
+    which never need the global ELL operator at all. Reaction, Robin
+    walls (``robin_alpha`` override included), obstacles, variable and
+    time-varying coefficients all follow the same folds as
+    :func:`assemble`.
+    """
+    from airpollution_tpu.ops import stencil as stencil_mod
+
+    md = mesh_data
+    n = getattr(md, "structured_n", None)
+    if n is None:
+        raise ValueError("assemble_canvas requires a structured mesh "
+                         "(general meshes take the assemble() ELL route)")
+    ncell = n - 1
+    loc, dead = _local_operators(
+        md, problem, stiffness_convention, coeff_time
+    )
+    ka_loc = loc.stiffness + loc.advection
+    r = getattr(problem, "reaction", 0.0)
+    if not (isinstance(r, (int, float)) and r == 0.0):
+        # + r M on the (diagonal) local mass — assembles to the same
+        # global diagonal fold as assemble()'s ell_diag_slot add.
+        ka_loc = ka_loc + (r * loc.mass_diag)[:, :, None] * jnp.eye(
+            3, dtype=ka_loc.dtype
+        )
+    c = {1: 1.0, 2: 0.5}[time_scheme_order]
+    coeffs, (mH, mV, mD) = stencil_mod.canvases_from_local(
+        n, (c * dt) * ka_loc, loc.mass_diag
+    )
+
+    # Per-DOF diagonal folds and masks, reshaped to the family canvases
+    # (the family permutation concatenates H.ravel(), V.ravel(),
+    # D.ravel() — ops/stencil.build_family_perm).
+    perm = jnp.asarray(stencil_mod.get_family_perm(md)[0])
+    nH, nV = n * ncell, ncell * n
+
+    def fam_split(vec):
+        v = vec[perm]
+        return (v[:nH].reshape(n, ncell),
+                v[nH:nH + nV].reshape(ncell, n),
+                v[nH + nV:].reshape(ncell, ncell))
+
+    dirichlet_mask, _, robin_vec = robin_terms(
+        md, problem, alpha_override=robin_alpha
+    )
+    if dead is not None:
+        dirichlet_mask = dirichlet_mask | dead
+        # Unit mass on fully-interior obstacle DOFs (assemble(): a
+        # well-conditioned identity row after Dirichlet masking).
+        dH, dV, dD = fam_split(dead)
+        mH = jnp.where(dH, jnp.ones((), mH.dtype), mH)
+        mV = jnp.where(dV, jnp.ones((), mV.dtype), mV)
+        mD = jnp.where(dD, jnp.ones((), mD.dtype), mD)
+    diag_adds = [mH, mV, mD]
+    if robin_vec is not None:
+        for fam, rv in enumerate(fam_split(robin_vec)):
+            diag_adds[fam] = diag_adds[fam] + (c * dt) * rv.astype(
+                diag_adds[fam].dtype
+            )
+    bmasks = fam_split(dirichlet_mask)
+
+    out = []
+    for k, canvas in enumerate(coeffs):
+        fam = k // 5
+        if k % 5 == 0:  # the diagonal term of this family's rows
+            canvas = canvas + diag_adds[fam]
+            canvas = jnp.where(bmasks[fam], 1.0, canvas)
+        else:
+            canvas = jnp.where(bmasks[fam], 0.0, canvas)
+        out.append(canvas)
+
+    mass_fam = jnp.concatenate([mH.ravel(), mV.ravel(), mD.ravel()])
+    system_diag_fam = jnp.concatenate(
+        [out[0].ravel(), out[5].ravel(), out[10].ravel()]
+    )
+    return tuple(out), mass_fam, system_diag_fam
 
 
 def run_time_loop(ops: GlobalOperators, u0, *, mesh_data, problem, dt,

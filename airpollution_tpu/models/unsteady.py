@@ -32,7 +32,12 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 
-from airpollution_tpu.models.crbe import assemble, robin_terms, run_time_loop
+from airpollution_tpu.models.crbe import (
+    assemble,
+    assemble_canvas,
+    robin_terms,
+    run_time_loop,
+)
 
 # One compiled chunk program per (mesh id, static config): the chunk
 # body is traced in (u0, t0) and the problem pytree, so sweeps and
@@ -88,14 +93,17 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
 
     def chunk(u0_c, t0_c, prob):
         sourced = not getattr(prob, "zero_source", False)
-        ops = assemble(md, prob, dt, order, convention,
-                       coeff_time=t0_c + 0.5 * k * dt)
-        coeffs = stencil_mod.extract_coefficients(
-            pattern, ops.system.vals
+        # Direct local->canvas assembly (models/crbe.assemble_canvas):
+        # skips the 9*n_tri ELL scatter + canvas gather that made the
+        # quasi-static chunks reassembly-bound (0.58 s + 0.15 s per
+        # chunk at 1025^2 — the round-3 profile, commit 9b0cd1a).
+        coeffs, mass_raw_fam, diag_fam = assemble_canvas(
+            md, prob, dt, order, convention,
+            coeff_time=t0_c + 0.5 * k * dt,
         )
         bmask_fam = bmask[perm]
-        mass_fam = jnp.where(bmask_fam, 0.0, ops.mass_diag[perm])
-        inv_diag_fam = 1.0 / ops.system_diag[perm]
+        mass_fam = jnp.where(bmask_fam, 0.0, mass_raw_fam)
+        inv_diag_fam = 1.0 / diag_fam
         if fixed_bounds is not None:
             bounds = fixed_bounds
         else:
@@ -103,7 +111,7 @@ def _fused_chunk(md, dt, k, order, convention, iters, extrapolate,
                              coeffs)
             bounds = linalg.power_bounds(
                 matvec, jnp.zeros_like(mass_fam),
-                scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+                scale=1.0 / jnp.sqrt(diag_fam),
             )
         src_kw = {}
         if sourced:

@@ -173,6 +173,82 @@ def build_stencil_pattern(t2s, ell_cols, n: int) -> StencilPattern:
     )
 
 
+def canvases_from_local(n: int, local, local_mass=None):
+    """Stencil coefficient canvases DIRECTLY from per-triangle local
+    matrices — the structured-mesh shortcut past global assembly.
+
+    ``ell_from_entries`` scatters 9*n_tri entries into the ELL operator
+    (a sort-based segment reduction — 0.58 s at 1025^2) and
+    :func:`extract_coefficients` gathers them back out (0.15 s); on a
+    structured mesh both are pure layout shuffles, because each of the
+    15 stencil terms is a FIXED 1-2-term combination of local-matrix
+    slices (the neighbor-table derivation in the module docstring: the
+    only triangles coupling a family pair are tri A/B of the one or two
+    adjacent cells). This function emits each term canvas as those
+    slices placed with static pads — zero scatters, zero gathers.
+
+    ``local``: (n_tri, 3, 3) local matrices in mesh triangle order
+    (tri A of cell (row j, col i) at index 2*(j*c + i), tri B at +1 —
+    mesh/structured.py contract). ``local_mass``: optional (n_tri, 3)
+    diagonal local mass entries.
+
+    Returns ``(coeffs, mass)``: the 15-tuple in
+    :func:`extract_coefficients` order (canvas shapes H (n, c),
+    V (c, n), D (c, c)) of the UNMASKED assembled operator — the
+    per-DOF diagonal adds (global mass, reaction/Robin alpha) and the
+    Dirichlet identity masking are the caller's (models/crbe.
+    assemble_canvas), exactly as they are for the ELL route — and the
+    assembled mass canvases (mH, mV, mD), or None without
+    ``local_mass``.
+    """
+    c = n - 1
+    L = local.reshape(c, c, 2, 3, 3)
+    LA, LB = L[:, :, 0], L[:, :, 1]
+    dtype = local.dtype
+
+    def place(shape, src, dst_slice):
+        out = jnp.zeros(shape, dtype)
+        return out.at[dst_slice].set(src)
+
+    # --- H rows (n, c): H(j,i) = edge 2 of tri A(j,i) [j<c] and edge 0
+    # of tri B(j-1,i) [j>=1] ---
+    cHH = (place((n, c), LA[:, :, 2, 2], np.s_[:c, :])
+           .at[1:, :].add(LB[:, :, 0, 0]))
+    cHVu = place((n, c), LA[:, :, 2, 0], np.s_[:c, :])
+    cHDu = place((n, c), LA[:, :, 2, 1], np.s_[:c, :])
+    cHVd = place((n, c), LB[:, :, 0, 1], np.s_[1:, :])
+    cHDd = place((n, c), LB[:, :, 0, 2], np.s_[1:, :])
+    # --- V rows (c, n): V(j,i) = edge 1 of tri B(j,i) [i<c] and edge 0
+    # of tri A(j,i-1) [i>=1] ---
+    cVV = (place((c, n), LB[:, :, 1, 1], np.s_[:, :c])
+           .at[:, 1:].add(LA[:, :, 0, 0]))
+    cVDl = place((c, n), LA[:, :, 0, 1], np.s_[:, 1:])
+    cVHl = place((c, n), LA[:, :, 0, 2], np.s_[:, 1:])
+    cVHr = place((c, n), LB[:, :, 1, 0], np.s_[:, :c])
+    cVDr = place((c, n), LB[:, :, 1, 2], np.s_[:, :c])
+    # --- D rows (c, c): D(j,i) = edge 1 of tri A(j,i) AND edge 2 of
+    # tri B(j,i) ---
+    cDD = LA[:, :, 1, 1] + LB[:, :, 2, 2]
+    cDVr = LA[:, :, 1, 0]
+    cDHd = LA[:, :, 1, 2]
+    cDHu = LB[:, :, 2, 0]
+    cDVl = LB[:, :, 2, 1]
+
+    coeffs = (cHH, cHVu, cHDu, cHVd, cHDd,
+              cVV, cVDl, cVHl, cVHr, cVDr,
+              cDD, cDVr, cDHd, cDHu, cDVl)
+    if local_mass is None:
+        return coeffs, None
+    m = local_mass.reshape(c, c, 2, 3)
+    mA, mB = m[:, :, 0], m[:, :, 1]
+    mH = (place((n, c), mA[:, :, 2], np.s_[:c, :])
+          .at[1:, :].add(mB[:, :, 0]))
+    mV = (place((c, n), mB[:, :, 1], np.s_[:, :c])
+          .at[:, 1:].add(mA[:, :, 0]))
+    mD = mA[:, :, 1] + mB[:, :, 2]
+    return coeffs, (mH, mV, mD)
+
+
 def extract_coefficients(pattern: StencilPattern, ell_vals) -> tuple:
     """Coefficient grids from the flat ELL values (one gather, per solve)."""
     flat = ell_vals.reshape(-1)

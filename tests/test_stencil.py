@@ -52,6 +52,82 @@ def test_full_solve_stencil_equals_ell():
         )
 
 
+def _canvas_oracle(md, problem, dt, order, convention="correct",
+                   coeff_time=None, atol=1e-14):
+    """assemble_canvas must equal the ELL route's
+    assemble + extract_coefficients + permuted mass/diag (f64)."""
+    from airpollution_tpu.models.crbe import assemble_canvas
+    from airpollution_tpu.ops.stencil import get_pattern
+
+    ops = assemble(md, problem, dt, order, convention,
+                   coeff_time=coeff_time)
+    pattern = get_pattern(md)
+    ref_coeffs = extract_coefficients(pattern, ops.system.vals)
+    perm = jnp.asarray(pattern.perm)
+
+    coeffs, mass_fam, diag_fam = assemble_canvas(
+        md, problem, dt, order, convention, coeff_time=coeff_time
+    )
+    for k, (got, want) in enumerate(zip(coeffs, ref_coeffs)):
+        np.testing.assert_allclose(
+            np.asarray(got).ravel(), np.asarray(want).ravel(),
+            atol=atol, err_msg=f"term {k}"
+        )
+    np.testing.assert_allclose(np.asarray(mass_fam),
+                               np.asarray(ops.mass_diag[perm]), atol=atol)
+    np.testing.assert_allclose(np.asarray(diag_fam),
+                               np.asarray(ops.system_diag[perm]),
+                               atol=atol)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("convention", ["correct", "reference"])
+def test_assemble_canvas_equals_ell_route(order, convention):
+    md = MeshData(create_mesh(9, 20.0), Domain(), nt=8,
+                  dtype=jnp.float64)
+    _canvas_oracle(md, Problem(), 0.13, order, convention)
+
+
+def test_assemble_canvas_reaction_and_robin():
+    md = MeshData(create_mesh(9, 20.0), Domain(), nt=8,
+                  dtype=jnp.float64)
+    p = Problem(reaction=0.37)
+    p.robin_sides = {"bottom": 0.02, "left": 0.5}
+    _canvas_oracle(md, p, 0.13, 2)
+
+
+def test_assemble_canvas_obstacles():
+    md = MeshData(create_mesh(17, 20.0), Domain(), nt=8,
+                  dtype=jnp.float64)
+    p = Problem()
+    p.obstacles = ((-5.0, 0.0, -2.5, 2.5),)
+    _canvas_oracle(md, p, 0.13, 1)
+
+
+def test_assemble_canvas_variable_and_time_varying():
+    from airpollution_tpu.problems import (
+        RotatingPlumeProblem,
+        TurningWindProblem,
+    )
+
+    md = MeshData(create_mesh(9, 20.0), Domain(), nt=8,
+                  dtype=jnp.float64)
+    _canvas_oracle(md, RotatingPlumeProblem(omega=0.1), 0.13, 1)
+    _canvas_oracle(md, TurningWindProblem(speed=0.8, omega_t=0.2),
+                   0.13, 2, coeff_time=3.7)
+
+
+def test_assemble_canvas_rejects_unstructured():
+    from airpollution_tpu.mesh.structured import Mesh
+    from airpollution_tpu.models.crbe import assemble_canvas
+
+    m = create_mesh(5, 20.0)
+    md = MeshData(Mesh(points=m.points, triangles=m.triangles,
+                       n_points_per_axis=None), Domain(), nt=4)
+    with pytest.raises(ValueError, match="structured"):
+        assemble_canvas(md, Problem(), 0.1, 1)
+
+
 def test_stencil_requires_structured_mesh():
     from airpollution_tpu.mesh.structured import Mesh
 
