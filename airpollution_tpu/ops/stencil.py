@@ -258,6 +258,42 @@ def extract_coefficients(pattern: StencilPattern, ell_vals) -> tuple:
     )
 
 
+def transpose_coefficients(coeffs: tuple) -> tuple:
+    """Coefficient canvases of the TRANSPOSED operator, same 15-term
+    structure: ``stencil_matvec(pattern, transpose_coefficients(c), x)
+    == A^T x``.
+
+    Each directed stencil term (family_r -> family_c at a fixed offset)
+    has a unique reverse term (family_c -> family_r at the negated
+    offset); transposing re-slots each canvas into its reverse term's
+    grid, shifted to index by the NEW row. Diagonal terms (HH, VV, DD)
+    are fixed points. Feeds the adjoint sweep of the differentiable
+    fused engines (ops/pallas_hbm.chebyshev_apply_canvas_hbm with these
+    canvases == the same Chebyshev polynomial of A^T)."""
+    (cHH, cHVu, cHDu, cHVd, cHDd,
+     cVV, cVDl, cVHl, cVHr, cVDr,
+     cDD, cDVr, cDHd, cDHu, cDVl) = coeffs
+    pad = jnp.pad
+    c = cDD.shape[0]
+    return (
+        cHH,
+        pad(cVHl[:, 1:], ((0, 1), (0, 0))),   # H->V(up):   rev of V->H(left)
+        pad(cDHd, ((0, 1), (0, 0))),          # H->D(up):   rev of D->H(down)
+        pad(cVHr[:, :c], ((1, 0), (0, 0))),   # H->V(down): rev of V->H(right)
+        pad(cDHu, ((1, 0), (0, 0))),          # H->D(down): rev of D->H(up)
+        cVV,
+        pad(cDVr, ((0, 0), (1, 0))),          # V->D(left):  rev of D->V(right)
+        pad(cHVu[:c, :], ((0, 0), (1, 0))),   # V->H(left):  rev of H->V(up)
+        pad(cHVd[1:, :], ((0, 0), (0, 1))),   # V->H(right): rev of H->V(down)
+        pad(cDVl, ((0, 0), (0, 1))),          # V->D(right): rev of D->V(left)
+        cDD,
+        cVDl[:, 1:],                          # D->V(right): rev of V->D(left)
+        cHDu[:c, :],                          # D->H(down):  rev of H->D(up)
+        cHDd[1:, :],                          # D->H(up):    rev of H->D(down)
+        cVDr[:, :c],                          # D->V(left):  rev of V->D(right)
+    )
+
+
 def stencil_matvec(pattern: StencilPattern, coeffs: tuple, x_fam):
     """y = A @ x in family layout: 15 shift-multiply-adds, no gathers."""
     n, c = pattern.n, pattern.c

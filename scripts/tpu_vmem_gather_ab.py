@@ -1,0 +1,123 @@
+"""A/B: VMEM-resident gather SpMV vs the XLA ELL gather (unstructured).
+
+The round-3 verdict's "Missing #1": the one unplayed lever for the
+reference's native (unstructured gmsh) mesh regime is a Pallas kernel
+holding x in VMEM (788 KB at 257^2) while streaming the ELL
+coefficients — IF Mosaic lowers the dynamic gather. This script
+measures both sides at 257^2-unstructured (and any --mesh_sizes) and
+writes results_snapshot/vmem_gather_ab.csv with the keep-or-reject
+data; a Mosaic lowering failure is recorded as a row with
+compile_error set (a documented negative is the deliverable either
+way).
+
+    python scripts/tpu_vmem_gather_ab.py            # TPU
+    APT_PLATFORM=cpu python scripts/tpu_vmem_gather_ab.py --interpret
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("APT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+import airpollution_tpu as apt
+from airpollution_tpu.mesh.structured import create_unstructured_mesh
+from airpollution_tpu.models.crbe import assemble
+from airpollution_tpu.ops import sparse
+from airpollution_tpu.ops.pallas_gather import ell_matvec_vmem
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench(fn, x, iters=50):
+    y = fn(x)
+    y.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        y = fn(y)  # chain to defeat CSE
+    y.block_until_ready()
+    return (time.time() - t0) / iters, y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh_sizes", type=int, nargs="+", default=[257])
+    ap.add_argument("--block_rows", type=int, nargs="+",
+                    default=[1024, 2048, 4096])
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--out",
+                    default="results_snapshot/vmem_gather_ab.csv")
+    args = ap.parse_args()
+    log(f"backend: {jax.default_backend()}")
+
+    rows = []
+    for ms in args.mesh_sizes:
+        md = apt.MeshData(create_unstructured_mesh(ms, 20.0, seed=1),
+                          apt.Domain(), nt=4)
+        n = md.number_of_segments
+        ops = assemble(md, apt.Problem(), 0.05, 1)
+        E = ops.system
+        log(f"[{ms}^2-unstr] {n} DOFs, ELL width {E.cols.shape[1]}")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+        ell = jax.jit(lambda v: sparse.ell_matvec(E, v))
+        t_ell, y_ref = bench(ell, x)
+        log(f"[{ms}^2-unstr] XLA ELL gather: {1e3 * t_ell:.3f} ms/matvec")
+        rows.append(dict(mesh=f"{ms}sq-unstr", n_dofs=n,
+                         impl="xla_ell_gather", block_rows="",
+                         ms_per_matvec=round(1e3 * t_ell, 4),
+                         speedup_vs_ell=1.0, max_diff="",
+                         compile_error=""))
+
+        for br in args.block_rows:
+            try:
+                k = jax.jit(lambda v, _br=br: ell_matvec_vmem(
+                    E, v, block_rows=_br, interpret=args.interpret))
+                t_k, y_k = bench(k, x)
+                d = float(jnp.max(jnp.abs(k(x) - ell(x))))
+                log(f"[{ms}^2-unstr] VMEM gather (block {br}): "
+                    f"{1e3 * t_k:.3f} ms/matvec "
+                    f"({t_ell / t_k:.2f}x vs ELL), max diff {d:.2e}")
+                rows.append(dict(mesh=f"{ms}sq-unstr", n_dofs=n,
+                                 impl="pallas_vmem_gather",
+                                 block_rows=br,
+                                 ms_per_matvec=round(1e3 * t_k, 4),
+                                 speedup_vs_ell=round(t_ell / t_k, 3),
+                                 max_diff=f"{d:.2e}", compile_error=""))
+            except Exception as e:  # noqa: BLE001 — the negative IS data
+                msg = f"{type(e).__name__}: {str(e)[:300]}"
+                log(f"[{ms}^2-unstr] VMEM gather (block {br}) FAILED: "
+                    f"{msg}")
+                rows.append(dict(mesh=f"{ms}sq-unstr", n_dofs=n,
+                                 impl="pallas_vmem_gather",
+                                 block_rows=br, ms_per_matvec="",
+                                 speedup_vs_ell="", max_diff="",
+                                 compile_error=msg))
+
+    out = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                       args.out))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,12 +120,27 @@ def test_chebyshev_guards():
     # canvas stripe kernel (equality-tested in tests/test_pallas_hbm.py);
     # the remaining restriction is canvas + BICGSTAB past the VMEM
     # envelope (test_canvas_bicgstab_past_vmem_raises, same file).
+    # Round 4: differentiable=True + chebyshev is no longer a guard
+    # either — it rides linalg.differentiable_chebyshev_solve (the
+    # exact transpose-polynomial adjoint; gradient oracle in
+    # tests/test_fused_adjoint.py). The primal must match the
+    # non-differentiable chebyshev scan bit-for-bit-ish.
+    import numpy as np
+
     ops = assemble(md, problem, 10 / 7, 1)
     u0 = problem.initial_condition_fn(md.midpoints)
-    with pytest.raises(ValueError, match="bicgstab"):
-        run_time_loop(ops, u0, mesh_data=md, problem=problem, dt=10 / 7,
-                      order=1, tol=1e-7, maxiter=10, solver="chebyshev",
-                      differentiable=True)
+    sols_d, _ = run_time_loop(
+        ops, u0, mesh_data=md, problem=problem, dt=10 / 7, order=1,
+        tol=1e-7, maxiter=10, solver="chebyshev", chebyshev_iters=10,
+        differentiable=True, store_solutions=False,
+    )
+    sols, _ = run_time_loop(
+        ops, u0, mesh_data=md, problem=problem, dt=10 / 7, order=1,
+        tol=1e-7, maxiter=10, solver="chebyshev", chebyshev_iters=10,
+        store_solutions=False,
+    )
+    np.testing.assert_allclose(np.asarray(sols_d), np.asarray(sols),
+                               atol=1e-6)
 
 
 def test_chebyshev_fused_fits_larger_meshes():

@@ -1,0 +1,205 @@
+"""Differentiable fused engines (judge W2, round 3).
+
+The Chebyshev solve is a fixed polynomial of the operator, so its exact
+adjoint is the same polynomial of A^T: the differentiable route wraps the
+canvas stripe kernel (raw_b mode) in lax.custom_linear_solve with the
+transposed coefficient canvases driving the adjoint sweep. These tests
+pin (a) the transpose canvases against the dense transpose, (b) the raw
+kernel against linalg.chebyshev, (c) jax.grad through the fused engine
+against the scan-path BiCGStab adjoint and finite differences.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import airpollution_tpu as apt
+from airpollution_tpu.diagnostics.inverse import solve_final_state
+from airpollution_tpu.models.crbe import assemble, run_time_loop
+from airpollution_tpu.ops import linalg, pallas_hbm
+from airpollution_tpu.ops.stencil import (
+    extract_coefficients,
+    get_pattern,
+    stencil_matvec,
+    transpose_coefficients,
+)
+from airpollution_tpu.problems import Domain, Problem
+
+
+def _setup(n=9, nt=4, dtype=jnp.float64):
+    md = apt.MeshData(apt.create_mesh(n, 20.0), Domain(), nt=nt,
+                      dtype=dtype)
+    ops = assemble(md, Problem(), 0.13, 2)
+    pat = get_pattern(md)
+    coeffs = extract_coefficients(pat, ops.system.vals)
+    return md, ops, pat, coeffs
+
+
+def test_transpose_coefficients_exact():
+    """stencil_matvec over the transposed canvases == dense A^T."""
+    md, ops, pat, coeffs = _setup()
+    cT = transpose_coefficients(coeffs)
+    n = md.number_of_segments
+    E = np.zeros((n, n))
+    vals = np.asarray(ops.system.vals)
+    cols = np.asarray(ops.system.cols)
+    for r in range(n):
+        for k in range(cols.shape[1]):
+            c = cols[r, k]
+            if c >= 0:
+                E[r, c] += vals[r, k]
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=n))
+    perm = jnp.asarray(pat.perm)
+    ATy = np.asarray(stencil_matvec(pat, cT, y[perm]))[pat.inv_perm]
+    np.testing.assert_allclose(ATy, E.T @ np.asarray(y), atol=1e-12)
+
+
+def test_transpose_involution():
+    """Transposing twice returns the original canvases."""
+    _, _, _, coeffs = _setup()
+    cTT = transpose_coefficients(transpose_coefficients(coeffs))
+    for a, b in zip(coeffs, cTT):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_raw_kernel_equals_linalg_chebyshev():
+    """chebyshev_apply_canvas_hbm (raw_b mode) applies exactly the
+    Jacobi-preconditioned polynomial of linalg.chebyshev."""
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=4)
+    ops = assemble(md, Problem(), 0.05, 1)
+    pat = get_pattern(md)
+    coeffs = extract_coefficients(pat, ops.system.vals)
+    perm = jnp.asarray(pat.perm)
+    inv_diag = (1.0 / ops.system_diag)[perm]
+    mv = partial(stencil_matvec, pat, coeffs)
+    bounds = linalg.power_bounds(
+        mv, jnp.zeros_like(inv_diag),
+        scale=1.0 / jnp.sqrt(ops.system_diag[perm]),
+    )
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=md.number_of_segments)
+                    .astype(np.float32))
+    b = jnp.where(md.boundary_mask[perm], 0.0, b)
+    for cc in (coeffs, transpose_coefficients(coeffs)):
+        ref = linalg.chebyshev(partial(stencil_matvec, pat, cc), b,
+                               bounds=bounds, iters=6,
+                               precond=lambda r: inv_diag * r).x
+        got = pallas_hbm.chebyshev_apply_canvas_hbm(
+            pat, cc, inv_diag, b, n_iters=6, bounds=bounds,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-6)
+
+
+def test_differentiable_chebyshev_scan_matches_bicgstab():
+    """run_time_loop(differentiable, solver='chebyshev') gradient ==
+    BiCGStab adjoint at converged iteration counts (f64)."""
+    domain = Domain()
+    md = apt.MeshData(apt.create_mesh(9, 20.0), domain, nt=9,
+                      dtype=jnp.float64)
+    dt = domain.T / (md.nt - 1)
+
+    def loss(D, solver, **kw):
+        p = Problem(D=D)
+        ops = assemble(md, p, dt, 1)
+        u0 = p.initial_condition_fn(md.midpoints)
+        sols, _ = run_time_loop(
+            ops, u0, mesh_data=md, problem=p, dt=dt, order=1,
+            tol=1e-12, maxiter=500, store_solutions=False,
+            differentiable=True, solver=solver, **kw,
+        )
+        return jnp.sum(sols[-1] ** 2)
+
+    g_bicg = jax.grad(lambda D: loss(D, "bicgstab"))(0.1)
+    g_cheb = jax.grad(
+        lambda D: loss(D, "chebyshev", chebyshev_iters=30)
+    )(0.1)
+    np.testing.assert_allclose(float(g_cheb), float(g_bicg), rtol=1e-7)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_fused_engine_grad_matches_scan(order):
+    """jax.grad through engine='fused_hbm' (interpret-mode kernel on the
+    CPU suite) matches the scan adjoint and finite differences — the
+    judge-W2 done criterion at test scale. nt=17 keeps dt where
+    chebyshev-24 converges tightly (at dt=1.25 the BE system leaves ~6%
+    iteration error in primal AND gradient alike)."""
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=17)
+
+    def loss(D, engine, **kw):
+        u = solve_final_state(Problem(D=D), md, engine=engine,
+                              time_scheme_order=order, **kw)
+        return jnp.sum(u ** 2)
+
+    g_scan = jax.grad(
+        lambda D: loss(D, "scan", tol=1e-10, maxiter=500)
+    )(0.1)
+    g_fused = jax.grad(
+        lambda D: loss(D, "fused_hbm", chebyshev_iters=24)
+    )(0.1)
+    np.testing.assert_allclose(float(g_fused), float(g_scan),
+                               rtol=2e-5)
+    eps = 1e-3
+    fd = (loss(0.1 + eps, "fused_hbm", chebyshev_iters=24)
+          - loss(0.1 - eps, "fused_hbm", chebyshev_iters=24)) / (2 * eps)
+    np.testing.assert_allclose(float(g_fused), float(fd), rtol=5e-3)
+
+
+def test_unsteady_differentiable_fused_matches_scan():
+    """solve_time_varying(differentiable=True, matvec_impl='fused_hbm')
+    — the lifted W6-era gate: primal and omega-gradient match the scan
+    chunks."""
+    from airpollution_tpu.models.unsteady import solve_time_varying
+    from airpollution_tpu.problems import TurningWindProblem
+
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=17)
+
+    def loss(omega, impl, **kw):
+        p = TurningWindProblem(speed=0.8, omega_t=omega, D=0.3)
+        u = solve_time_varying(p, md, reassemble_every=4,
+                               store_solutions=False,
+                               differentiable=True, matvec_impl=impl,
+                               **kw)
+        return jnp.sum(u ** 2)
+
+    l_scan = float(loss(0.15, "scan", tol=1e-10, maxiter=400))
+    l_fused = float(loss(0.15, "fused_hbm", chebyshev_iters=20))
+    np.testing.assert_allclose(l_fused, l_scan, rtol=1e-5)
+    g_scan = jax.grad(
+        lambda w: loss(w, "scan", tol=1e-10, maxiter=400)
+    )(0.15)
+    g_fused = jax.grad(
+        lambda w: loss(w, "fused_hbm", chebyshev_iters=20)
+    )(0.15)
+    np.testing.assert_allclose(float(g_fused), float(g_scan),
+                               rtol=1e-4)
+
+
+def test_fused_engine_u0_grad():
+    """4D-Var-style u0 gradients flow through the fused engine.
+
+    nt must keep dt in Chebyshev's applicability range (nt=5 -> dt=2.5
+    pushes the preconditioned spectrum's lower bound negative and the
+    polynomial diverges on EVERY chebyshev path, not just this one;
+    nt=17 keeps the iteration error at k=24 below the tolerance)."""
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=17)
+    p = Problem()
+    u0 = p.initial_condition_fn(md.midpoints)
+    target = solve_final_state(p, md, engine="scan", tol=1e-10)
+
+    def loss(u0_, engine, **kw):
+        u = solve_final_state(p, md, u0=u0_, engine=engine, **kw)
+        return jnp.sum((u - target) ** 2)
+
+    g_scan = jax.grad(lambda x: loss(x, "scan", tol=1e-10))(u0 * 1.1)
+    g_fused = jax.grad(
+        lambda x: loss(x, "fused_hbm", chebyshev_iters=24)
+    )(u0 * 1.1)
+    denom = float(jnp.linalg.norm(g_scan))
+    rel = float(jnp.linalg.norm(g_fused - g_scan)) / denom
+    assert rel < 1e-4, rel
