@@ -237,11 +237,19 @@ def run_multispecies_loop(ops: GlobalOperators, C0, *, mesh_data, problem,
         # step (instead of merging interior pairs) costs two tiny (K, K)
         # matmuls per step and makes every stored snapshot a true
         # integer-step state.
-        Ch = E_half @ C
+        # precision=HIGHEST: the default TPU matmul precision is
+        # bfloat16, whose ~8-bit mantissa rounds E_half entries like
+        # exp(-r dt/2) ~ 0.998 onto a 0.008 grid — thousands of
+        # half-steps then decay the chain by arbitrary wrong factors
+        # (measured: 257^2/nt=1001 lost HALF the emitted mass on TPU
+        # while CPU was exact). The (K, K) matmul is tiny; full f32
+        # costs nothing.
+        Ch = jnp.matmul(E_half, C, precision=jax.lax.Precision.HIGHEST)
         B = rhs(Ch, t)
         X0 = jnp.where(bmask[None, :], 0.0, Ch)
         U = solveK(B, X0)
-        C_new = E_half @ U
+        C_new = jnp.matmul(E_half, U,
+                           precision=jax.lax.Precision.HIGHEST)
         out = (C_new + lift(t)) if store_solutions else None
         return (C_new, C), out
 
@@ -719,7 +727,8 @@ class MultiSpeciesSolver:
             t_rows = jnp.asarray([self.domain.T], dtype=S.dtype)
         R = self.problem.R.astype(S.dtype)
         E_all = jax.vmap(lambda t: expm(-t * R))(t_rows)  # (rows, K, K)
-        mixed = jnp.einsum("tkj,jtn->tkn", E_all, S)
+        mixed = jnp.einsum("tkj,jtn->tkn", E_all, S,
+                           precision=jax.lax.Precision.HIGHEST)
         self.solutions = jax.block_until_ready(mixed)
         self.solve_time = time.time() - t_start
         return self.solutions

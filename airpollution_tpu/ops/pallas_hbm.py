@@ -1256,7 +1256,11 @@ def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
         # Chemistry half-step (exact), K transport kernel launches
         # (K is small and static — an unrolled python loop), second
         # chemistry half-step. Mirrors run_multispecies_loop.step.
-        Uh = jnp.einsum("ks,s...->k...", E_half, U_c)
+        # precision=HIGHEST: bf16 default matmul rounding of the
+        # near-1 E_half entries corrupts long decay chains
+        # (models/multispecies.py run_multispecies_loop note).
+        Uh = jnp.einsum("ks,s...->k...", E_half, U_c,
+                        precision=jax.lax.Precision.HIGHEST)
         Ut = jnp.stack([
             step_calls[k](
                 packed, row0,
@@ -1265,7 +1269,8 @@ def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
             )[0]
             for k in range(K)
         ])
-        return jnp.einsum("ks,s...->k...", E_half, Ut), None
+        return jnp.einsum("ks,s...->k...", E_half, Ut,
+                          precision=jax.lax.Precision.HIGHEST), None
 
     def to_fam(U_c):
         return jnp.stack([

@@ -100,3 +100,49 @@ def sample_boundary_points(key, n_samples, xy_ranges, time_range,
         ]
     )
     return jnp.stack([x, y, t_all], axis=1)
+
+
+def sample_facade_points(key, n_samples, obstacles, time_range,
+                         dtype=jnp.float32):
+    """Collocation points on obstacle FACADES with outward normals.
+
+    ``obstacles`` is the static rectangle tuple
+    (problems.AdDifProblem.obstacles): for each (xmin, xmax, ymin, ymax)
+    block the four wall segments are sampled with stratified positions
+    (points allocated proportionally to wall length, >= 1 per wall) and
+    LHS times. Returns ``(xyt, normals)``: (n', 3) points and (n', 2)
+    unit normals pointing OUT of the solid (into the fluid) — the
+    direction the PINN's no-flux facade residual ``dc/dn = 0``
+    differentiates along (the continuum limit of the FEM's masked
+    assembly: the dropped solid triangles leave zero DIFFUSIVE flux on
+    the cut, models/crbe.obstacle_masks). n' may differ slightly from
+    ``n_samples`` (per-wall rounding); it is static.
+    """
+    sides = []  # (x0, y0, dx, dy, length, nx, ny)
+    for (x0, x1, y0, y1) in obstacles:
+        w, h = float(x1 - x0), float(y1 - y0)
+        sides += [
+            (x0, y0, w, 0.0, w, 0.0, -1.0),   # bottom wall, normal -y
+            (x0, y1, w, 0.0, w, 0.0, 1.0),    # top wall, normal +y
+            (x0, y0, 0.0, h, h, -1.0, 0.0),   # left wall, normal -x
+            (x1, y0, 0.0, h, h, 1.0, 0.0),    # right wall, normal +x
+        ]
+    perimeter = sum(s[4] for s in sides)
+    counts = [max(1, int(round(n_samples * s[4] / perimeter)))
+              for s in sides]
+    n_total = sum(counts)
+    keys = jax.random.split(key, len(sides) + 1)
+    pts, nrm = [], []
+    for (x0, y0, dx, dy, _, nx, ny), c, k in zip(sides, counts, keys):
+        # Stratified positions along the wall (one point per stratum).
+        u = (jnp.arange(c, dtype=dtype)
+             + jax.random.uniform(k, (c,), dtype)) / c
+        pts.append(jnp.stack([x0 + u * dx, y0 + u * dy], axis=1))
+        nrm.append(jnp.broadcast_to(jnp.asarray([nx, ny], dtype),
+                                    (c, 2)))
+    t0, t1 = time_range
+    t = t0 + (t1 - t0) * lhs_unit(keys[-1], n_total, 1, dtype)[:, 0]
+    xyt = jnp.concatenate(
+        [jnp.concatenate(pts, axis=0), t[:, None]], axis=1
+    )
+    return xyt, jnp.concatenate(nrm, axis=0)

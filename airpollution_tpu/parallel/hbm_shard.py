@@ -939,7 +939,10 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
                 up = _halo_from_above(U_c[:, :, halo:2 * halo], axis)
                 U_c = U_c.at[:, :, :halo].set(dn)
                 U_c = U_c.at[:, :, halo + local:].set(up)
-                Uh = jnp.einsum("ks,s...->k...", E_h, U_c)
+                # precision=HIGHEST: see run_multispecies_loop —
+                # bf16 matmul rounding corrupts the decay chain.
+                Uh = jnp.einsum("ks,s...->k...", E_h, U_c,
+                                precision=jax.lax.Precision.HIGHEST)
                 Ut = jnp.stack([
                     step_calls[k](
                         bpack, row0,
@@ -948,7 +951,9 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
                     )[0]
                     for k in range(K)
                 ])
-                return jnp.einsum("ks,s...->k...", E_h, Ut), None
+                return jnp.einsum(
+                    "ks,s...->k...", E_h, Ut,
+                    precision=jax.lax.Precision.HIGHEST), None
 
             if snapshot_every is None:
                 U, _ = jax.lax.scan(step, carry0, ts, length=n_steps)

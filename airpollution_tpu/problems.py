@@ -957,7 +957,8 @@ class MultiSpeciesProblem:
         xyt = self._xyt(xy, t)
         phi = jnp.stack([p.analytical_solution(xyt) for p in self.species])
         E = expm(-jnp.asarray(t, R.dtype) * R)
-        return jnp.einsum("kj,jn->kn", E.astype(phi.dtype), phi)
+        return jnp.einsum("kj,jn->kn", E.astype(phi.dtype), phi,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 _register_problem_pytree(Problem, ("v", "D", "sigma", "reaction"))
