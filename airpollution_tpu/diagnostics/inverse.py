@@ -410,7 +410,15 @@ def posterior_covariance(mesh_data, make_problem, params, *,
             pred = pred[..., jnp.asarray(sens)]
         return pred.reshape(-1)
 
-    J = jax.jit(jax.jacfwd(predict_vec))(theta0)       # (N, p)
+    # One jitted JVP per parameter COORDINATE instead of jax.jacfwd:
+    # jacfwd vmaps the tangents, and a vmapped pallas_call (the fused
+    # differentiable engine's stripe kernel, engine='auto' at >= 320
+    # per axis) has no TPU batching rule for HBM-space operands. p is
+    # tiny by design (few physical parameters), so the loop costs p
+    # linearized solves either way.
+    jvp_fn = jax.jit(lambda t, dt_: jax.jvp(predict_vec, (t,), (dt_,))[1])
+    eye = jnp.eye(p, dtype=theta0.dtype)
+    J = jnp.stack([jvp_fn(theta0, eye[i]) for i in range(p)], axis=1)
     if obs_std is None:
         if observed is None:
             raise ValueError("pass obs_std, or observed to estimate it "

@@ -38,15 +38,23 @@ from airpollution_tpu.ops.sparse import EllMatrix
 def _gather_kernel(vals_ref, cols_ref, x_ref, y_ref, *, width: int):
     """One row block: y = sum_k vals[:, k] * x[cols[:, k]].
 
-    The gather is expressed one ELL slot at a time — a (block,) int32
-    index vector into the VMEM-resident (n_pad,) state — which is the
-    shape Mosaic's dynamic-gather support targets (a single flat gather
-    of the whole (block, width) index matrix lowers worse or not at
-    all, measured via the A/B script)."""
-    x = x_ref[...]
-    acc = vals_ref[:, 0] * jnp.take(x, cols_ref[:, 0], axis=0)
-    for k in range(1, width):
-        acc = acc + vals_ref[:, k] * jnp.take(x, cols_ref[:, k], axis=0)
+    Mosaic lowers 2D gathers only ("Only 2D gather is supported" — the
+    flat 1D form was built first and rejected, recorded in
+    vmem_gather_ab.csv), so the VMEM-resident state is shaped
+    (n_pad/128, 128) and each ELL-slot gather runs in two supported 2D
+    stages: a row gather (``jnp.take`` along axis 0) followed by a
+    per-row lane select (``take_along_axis`` along axis 1). The row
+    stage moves 128x the useful data, but it moves it within VMEM —
+    the whole point is escaping the HBM-latency-bound XLA gather."""
+    x2 = x_ref[...]  # (n_pad // 128, 128), VMEM-resident
+    acc = None
+    for k in range(width):
+        idx = cols_ref[:, k]
+        rows = jnp.take(x2, idx // 128, axis=0)         # (block, 128)
+        g = jnp.take_along_axis(rows, (idx % 128)[:, None],
+                                axis=1)[:, 0]
+        term = vals_ref[:, k] * g
+        acc = term if acc is None else acc + term
     y_ref[...] = acc
 
 
@@ -71,9 +79,13 @@ def ell_matvec_vmem(A: EllMatrix, x, *, block_rows: int = 2048,
     n = x.shape[0]
     width = A.cols.shape[1]
     n_pad = -(-n // block_rows) * block_rows
+    # The state must also pad to a whole (rows, 128) 2D layout for the
+    # two-stage 2D gather; block_rows is a multiple of 128 by contract.
+    if block_rows % 128:
+        raise ValueError("block_rows must be a multiple of 128")
     vals = jnp.pad(A.vals, ((0, n_pad - n), (0, 0)))
     cols = jnp.pad(A.cols, ((0, n_pad - n), (0, 0)))
-    x_pad = jnp.pad(x, (0, n_pad - n))
+    x2 = jnp.pad(x, (0, n_pad - n)).reshape(n_pad // 128, 128)
 
     y = pl.pallas_call(
         partial(_gather_kernel, width=width),
@@ -83,11 +95,11 @@ def ell_matvec_vmem(A: EllMatrix, x, *, block_rows: int = 2048,
             pl.BlockSpec((block_rows, width), lambda i: (i, 0)),
             # The full state, VMEM-resident and identical for every
             # grid step (the compiler hoists the copy out of the loop).
-            pl.BlockSpec((n_pad,), lambda i: (0,),
+            pl.BlockSpec((n_pad // 128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows,), lambda i: (i,)),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
         interpret=interpret,
-    )(vals, cols, x_pad)
+    )(vals, cols, x2)
     return y[:n]
