@@ -58,6 +58,77 @@ def _gather_kernel(vals_ref, cols_ref, x_ref, y_ref, *, width: int):
     y_ref[...] = acc
 
 
+def _roll_gather_kernel(vals_ref, r_ref, s_ref, x_ref, y_ref, *,
+                        width: int):
+    """Whole-canvas matvec via the roll+gather decomposition.
+
+    Mosaic's dynamic gather is SAME-SHAPE, single-axis (sublane) only,
+    so an arbitrary element read x[r, c] decomposes as: for each lane
+    shift sigma, z = roll(x, -sigma, lanes); g = z[r[i,j], j]
+    (= x[r[i,j], (j+sigma) mod 128], a supported same-shape sublane
+    gather); select where the needed shift s[i,j] == sigma. 128 shifts
+    x width slots of full-canvas VPU work — viable only because it all
+    stays in VMEM (the HBM ELL gather it challenges is
+    latency-bound)."""
+    x2 = x_ref[...]
+    acc = jnp.zeros_like(x2)
+    lanes = x2.shape[1]
+    for k in range(width):
+        r = r_ref[k]
+        s = s_ref[k]
+
+        def body(sigma, g):
+            z = pltpu.roll(x2, -sigma, 1)
+            gath = jnp.take_along_axis(z, r, axis=0)
+            return jnp.where(s == sigma, gath, g)
+
+        g = jax.lax.fori_loop(0, lanes, body, jnp.zeros_like(x2))
+        acc = acc + vals_ref[k] * g
+    y_ref[...] = acc
+
+
+def ell_matvec_vmem_roll(A: EllMatrix, x, *, interpret: bool = False):
+    """``y = A @ x`` via :func:`_roll_gather_kernel` (the A/B's
+    "roll128" variant). Host-precomputes per-slot (row, shift) index
+    canvases: DOF p lives at canvas position (p // 128, p % 128); slot
+    k of row p reads column index c = cols[p, k], i.e. canvas element
+    (c // 128, c % 128), reached by sublane row c // 128 and lane shift
+    (c - p) mod 128."""
+    import numpy as np_
+
+    n = x.shape[0]
+    width = A.cols.shape[1]
+    n_pad = -(-n // 128) * 128
+    rows = n_pad // 128
+    if rows % 8:
+        rows = -(-rows // 8) * 8
+        n_pad = rows * 128
+    cols = np_.asarray(A.cols)
+    cols_p = np_.zeros((n_pad, width), np_.int32)
+    cols_p[:n] = cols
+    vals = jnp.pad(A.vals, ((0, n_pad - n), (0, 0)))
+    p = np_.arange(n_pad)[:, None]
+    r_idx = (cols_p // 128).astype(np_.int32)
+    s_idx = ((cols_p - p) % 128).astype(np_.int32)
+
+    def to_canvas(a):  # (n_pad, width) -> (width, rows, 128)
+        return jnp.asarray(
+            np_.transpose(a.reshape(rows, 128, width), (2, 0, 1))
+        )
+
+    vals_c = jnp.transpose(vals.reshape(rows, 128, width), (2, 0, 1))
+    x2 = jnp.pad(x, (0, n_pad - n)).reshape(rows, 128)
+
+    y = pl.pallas_call(
+        partial(_roll_gather_kernel, width=width),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), x.dtype),
+        interpret=interpret,
+    )(vals_c, to_canvas(r_idx), to_canvas(s_idx), x2)
+    return y.reshape(-1)[:n]
+
+
 def fits_vmem(n: int, dtype_bytes: int = 4,
               budget_bytes: int = 64 * 1024 * 1024) -> bool:
     """Whether the state vector (plus slack) fits the VMEM residency

@@ -84,6 +84,34 @@ def main():
                          speedup_vs_ell=1.0, max_diff="",
                          compile_error=""))
 
+        # roll128 variant: 128 lane shifts x same-shape sublane gathers
+        # (the only dynamic-gather form Mosaic lowers) — see
+        # ops/pallas_gather.ell_matvec_vmem_roll.
+        try:
+            from airpollution_tpu.ops.pallas_gather import (
+                ell_matvec_vmem_roll,
+            )
+
+            k = jax.jit(lambda v: ell_matvec_vmem_roll(
+                E, v, interpret=args.interpret))
+            t_k, _ = bench(k, x)
+            d = float(jnp.max(jnp.abs(k(x) - ell(x))))
+            log(f"[{ms}^2-unstr] VMEM roll128 gather: "
+                f"{1e3 * t_k:.3f} ms/matvec "
+                f"({t_ell / t_k:.2f}x vs ELL), max diff {d:.2e}")
+            rows.append(dict(mesh=f"{ms}sq-unstr", n_dofs=n,
+                             impl="pallas_vmem_roll128", block_rows="",
+                             ms_per_matvec=round(1e3 * t_k, 4),
+                             speedup_vs_ell=round(t_ell / t_k, 3),
+                             max_diff=f"{d:.2e}", compile_error=""))
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {str(e)[:300]}"
+            log(f"[{ms}^2-unstr] VMEM roll128 FAILED: {msg}")
+            rows.append(dict(mesh=f"{ms}sq-unstr", n_dofs=n,
+                             impl="pallas_vmem_roll128", block_rows="",
+                             ms_per_matvec="", speedup_vs_ell="",
+                             max_diff="", compile_error=msg))
+
         for br in args.block_rows:
             try:
                 k = jax.jit(lambda v, _br=br: ell_matvec_vmem(
