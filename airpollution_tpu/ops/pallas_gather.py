@@ -21,6 +21,31 @@ always works (CPU suite correctness); whether real Mosaic accepts the
 gather is exactly what the A/B script (scripts/tpu_vmem_gather_ab.py)
 measures — results land in results_snapshot/vmem_gather_ab.csv either
 way.
+
+VERDICT (measured on TPU v5e, JAX 0.9 Mosaic — vmem_gather_ab.csv):
+**REJECT, lever closed.** Three lowering routes, three recorded
+failures:
+
+1. flat 1D gather (``jnp.take`` into the (n,) state):
+   "Only 2D gather is supported".
+2. blocked two-stage 2D (row gather + lane take_along_axis over the
+   (n/128, 128) state): "Shape mismatch in input, indices and output"
+   — Mosaic's dynamic gather is SAME-SHAPE, single-axis (sublane)
+   only, i.e. per-lane column gathers; an arbitrary (row, lane) read
+   is not expressible in one or two stages (the lane routing needs
+   collision-free host-precomputed staging that random ELL sparsity
+   cannot satisfy).
+3. the roll+gather decomposition below (128 lane shifts x same-shape
+   sublane gathers — mathematically exact, interpret-verified):
+   crashes the backend compiler (MosaicError INTERNAL,
+   tpu_compile_helper exit 1).
+
+The unstructured regime therefore stays on the XLA ELL gather
+(7.3 ms/matvec at 257^2-unstructured, re-measured in the same A/B),
+exactly as the round-3 bandwidth analysis predicted for every DENSE
+reformulation; the round-3 guidance stands — production large meshes
+use the structured pipeline or gmsh-exported grids, which
+mesh/msh_io.py now detects and routes to the canvas engines.
 """
 
 from __future__ import annotations

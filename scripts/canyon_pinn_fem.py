@@ -31,7 +31,34 @@ import jax.numpy as jnp
 import airpollution_tpu as apt
 from airpollution_tpu.models.crbe import CRBESolver, obstacle_masks
 from airpollution_tpu.models.pinn import PINN
-from airpollution_tpu.problems import Domain, Problem
+from airpollution_tpu.problems import (
+    Domain,
+    Problem,
+    register_problem_pytree,
+)
+
+
+class ScaledProblem(Problem):
+    """Gaussian release scaled to O(1) amplitude: the composite-loss
+    training floor is ~1e-3 absolute, so an O(0.03) field buries the
+    obstacle-shadow signal under the optimizer noise (measured: the
+    unscaled run matched the free stream but produced no shadow).
+    Linear PDE — scaling IC/BC scales the solution."""
+
+    AMP = 30.0
+
+    def initial_condition_fn(self, xy):
+        return self.AMP * super().initial_condition_fn(xy)
+
+    def boundary_fn(self, xyt):
+        return self.AMP * super().boundary_fn(xyt)
+
+    def analytical_solution(self, xyt):
+        return self.AMP * super().analytical_solution(xyt)
+
+
+register_problem_pytree(ScaledProblem,
+                        ("v", "D", "sigma", "reaction"))
 
 
 def log(*a):
@@ -61,7 +88,7 @@ def main():
     # (sharp advected plumes are their hard mode at parity-scale
     # budgets), so the comparison isolates the OBSTACLE handling — the
     # block's shadow and facade pile-up shape both fields.
-    p = Problem(v=(1.0, 0.2), D=0.5, sigma=2.0)
+    p = ScaledProblem(v=(1.0, 0.2), D=0.5, sigma=2.0)
     p.obstacles = ((2.0, 5.0, 0.5, 3.5),)
 
     md = apt.MeshData(apt.create_mesh(args.mesh_size, 20.0), domain,
