@@ -401,6 +401,7 @@ class MultiSpeciesSolver:
         self.solve_time = None
         self._ops: Optional[GlobalOperators] = None
         self._solve_fn_cache = {}
+        self._guard_checked = set()
 
     def build_global_matrices(self) -> GlobalOperators:
         """Assemble the transport operator(s): one when (v, D) is shared
@@ -420,6 +421,7 @@ class MultiSpeciesSolver:
                 for sp in p.species
             ])
         self._solve_fn_cache.clear()
+        self._guard_checked = set()
         return self._ops
 
     def _require_ops(self) -> GlobalOperators:
@@ -595,18 +597,25 @@ class MultiSpeciesSolver:
         midpoints = jnp.asarray(md.midpoints)
         bmask_arr = jnp.asarray(bmask)
 
+        guard_state = {"checked": False}
+
         def fn(ops, C0):
             from airpollution_tpu.ops import linalg
 
             bounds = self._fused_bounds(ops)
             aux = (perm, inv, midpoints, bmask_arr, dead, bounds)
             sols, bad = jfn(ops, C0, aux)
-            b = int(bad)
-            if b >= 0:
-                raise FloatingPointError(linalg.divergence_message(
-                    "MultiSpeciesSolver fused solve", b, n_steps,
-                    chebyshev_iters,
-                ))
+            # One host read per compiled program (a device->host round
+            # trip costs ~10-50 ms on the tunnel; divergence of this
+            # configuration is deterministic — models/crbe wrapped()).
+            if not guard_state["checked"]:
+                guard_state["checked"] = True
+                b = int(bad)
+                if b >= 0:
+                    raise FloatingPointError(linalg.divergence_message(
+                        "MultiSpeciesSolver fused solve", b, n_steps,
+                        chebyshev_iters,
+                    ))
             return sols
 
         return fn
@@ -760,16 +769,20 @@ class MultiSpeciesSolver:
         t_start = time.time()
         self.solutions = jax.block_until_ready(fn(ops, C0))
         self.solve_time = time.time() - t_start
-        final = self.solutions[-1]
-        from airpollution_tpu.ops import linalg
+        if key not in self._guard_checked:
+            # Once per compiled config: the host read is a tunnel round
+            # trip and divergence is deterministic (models/crbe.solve).
+            self._guard_checked.add(key)
+            final = self.solutions[-1]
+            from airpollution_tpu.ops import linalg
 
-        if bool(linalg.diverged_state(final, jnp.linalg.norm(C0))):
-            raise FloatingPointError(linalg.divergence_message(
-                "MultiSpeciesSolver.solve", self.mesh_data.nt - 1,
-                self.mesh_data.nt - 1,
-                self.chebyshev_iters
-                if self.solver_method == "chebyshev" else None,
-            ))
+            if bool(linalg.diverged_state(final, jnp.linalg.norm(C0))):
+                raise FloatingPointError(linalg.divergence_message(
+                    "MultiSpeciesSolver.solve", self.mesh_data.nt - 1,
+                    self.mesh_data.nt - 1,
+                    self.chebyshev_iters
+                    if self.solver_method == "chebyshev" else None,
+                ))
         return self.solutions
 
     def compute_errors(self):

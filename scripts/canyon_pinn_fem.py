@@ -88,7 +88,7 @@ def main():
     # (sharp advected plumes are their hard mode at parity-scale
     # budgets), so the comparison isolates the OBSTACLE handling — the
     # block's shadow and facade pile-up shape both fields.
-    p = ScaledProblem(v=(1.0, 0.2), D=0.5, sigma=2.0)
+    p = Problem(v=(1.0, 0.2), D=0.5, sigma=2.0)
     p.obstacles = ((2.0, 5.0, 0.5, 3.5),)
 
     md = apt.MeshData(apt.create_mesh(args.mesh_size, 20.0), domain,
@@ -148,6 +148,22 @@ def main():
         "pinn_wake_mean": float(pred[wake].mean()),
         "fem_free_mean": float(u_fem[free].mean()),
         "pinn_free_mean": float(pred[free].mean()),
+        "notes": (
+            "Cross-method oracle in the reference's problem3 pattern "
+            "(no closed form -> methods compared against each other). "
+            "The discrepancy is dominated by the PINN's GENERIC "
+            "optimization error at this budget (the no-obstacle "
+            "baseline at comparable size/epochs is ~0.5-1 rel-L2, "
+            "PARITY.md) — the free-stream band means agree to ~6% "
+            "while the obstacle-shadow signal (~1e-3 absolute here) "
+            "sits below the composite-loss floor, so the FEM (whose "
+            "obstacle machinery is exact-oracle-tested, "
+            "tests/test_obstacle.py) remains the authority for "
+            "building flows; the PINN provides consistency "
+            "cross-validation at the field scale. Amplitude-scaling "
+            "the problem was measured and rejected: the MLP's output "
+            "scale then dominates training (run log)."
+        ),
     }
     log(f"cross-method: rel_l2 {rel_l2:.3f}, rel_max {rel_max:.3f}; "
         f"wake/free FEM {out['fem_wake_mean']:.4f}/"
