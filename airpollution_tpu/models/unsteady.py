@@ -196,6 +196,7 @@ def _solve_time_varying_distributed(problem, mesh_data, mesh, axis, *,
         iters=chebyshev_iters, axis=axis,
         extrapolate=extrapolate_warm_start, interpret=interpret,
         source_quadrature=source_quadrature, n_steps=k,
+        stiffness_convention=stiffness_convention,
     )
     bmask = robin_terms(md, problem)[0]
     from airpollution_tpu.models.crbe import obstacle_masks
@@ -211,10 +212,12 @@ def _solve_time_varying_distributed(problem, mesh_data, mesh, axis, *,
     out = None
     for c in range(n_chunks):
         t0_c = c * k * dt
-        ops = assemble(md, problem, dt, time_scheme_order,
-                       stiffness_convention,
-                       coeff_time=t0_c + 0.5 * k * dt)
-        out = solver(ops, u, t0=t0_c)
+        # Direct per-chunk canvas prep inside the solver (assemble_canvas
+        # traced in coeff_time — one compiled prep serves every chunk):
+        # no per-chunk ELL scatter/gather, matching the serial fused
+        # chunks (round-4 backlog item).
+        out = solver(None, u, t0=t0_c,
+                     coeff_time=t0_c + 0.5 * k * dt)
         # The distributed solve returns the LIFTED final state; the
         # homogeneous carry has zero Dirichlet rows, so stripping the
         # lift is exact (serial chunk parity).

@@ -424,7 +424,8 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
                                  extrapolate=False, snapshot_every=None,
                                  stripe_rows=None, interpret=False,
                                  source_quadrature="mass_lumped",
-                                 n_steps=None):
+                                 n_steps=None,
+                                 stiffness_convention="correct"):
     """Distributed CANVAS stripe solver: spatially varying coefficients
     over a device mesh.
 
@@ -738,18 +739,68 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
             parts.append(_grid_pack)
         return stack, jnp.concatenate(parts)
 
+    @jax.jit
+    def _canvas_operand_fn(coeff_time, u0, bmask_a):
+        # Direct local->canvas prep (models/crbe.assemble_canvas) for
+        # the distributed time-varying chunk driver: skips the
+        # per-chunk ELL scatter + canvas gather entirely — the same
+        # assembly bottleneck the serial fused chunks shed in round 4
+        # (models/unsteady._fused_chunk, commit 9b0cd1a). Traced in
+        # ``coeff_time``, so every chunk reuses ONE compiled prep.
+        # Bounds ride the stencil matvec on the same canvases — the
+        # estimate the serial fused chunk computes, so the
+        # serial-vs-distributed equality test compares like with like.
+        from airpollution_tpu.models.crbe import assemble_canvas
+        from airpollution_tpu.ops.pallas_solver import coeff_canvases
+
+        coeffs, mass_raw_fam, diag_fam = assemble_canvas(
+            md, problem, dt, order, stiffness_convention,
+            coeff_time=coeff_time,
+        )
+        mass_fam = jnp.where(bmask_a[perm], 0.0, mass_raw_fam)
+        inv_diag_fam = 1.0 / diag_fam
+        bounds = linalg.power_bounds(
+            partial(stencil_mod.stencil_matvec, pattern, coeffs),
+            jnp.zeros_like(diag_fam),
+            scale=1.0 / jnp.sqrt(diag_fam),
+        )
+        stack = jnp.stack(
+            coeff_canvases(pattern, coeffs)
+            + to_canvases(pattern, mass_fam)
+            + to_canvases(pattern, inv_diag_fam)
+        ).astype(u0.dtype)
+        stack = jnp.pad(
+            stack, ((0, 0), (0, n_pad - n), (0, n_lane - n))
+        )
+        parts = [jnp.stack([bounds[0], bounds[1]])]
+        if needs_t:
+            parts.append(_grid_pack)
+        return stack, jnp.concatenate(parts)
+
     cache = {"ops": None, "prepared": None}
 
-    def solve(ops: GlobalOperators, u0, t0=0.0):
-        if ops is None:
-            raise ValueError(
-                "the canvas stripe solver needs assembled "
-                "GlobalOperators (variable coefficients have no patch "
-                "mode)"
-            )
-        if cache["ops"] is not ops:
-            cache["ops"] = ops
-            cache["prepared"] = _operand_fn(ops, u0, perm, aux[3])
+    def solve(ops: GlobalOperators, u0, t0=0.0, coeff_time=None):
+        if coeff_time is not None:
+            # Per-chunk direct canvas prep (no GlobalOperators needed):
+            # the time-varying driver passes the chunk-midpoint time and
+            # the baked problem's hooks are sampled there.
+            key = ("coeff_time", float(coeff_time))
+            if not (isinstance(cache["ops"], tuple)
+                    and cache["ops"] == key):
+                cache["ops"] = key
+                cache["prepared"] = _canvas_operand_fn(
+                    jnp.asarray(coeff_time, u0.dtype), u0, aux[3]
+                )
+        else:
+            if ops is None:
+                raise ValueError(
+                    "the canvas stripe solver needs assembled "
+                    "GlobalOperators (or a coeff_time= for the direct "
+                    "canvas prep)"
+                )
+            if cache["ops"] is not ops:
+                cache["ops"] = ops
+                cache["prepared"] = _operand_fn(ops, u0, perm, aux[3])
         stack, bpack = cache["prepared"]
         return jitted(u0, aux, stack, bpack,
                       jnp.asarray(t0, u0.dtype))
