@@ -822,6 +822,236 @@ def _canvas_step_kernel(
     sweep()
 
 
+def _canvas_multispecies_step_kernel(
+    consts, row0_ref, *refs,
+    c: int, n_pad: int, S: int, W: int, halo: int, n_lane: int,
+    n_iters: int, has_ka: bool, n_species: int,
+    source_fns=(), source_lumped: bool = True, rect=None,
+    int_start: int = 0, n_stripes: int | None = None,
+):
+    """One Strang multispecies step with the chemistry IN the kernel.
+
+    The round-3 fused multispecies loop ran K separate
+    :func:`_canvas_step_kernel` launches per step (each re-streaming
+    the 21 coefficient windows from HBM) with the two (K, K) chemistry
+    einsums at JAX level — two full (K, 3, n, lane) canvas-stack HBM
+    passes per step. At 1025^2/K=3 that overhead is ~40% (3x553
+    species-solves/s vs the 2,331 single-species rate). This kernel is
+    the backlog lever: ONE launch per step holds all K species' state
+    windows resident in VMEM — (3K, W, n_lane), species-major planes —
+    streams each coefficient window ONCE for all species, applies both
+    exact chemistry half-steps as in-window scalar FMAs (E_half rides
+    SMEM; chemistry is pointwise in space, so mixing is valid on the
+    whole halo-extended window and the halo needs no widening — the
+    same argument as parallel/hbm_shard's distributed variant), and
+    runs the K Chebyshev solves back-to-back on one shared r/d scratch
+    pair. Per-step HBM traffic drops from K*(21 + 3 + 3) + 4*K*3
+    canvas planes to 21 + 2*K*3.
+
+    Semantics are exactly the per-launch path's: half-mix, per-species
+    implicit solve warm-started from the mixed state (per-species
+    emission loads from ``source_fns`` on iota-rebuilt coordinates;
+    BE or CN via ``has_ka``), half-mix. Shared transport + Chebyshev
+    only; Robin alpha walls + obstacles ride the coefficients/``rect``
+    as before (g must be 0 — MultiSpeciesProblem validation).
+
+    Ref layout: consts (SMEM: lo, hi [, xmin, ymin, h, dt], E_half
+    flattened row-major K*K), row0 [, t], coeff (HBM (21, n_pad,
+    n_lane)), u_in (HBM (3K, n_pad, n_lane)); output u_out; scratch
+    win_c (2, 21, W, n_lane), win_u (2, 3K, W, n_lane), r, d
+    (3, W, n_lane), in_sems (2, 2), out_sems (2, 1)."""
+    K = n_species
+    needs_t = any(f is not None for f in source_fns)
+    if needs_t:
+        t_ref, refs = refs[0], refs[1:]
+    coeff_src, u_src, u_dst = refs[0], refs[1], refs[2]
+    win_c, win_u, r_ref, d_ref, in_sems, out_sems = refs[3:9]
+
+    dtype = r_ref.dtype
+    if n_stripes is None:
+        n_stripes = n_pad // S
+    lo, hi = consts[0], consts[1]
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    base = 2
+    if needs_t:
+        s_xmin, s_ymin, s_h, s_dt = (consts[2], consts[3], consts[4],
+                                     consts[5])
+        s_offs = ((0.5, 0.0), (0.0, 0.5), (0.5, 0.5))
+        base = 6
+    # The (K, K) half-step exponential as SMEM scalars (row-major).
+    E = [[consts[base + i * K + j] for j in range(K)] for i in range(K)]
+
+    def ws_of(i):
+        return pl.multiple_of(
+            jnp.clip(int_start + i * S - halo, 0, n_pad - W), 8
+        )
+
+    def roll(x, shift, axis):
+        size = x.shape[axis]
+        return pltpu.roll(x, shift % size, axis)
+
+    def sweep():
+        def in_dmas(slot, i):
+            ws = ws_of(i)
+            return [
+                pltpu.make_async_copy(
+                    coeff_src.at[:, pl.ds(ws, W), :], win_c.at[slot],
+                    in_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    u_src.at[:, pl.ds(ws, W), :], win_u.at[slot],
+                    in_sems.at[slot, 1],
+                ),
+            ]
+
+        def out_dmas(slot, i):
+            r0 = pl.multiple_of(int_start + i * S, 8)
+            off = pl.multiple_of(r0 - ws_of(i), 8)
+            return [pltpu.make_async_copy(
+                win_u.at[slot, :, pl.ds(off, S), :],
+                u_dst.at[:, pl.ds(r0, S), :],
+                out_sems.at[slot, 0],
+            )]
+
+        def mix(slot):
+            # Pointwise (K, K) species mix in-window: outputs are
+            # computed as values first (all inputs read before any
+            # write-back), K*3 planes of transient liveness.
+            mixed = [
+                [sum(E[k][s] * win_u[slot, 3 * s + f]
+                     for s in range(K))
+                 for f in range(3)]
+                for k in range(K)
+            ]
+            for k in range(K):
+                for f in range(3):
+                    win_u[slot, 3 * k + f] = mixed[k][f]
+
+        def compute(slot, i):
+            ws = ws_of(i)
+            masks = _stripe_masks(c, row0_ref[0] + ws, W, 0, n_lane,
+                                  dtype, rect=rect)
+            cw = win_c[slot]
+            m3 = (cw[15], cw[16], cw[17])
+            id3 = (cw[18], cw[19], cw[20])
+
+            def matvec(xH, xV, xD):
+                yH = (cw[0] * xH
+                      + cw[1] * roll(xV, -1, 1)
+                      + cw[2] * xD
+                      + cw[3] * roll(xV, 1, 0)
+                      + cw[4] * roll(xD, 1, 0))
+                yV = (cw[5] * xV
+                      + cw[6] * roll(xD, 1, 1)
+                      + cw[7] * roll(xH, 1, 1)
+                      + cw[8] * roll(xH, -1, 0)
+                      + cw[9] * xD)
+                yD = (cw[10] * xD
+                      + cw[11] * roll(xV, -1, 1)
+                      + cw[12] * xH
+                      + cw[13] * roll(xH, -1, 0)
+                      + cw[14] * xV)
+                return yH, yV, yD
+
+            mix(slot)  # first chemistry half-step
+
+            if needs_t:
+                gro = (row0_ref[0] + ws).astype(dtype)
+                rif = gro + jax.lax.broadcasted_iota(
+                    jnp.int32, (W, 1), 0).astype(dtype)
+                cif = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_lane), 1).astype(dtype)
+                t_new = t_ref[0]
+
+            for k in range(K):
+                u3 = tuple(win_u[slot, 3 * k + f] for f in range(3))
+                if has_ka:
+                    t3 = matvec(*u3)
+                    for f in range(3):
+                        r_ref[f] = (2.0 * m3[f] * u3[f]
+                                    + (1.0 - masks[f]) * u3[f] - t3[f])
+                else:
+                    for f in range(3):
+                        r_ref[f] = m3[f] * u3[f]
+                sf = source_fns[k]
+                if sf is not None:
+                    def load_at(f, t, sf=sf):
+                        ox, oy = s_offs[f]
+                        x = s_xmin + (cif + ox) * s_h
+                        y = s_ymin + (rif + oy) * s_h
+                        s = sf(x + 0.0 * y, y + 0.0 * x, t)
+                        if source_lumped:
+                            return (s_dt * m3[f]) * s
+                        return masks[f] * (s_dt * s)
+
+                    for f in range(3):
+                        if not has_ka:
+                            r_ref[f] = r_ref[f] + load_at(f, t_new)
+                        else:  # CN trapezoid
+                            r_ref[f] = r_ref[f] + 0.5 * (
+                                load_at(f, t_new)
+                                + load_at(f, t_new - s_dt)
+                            )
+                for f in range(3):
+                    win_u[slot, 3 * k + f] = masks[f] * u3[f]
+                t3 = matvec(win_u[slot, 3 * k + 0],
+                            win_u[slot, 3 * k + 1],
+                            win_u[slot, 3 * k + 2])
+                for f in range(3):
+                    r_ref[f] = r_ref[f] - t3[f]
+                    d_ref[f] = (1.0 / theta) * (id3[f] * r_ref[f])
+
+                def iterate(_, rho):
+                    for f in range(3):
+                        win_u[slot, 3 * k + f] = (
+                            win_u[slot, 3 * k + f] + d_ref[f]
+                        )
+                    t3 = matvec(d_ref[0], d_ref[1], d_ref[2])
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    a = rho_new * rho
+                    b = 2.0 * rho_new / delta
+                    for f in range(3):
+                        r_ref[f] = r_ref[f] - t3[f]
+                        d_ref[f] = a * d_ref[f] + b * (id3[f] * r_ref[f])
+                    return rho_new
+
+                jax.lax.fori_loop(0, n_iters, iterate, 1.0 / sigma)
+
+            mix(slot)  # second chemistry half-step (solved states)
+
+        for dma in in_dmas(0, 0):
+            dma.start()
+
+        def body(i, _):
+            cur = jax.lax.rem(i, 2)
+            nxt = 1 - cur
+
+            @pl.when(i >= 1)
+            def _():
+                for dma in out_dmas(nxt, i - 1):
+                    dma.wait()
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                for dma in in_dmas(nxt, i + 1):
+                    dma.start()
+
+            for dma in in_dmas(cur, i):
+                dma.wait()
+            compute(cur, i)
+            for dma in out_dmas(cur, i):
+                dma.start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+        for dma in out_dmas((n_stripes - 1) % 2, n_stripes - 1):
+            dma.wait()
+
+    sweep()
+
+
 def guard_stride(n_steps: int, target: int = 64) -> int:
     """Largest divisor of ``n_steps`` that is <= ``target`` — the
     divergence-guard chunk length (a full-state finiteness reduction
@@ -1119,6 +1349,7 @@ def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
                                   source_fns=None, source_lumped=True,
                                   grid=None, t0=0.0, dt=None,
                                   guard_every: int | None = None,
+                                  fuse_chemistry: bool = True,
                                   interpret: bool = False):
     """Strang-split multi-species loop on the canvas stripe kernel.
 
@@ -1163,9 +1394,12 @@ def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
     dtype = C0_fam.dtype
     depth = n_iters + 1 + (1 if use_ka else 0)
     halo = -(-(depth + 1) // 8) * 8
-    S = stripe_rows or _choose_stripe_rows_planes(
-        n, _canvas_n_planes(False), halo
-    )
+    # In-kernel chemistry holds all K species' windows resident: 2x21
+    # double-buffered coefficient planes + 2x3K state planes + 3K mix
+    # temporaries + r + d + matvec temporaries.
+    planes = (2 * 21 + 9 * K + 6 + 9 if fuse_chemistry
+              else _canvas_n_planes(False))
+    S = stripe_rows or _choose_stripe_rows_planes(n, planes, halo)
     if S % 8:
         raise ValueError("stripe_rows must be a multiple of 8")
     n_stripes = -(-n // S)
@@ -1205,72 +1439,110 @@ def fused_multispecies_canvas_hbm(pattern, coeffs, mass_masked_fam,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
 
-    def build_step_call(source_fn):
-        kernel = partial(
-            _canvas_step_kernel, c=c, n_pad=n_pad, S=S, W=W, halo=halo,
-            n_lane=n_lane, n_iters=n_iters, has_ka=use_ka,
-            extrapolate=False, source_fn=source_fn, source_steady=False,
-            source_lumped=source_lumped, rect=rect, robin_g_fn=None,
-            robin_sides=(),
-        )
-        scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
-                   pltpu.VMEM((2, 3, W, n_lane), dtype)]
-        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
-        scratch += [pltpu.SemaphoreType.DMA((2, 2)),
-                    pltpu.SemaphoreType.DMA((2, 1))]
-        # The kernel's ref layout is static per source hook: a
-        # source-free species' program takes NO t ref even when other
-        # species' programs do.
-        n_smem = 3 if source_fn is not None else 2
-        return pl.pallas_call(
-            kernel,
-            out_shape=(jax.ShapeDtypeStruct((3, n_pad, n_lane), dtype),),
-            in_specs=[smem] * n_smem + [hbm] * 2,
-            out_specs=(hbm,),
-            scratch_shapes=scratch,
-            compiler_params=_vmem_limit_planes(
-                W, n_lane, _canvas_n_planes(False)
-            ),
-            interpret=interpret,
-        )
-
-    # One pallas_call per distinct species source hook (None entries
-    # share the source-free program).
-    free_call = None
-    step_calls = []
-    for f in source_fns:
-        if f is None:
-            if free_call is None:
-                free_call = build_step_call(None)
-            step_calls.append(free_call)
-        else:
-            step_calls.append(build_step_call(f))
-
     ts = None
     if needs_t:
         ts = jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * jnp.arange(
             1, n_steps + 1, dtype=dtype
         ).reshape(n_steps, 1)
 
-    def step(U_c, t):
-        # Chemistry half-step (exact), K transport kernel launches
-        # (K is small and static — an unrolled python loop), second
-        # chemistry half-step. Mirrors run_multispecies_loop.step.
-        # precision=HIGHEST: bf16 default matmul rounding of the
-        # near-1 E_half entries corrupts long decay chains
-        # (models/multispecies.py run_multispecies_loop note).
-        Uh = jnp.einsum("ks,s...->k...", E_half, U_c,
-                        precision=jax.lax.Precision.HIGHEST)
-        Ut = jnp.stack([
-            step_calls[k](
-                packed, row0,
-                *((t,) if source_fns[k] is not None else ()),
-                coeff, Uh[k],
-            )[0]
-            for k in range(K)
-        ])
-        return jnp.einsum("ks,s...->k...", E_half, Ut,
-                          precision=jax.lax.Precision.HIGHEST), None
+    if fuse_chemistry:
+        # In-kernel chemistry (round-4 backlog lever): ONE launch per
+        # step — all K species' windows resident, both (K, K) half-step
+        # mixes as in-window FMAs (E_half rides SMEM), coefficient
+        # windows streamed once for all species. See
+        # :func:`_canvas_multispecies_step_kernel`.
+        packed = jnp.concatenate(parts + [E_half.ravel()])
+        kernel = partial(
+            _canvas_multispecies_step_kernel, c=c, n_pad=n_pad, S=S,
+            W=W, halo=halo, n_lane=n_lane, n_iters=n_iters,
+            has_ka=use_ka, n_species=K, source_fns=source_fns,
+            source_lumped=source_lumped, rect=rect,
+        )
+        scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+                   pltpu.VMEM((2, 3 * K, W, n_lane), dtype)]
+        scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+        scratch += [pltpu.SemaphoreType.DMA((2, 2)),
+                    pltpu.SemaphoreType.DMA((2, 1))]
+        n_smem = 3 if needs_t else 2
+        ms_call = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((3 * K, n_pad, n_lane),
+                                            dtype),),
+            in_specs=[smem] * n_smem + [hbm] * 2,
+            out_specs=(hbm,),
+            scratch_shapes=scratch,
+            compiler_params=_vmem_limit_planes(W, n_lane, planes),
+            interpret=interpret,
+        )
+
+        def step(U_c, t):
+            (out,) = ms_call(
+                packed, row0, *((t,) if needs_t else ()),
+                coeff, U_c.reshape(3 * K, n_pad, n_lane),
+            )
+            return out.reshape(K, 3, n_pad, n_lane), None
+    else:
+        def build_step_call(source_fn):
+            kernel = partial(
+                _canvas_step_kernel, c=c, n_pad=n_pad, S=S, W=W,
+                halo=halo, n_lane=n_lane, n_iters=n_iters,
+                has_ka=use_ka, extrapolate=False, source_fn=source_fn,
+                source_steady=False, source_lumped=source_lumped,
+                rect=rect, robin_g_fn=None, robin_sides=(),
+            )
+            scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
+                       pltpu.VMEM((2, 3, W, n_lane), dtype)]
+            scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
+            scratch += [pltpu.SemaphoreType.DMA((2, 2)),
+                        pltpu.SemaphoreType.DMA((2, 1))]
+            # The kernel's ref layout is static per source hook: a
+            # source-free species' program takes NO t ref even when
+            # other species' programs do.
+            n_smem = 3 if source_fn is not None else 2
+            return pl.pallas_call(
+                kernel,
+                out_shape=(jax.ShapeDtypeStruct((3, n_pad, n_lane),
+                                                dtype),),
+                in_specs=[smem] * n_smem + [hbm] * 2,
+                out_specs=(hbm,),
+                scratch_shapes=scratch,
+                compiler_params=_vmem_limit_planes(
+                    W, n_lane, _canvas_n_planes(False)
+                ),
+                interpret=interpret,
+            )
+
+        # One pallas_call per distinct species source hook (None
+        # entries share the source-free program).
+        free_call = None
+        step_calls = []
+        for f in source_fns:
+            if f is None:
+                if free_call is None:
+                    free_call = build_step_call(None)
+                step_calls.append(free_call)
+            else:
+                step_calls.append(build_step_call(f))
+
+        def step(U_c, t):
+            # Chemistry half-step (exact), K transport kernel launches
+            # (K is small and static — an unrolled python loop), second
+            # chemistry half-step. Mirrors run_multispecies_loop.step.
+            # precision=HIGHEST: bf16 default matmul rounding of the
+            # near-1 E_half entries corrupts long decay chains
+            # (models/multispecies.py run_multispecies_loop note).
+            Uh = jnp.einsum("ks,s...->k...", E_half, U_c,
+                            precision=jax.lax.Precision.HIGHEST)
+            Ut = jnp.stack([
+                step_calls[k](
+                    packed, row0,
+                    *((t,) if source_fns[k] is not None else ()),
+                    coeff, Uh[k],
+                )[0]
+                for k in range(K)
+            ])
+            return jnp.einsum("ks,s...->k...", E_half, Ut,
+                              precision=jax.lax.Precision.HIGHEST), None
 
     def to_fam(U_c):
         return jnp.stack([

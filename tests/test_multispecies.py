@@ -483,3 +483,42 @@ def test_fused_hbm_validation_and_commute_route():
                                chebyshev_iters=16, splitting="commute")
     u_fused = np.asarray(fused.solve(store_solutions=False))
     np.testing.assert_allclose(u_fused, u_ell, atol=2e-6)
+
+
+@pytest.mark.kernels
+def test_fused_chemistry_in_kernel_matches_per_launch_path(monkeypatch):
+    """fuse_chemistry=True (one launch/step, (K, K) mixes in-window,
+    ops/pallas_hbm._canvas_multispecies_step_kernel) equals the
+    per-species-launch path with JAX-level einsums, f64, on the hard
+    configuration: 3-species chain with a live emitter, CN, strided
+    snapshots."""
+    from airpollution_tpu.ops import pallas_hbm
+
+    domain = Domain(T=2.0)
+    R = np.array([[0.3, 0.0, 0.0],
+                  [-0.3, 0.2, 0.0],
+                  [0.0, -0.2, 0.1]])
+    src = GaussianSourceProblem(q=2.0, xs=1.0, ys=-2.0, sigma_s=2.0)
+    msp = MultiSpeciesProblem((src, Problem(sigma=2.0),
+                               Problem(sigma=1.0)), R)
+    md = _mesh(12, domain, nt=17)
+
+    def run():
+        s = MultiSpeciesSolver(domain, msp, md, time_scheme_order=2,
+                               matvec_impl="fused_hbm",
+                               splitting="strang",
+                               solver_method="chebyshev",
+                               chebyshev_iters=10, snapshot_every=8)
+        return np.asarray(s.solve(store_solutions=True))
+
+    u_kernel = run()
+
+    orig = pallas_hbm.fused_multispecies_canvas_hbm
+    monkeypatch.setattr(
+        pallas_hbm, "fused_multispecies_canvas_hbm",
+        lambda *a, **k: orig(*a, **{**k, "fuse_chemistry": False}),
+    )
+    u_launch = run()
+    # Same arithmetic up to the (K, K) mix summation order (in-window
+    # scalar FMAs vs jnp.einsum) — f64 keeps the two within rounding.
+    np.testing.assert_allclose(u_kernel, u_launch, atol=1e-12, rtol=0)
