@@ -828,15 +828,14 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
        coupling, so the per-step domain of dependence — and the halo —
        is the single-species one, and K species share the two slab
        exchanges);
-    2. the chemistry half-step ``einsum('ks,s...->k...')`` runs
-       LOCALLY on the extended block (pointwise in space, so applying
-       it to refreshed halo rows reproduces bit-for-bit what the
-       owning neighbor computes for those rows — no extra exchange);
-    3. K sharded-block kernel launches share the ONE extended
-       coefficient block (shared transport); the second half-step
-       einsum closes the Strang sandwich. Stale output halos are
-       refreshed by the next step's ppermute before anything reads
-       them.
+    2. ONE sharded-block launch of the in-kernel-chemistry kernel
+       (ops/pallas_hbm._canvas_multispecies_step_kernel) runs both
+       (K, K) half-step mixes in-window and the K Chebyshev solves on
+       the one extended coefficient block — chemistry is pointwise in
+       space, so mixing refreshed halo rows reproduces bit-for-bit
+       what the owning neighbor computes for those rows, no extra
+       exchange. Stale output halos are refreshed by the next step's
+       ppermute before anything reads them.
 
     ``problem`` is a MultiSpeciesProblem with shared transport; Robin
     alpha walls (equal specs, g = 0 — problem-validated) ride the
@@ -888,9 +887,12 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
     halo = -(-(depth + 1) // 8) * 8
     if stripe_rows is not None and stripe_rows % 8:
         raise ValueError("stripe_rows must be a multiple of 8")
+    # In-kernel chemistry plane budget: 2x21 coefficient windows +
+    # 2x3K state windows + 3K mix temporaries + r + d + matvec temps
+    # (ops/pallas_hbm.fused_multispecies_canvas_hbm).
+    ms_planes = 2 * 21 + 9 * K + 6 + 9
     S, local = _block_layout(
-        n, n_dev, halo, False, stripe_rows,
-        planes=pallas_hbm._canvas_n_planes(False),
+        n, n_dev, halo, False, stripe_rows, planes=ms_planes,
     )
     n_pad = local * n_dev
     n_lane = -(-n // 128) * 128
@@ -911,32 +913,31 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
 
     rect = pallas_hbm.robin_rect_bounds(c, robin) if robin else None
 
-    def _build_step_call(dtype, source_fn):
+    def _build_step_call(dtype):
         kernel = partial(
-            pallas_hbm._canvas_step_kernel, c=c, n_pad=ext_rows, S=S,
-            W=W, halo=halo, n_lane=n_lane, n_iters=iters, has_ka=use_ka,
-            extrapolate=False, int_start=halo, n_stripes=local // S,
-            source_fn=source_fn, source_steady=False,
-            source_lumped=lumped, rect=rect,
-            robin_g_fn=None, robin_sides=(),
+            pallas_hbm._canvas_multispecies_step_kernel, c=c,
+            n_pad=ext_rows, S=S, W=W, halo=halo, n_lane=n_lane,
+            n_iters=iters, has_ka=use_ka, n_species=K,
+            source_fns=source_fns, source_lumped=lumped, rect=rect,
+            int_start=halo, n_stripes=local // S,
         )
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         hbm = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch = [pltpu.VMEM((2, 21, W, n_lane), dtype),
-                   pltpu.VMEM((2, 3, W, n_lane), dtype)]
+                   pltpu.VMEM((2, 3 * K, W, n_lane), dtype)]
         scratch += [pltpu.VMEM((3, W, n_lane), dtype)] * 2  # r, d
         scratch += [pltpu.SemaphoreType.DMA((2, 2)),
                     pltpu.SemaphoreType.DMA((2, 1))]
-        n_smem = 3 if source_fn is not None else 2
+        n_smem = 3 if needs_t else 2
         return pl.pallas_call(
             kernel,
-            out_shape=(jax.ShapeDtypeStruct((3, ext_rows, n_lane),
+            out_shape=(jax.ShapeDtypeStruct((3 * K, ext_rows, n_lane),
                                             dtype),),
             in_specs=[smem] * n_smem + [hbm] * 2,
             out_specs=(hbm,),
             scratch_shapes=scratch,
             compiler_params=pallas_hbm._vmem_limit_planes(
-                W, n_lane, pallas_hbm._canvas_n_planes(False)
+                W, n_lane, ms_planes
             ),
             interpret=interpret,
         )
@@ -950,15 +951,7 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
         R = jnp.asarray(p.R, dtype)
         E_half = expm(-(0.5 * dt) * R)
 
-        free_call = None
-        step_calls = []
-        for f in source_fns:
-            if f is None:
-                if free_call is None:
-                    free_call = _build_step_call(dtype, None)
-                step_calls.append(free_call)
-            else:
-                step_calls.append(_build_step_call(dtype, f))
+        step_call = _build_step_call(dtype)
 
         U0 = jnp.stack([
             jnp.pad(jnp.stack(to_canvases(pattern, C0[k][perm_a])),
@@ -983,6 +976,12 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
             carry0 = jnp.pad(U0_loc, ((0, 0), (0, 0), (halo, halo),
                                       (0, 0)))
 
+            # E_half rides the SMEM consts pack (the kernel applies
+            # both half-step mixes in-window, scalar FMAs — no matmul,
+            # so the bf16-rounding hazard of the einsum path does not
+            # arise).
+            bpack_ms = jnp.concatenate([bpack, E_h.ravel()])
+
             def step(U_c, t):
                 dn = _halo_from_below(
                     U_c[:, :, local:local + halo], axis
@@ -990,21 +989,12 @@ def build_multispecies_hbm_halo_solver(mesh: Mesh, mesh_data, problem,
                 up = _halo_from_above(U_c[:, :, halo:2 * halo], axis)
                 U_c = U_c.at[:, :, :halo].set(dn)
                 U_c = U_c.at[:, :, halo + local:].set(up)
-                # precision=HIGHEST: see run_multispecies_loop —
-                # bf16 matmul rounding corrupts the decay chain.
-                Uh = jnp.einsum("ks,s...->k...", E_h, U_c,
-                                precision=jax.lax.Precision.HIGHEST)
-                Ut = jnp.stack([
-                    step_calls[k](
-                        bpack, row0,
-                        *((t,) if source_fns[k] is not None else ()),
-                        ext_c, Uh[k],
-                    )[0]
-                    for k in range(K)
-                ])
-                return jnp.einsum(
-                    "ks,s...->k...", E_h, Ut,
-                    precision=jax.lax.Precision.HIGHEST), None
+                (out,) = step_call(
+                    bpack_ms, row0,
+                    *((t,) if needs_t else ()),
+                    ext_c, U_c.reshape(3 * K, ext_rows, n_lane),
+                )
+                return out.reshape(K, 3, ext_rows, n_lane), None
 
             if snapshot_every is None:
                 U, _ = jax.lax.scan(step, carry0, ts, length=n_steps)

@@ -169,8 +169,21 @@ def main():
                     "for meshes below this size")
     ap.add_argument("--no_warm", action="store_true")
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--chemistry", choices=["kernel", "jax"],
+                    default="kernel",
+                    help="'kernel' (default): one launch/step with the "
+                    "(K,K) mixes in-window; 'jax': the round-3 "
+                    "per-species-launch path with JAX-level einsums "
+                    "(A/B baseline)")
     args = ap.parse_args()
-    log(f"backend: {jax.default_backend()}")
+    log(f"backend: {jax.default_backend()}  chemistry: {args.chemistry}")
+    if args.chemistry == "jax":
+        from airpollution_tpu.ops import pallas_hbm
+
+        _orig = pallas_hbm.fused_multispecies_canvas_hbm
+        pallas_hbm.fused_multispecies_canvas_hbm = (
+            lambda *a, **k: _orig(*a, **{**k, "fuse_chemistry": False})
+        )
     path = os.path.abspath(os.path.join(
         os.path.dirname(__file__), "..", "results_snapshot",
         "multispecies_fused.json"))
