@@ -203,3 +203,44 @@ def test_fused_engine_u0_grad():
     denom = float(jnp.linalg.norm(g_scan))
     rel = float(jnp.linalg.norm(g_fused - g_scan)) / denom
     assert rel < 1e-4, rel
+
+
+def test_unsteady_differentiable_extrapolation_matches_kernel():
+    """Round-4 backlog: the differentiable route's extrapolated warm
+    start (delta trick OUTSIDE custom_linear_solve, models/crbe
+    run_time_loop guess = 2u - u_prev) vs the non-differentiable fused
+    chunk whose kernel extrapolates IN-kernel (_canvas_step_kernel
+    extrapolate=True). Same fixed-k Chebyshev arithmetic modulo
+    association — primal states must agree to rounding in f64; the
+    omega-gradient must track the extrapolated scan adjoint."""
+    from airpollution_tpu.models.unsteady import solve_time_varying
+    from airpollution_tpu.problems import TurningWindProblem
+
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=17,
+                      dtype=jnp.float64)
+
+    def solve(omega, impl, differentiable, **kw):
+        p = TurningWindProblem(speed=0.8, omega_t=omega, D=0.3)
+        return solve_time_varying(
+            p, md, reassemble_every=4, store_solutions=False,
+            differentiable=differentiable, matvec_impl=impl,
+            extrapolate_warm_start=True, **kw,
+        )
+
+    u_diff = np.asarray(solve(0.15, "fused_hbm", True,
+                              chebyshev_iters=12))
+    u_kern = np.asarray(solve(0.15, "fused_hbm", False,
+                              chebyshev_iters=12))
+    np.testing.assert_allclose(u_diff, u_kern, atol=1e-11, rtol=0)
+
+    def loss(omega, impl, **kw):
+        return jnp.sum(solve(omega, impl, True, **kw) ** 2)
+
+    g_scan = jax.grad(
+        lambda w: loss(w, "scan", tol=1e-10, maxiter=400)
+    )(0.15)
+    g_fused = jax.grad(
+        lambda w: loss(w, "fused_hbm", chebyshev_iters=20)
+    )(0.15)
+    np.testing.assert_allclose(float(g_fused), float(g_scan),
+                               rtol=1e-4)
