@@ -283,6 +283,7 @@ class MultiSpeciesSolver:
                  source_quadrature: str = "mass_lumped",
                  matvec_impl: str = "auto", splitting: str = "auto",
                  snapshot_every=None, chebyshev_policy: str = "reroute",
+                 fuse_chemistry: bool = True,
                  transport_solver_kwargs=None):
         if time_scheme_order not in (1, 2):
             raise ValueError(
@@ -385,6 +386,9 @@ class MultiSpeciesSolver:
                              "of nt-1")
         self.snapshot_every = snapshot_every
         self.chebyshev_policy = chebyshev_policy
+        # Strang fused path only: one in-kernel-chemistry launch per
+        # step (default) vs the per-species-launch A/B baseline.
+        self.fuse_chemistry = fuse_chemistry
         self.matvec_impl = matvec_impl
         self.domain = domain
         self.problem = problem
@@ -541,6 +545,7 @@ class MultiSpeciesSolver:
         R_static = self.problem.R
         problem = self.problem
         chebyshev_iters = self.chebyshev_iters
+        fuse_chemistry = self.fuse_chemistry
 
         def solve_impl(ops, C0, aux):
             perm_a, inv_a, midpoints_a, bmask_a, dead_a, bounds = aux
@@ -567,6 +572,7 @@ class MultiSpeciesSolver:
                 n_steps=n_steps, n_iters=chebyshev_iters,
                 bounds=bounds, use_ka=use_ka, rect=rect,
                 snapshot_every=k_snap, source_fns=source_fns,
+                fuse_chemistry=fuse_chemistry,
                 source_lumped=lumped, grid=grid, dt=dt,
                 guard_every=pallas_hbm.guard_stride(n_steps),
                 interpret=interpret,
@@ -750,7 +756,7 @@ class MultiSpeciesSolver:
             self.time_scheme_order, self.solver_tol, self.solver_maxiter,
             self.solver_method, self.chebyshev_iters, self.matvec_impl,
             self.splitting, self.snapshot_every, self.chebyshev_policy,
-            self.stiffness_convention,
+            self.stiffness_convention, self.fuse_chemistry,
         )
 
     def solve(self, store_solutions: bool = True):
