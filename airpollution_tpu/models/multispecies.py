@@ -319,8 +319,8 @@ class MultiSpeciesSolver:
             raise ValueError(f"unknown matvec_impl {matvec_impl}")
         # matvec_impl='fused_hbm': the canvas stripe kernel. Under the
         # commute split it simply rides CRBESolver (every species is a
-        # single-species fused solve); under Strang it runs the
-        # per-step K-launch + chemistry-einsum loop
+        # single-species fused solve); under Strang it runs one
+        # in-kernel-chemistry launch per step
         # (ops/pallas_hbm.fused_multispecies_canvas_hbm) — the
         # city-scale path for emission inventories + chemistry, where
         # commute is not exact. Shared transport + Chebyshev scope.
@@ -500,13 +500,16 @@ class MultiSpeciesSolver:
 
     def _build_fused_solve_fn(self, store_solutions: bool):
         """Strang splitting on the canvas stripe kernel
-        (ops/pallas_hbm.fused_multispecies_canvas_hbm): per step, K
-        kernel launches on one shared coefficient stack + two exact
-        (K, K) chemistry einsums applied directly to the species canvas
-        stack. The city-scale configuration for emission inventories +
-        chemistry (where the exact 'commute' factorization does not
-        apply); Robin alpha walls and interior obstacles ride the
-        coefficients exactly like the single-species canvas path."""
+        (ops/pallas_hbm.fused_multispecies_canvas_hbm): by default ONE
+        in-kernel-chemistry launch per step — all K species' windows
+        resident, both exact (K, K) half-step mixes as in-window FMAs,
+        the coefficient windows streamed once for all species
+        (``fuse_chemistry=False`` restores the round-3 per-species-
+        launch + JAX-einsum baseline). The city-scale configuration for
+        emission inventories + chemistry (where the exact 'commute'
+        factorization does not apply); Robin alpha walls and interior
+        obstacles ride the coefficients exactly like the
+        single-species canvas path."""
         from airpollution_tpu.mesh.data import structured_grid
         from airpollution_tpu.ops import pallas_hbm
         from airpollution_tpu.ops import stencil as stencil_mod

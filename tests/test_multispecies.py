@@ -378,12 +378,14 @@ def test_robin_validation_side_partition_and_g():
             matvec_impl="uniform", splitting="strang")
 
 
-# --- Fused Strang path: the canvas stripe kernel (round 3) ------------
-# pallas_hbm.fused_multispecies_canvas_hbm: per step, K kernel launches
-# on ONE shared coefficient stack + two exact (K, K) chemistry einsums
-# applied directly to the species canvas stack — the city-scale
-# configuration for emission inventories + chemistry, where the exact
-# 'commute' factorization does not apply.
+# --- Fused Strang path: the canvas stripe kernel (rounds 3-4) ---------
+# pallas_hbm.fused_multispecies_canvas_hbm: one in-kernel-chemistry
+# launch per step (round 4 default) — all K species' windows resident,
+# the two exact (K, K) half-step mixes as in-window FMAs; the round-3
+# per-species-launch + JAX-einsum path remains as the
+# fuse_chemistry=False A/B baseline. The city-scale configuration for
+# emission inventories + chemistry, where the exact 'commute'
+# factorization does not apply.
 
 
 @pytest.mark.kernels
