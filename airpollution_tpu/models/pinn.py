@@ -325,13 +325,20 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
             res = res.at[lo:hi, 0].set(flux_res.astype(res.dtype))
         bc_loss = jnp.mean(jnp.square(res))
 
+    fac_loss = None
     if xyt_fac is not None:
         # Obstacle FACADE block (judge W5): the no-flux condition
         # dc/dn = 0 on the building walls — the continuum limit of the
         # FEM's masked assembly (obstacle_masks: dropped solid
-        # triangles leave zero diffusive flux on the cut). Folded into
-        # the boundary term as a combined mean so lambda_bc weights
-        # walls and domain boundary together.
+        # triangles leave zero diffusive flux on the cut). By default
+        # folded into the boundary term as a combined mean so lambda_bc
+        # weights walls and domain boundary together; a "facade" key in
+        # ``lambda_weights`` (static dict structure) splits it into its
+        # own weighted term — the round-4 backlog lever for wake-shadow
+        # signals sitting below the combined-loss floor
+        # (results_snapshot/canyon_pinn_fem.json notes). Serial Adam/
+        # L-BFGS trainers; the grad-norm adaptive-weights path manages
+        # only pde/ic/bc and keeps the fold.
         def u_point_fac(p):
             return ansatz_apply(params, p, activation, problem,
                                 hard_ic, t_final)[0]
@@ -339,13 +346,23 @@ def composite_loss(params, problem, xyt_pde, xyt_ic, ic_target, xyt_bc,
         fgrad = jax.vmap(jax.grad(u_point_fac))(xyt_fac)
         dcdn_fac = jnp.sum(fgrad[:, :2] * fac_normals, axis=1)
         fac2 = jnp.square(dcdn_fac).astype(bc_loss.dtype)
-        n_b = xyt_bc.shape[0]
-        n_f = xyt_fac.shape[0]
-        bc_loss = (n_b * bc_loss + jnp.sum(fac2)) / (n_b + n_f)
+        if "facade" in lambda_weights:
+            fac_loss = jnp.mean(fac2)
+        else:
+            n_b = xyt_bc.shape[0]
+            n_f = xyt_fac.shape[0]
+            bc_loss = (n_b * bc_loss + jnp.sum(fac2)) / (n_b + n_f)
 
     lp, li, lb = (lambda_weights["pde"], lambda_weights["ic"],
                   lambda_weights["bc"])
-    total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (lp + li + lb)
+    if fac_loss is not None:
+        lf = lambda_weights["facade"]
+        total = (lp * pde_loss + li * ic_loss + lb * bc_loss
+                 + lf * fac_loss) / (lp + li + lb + lf)
+    else:
+        total = (lp * pde_loss + li * ic_loss + lb * bc_loss) / (
+            lp + li + lb
+        )
     return total, (pde_loss, ic_loss, bc_loss)
 
 

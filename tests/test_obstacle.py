@@ -498,3 +498,36 @@ class TestPinnObstacles:
         h = model.train({"pde": 128, "ic": 32, "bc": 32}, 20, 1e-3,
                         {"pde": 1.0, "ic": 1.0, "bc": 1.0})
         assert np.isfinite(h["total_loss"]).all()
+
+
+def test_pinn_separate_facade_lambda_trains():
+    """Round-4 backlog lever: a "facade" key in lambda_weights splits
+    the building-wall no-flux term out of the combined boundary mean
+    into its own weighted loss block. The separately-weighted config
+    must train (loss decreases, finite) and produce a different
+    compiled objective than the folded default (sanity: the two
+    trainings from the same seed disagree)."""
+    import jax.numpy as jnp
+
+    from airpollution_tpu.models.pinn import PINN
+
+    domain = Domain(T=2.0)
+    p = Problem(v=(1.0, 0.5), D=0.1)
+    p.obstacles = ((2.0, 6.0, -3.0, 3.0),)
+    batches = {"pde": 512, "ic": 128, "bc": 128, "facade": 128}
+
+    def run(lams):
+        m = PINN([3, 16, 16, 1], p, domain, activation="tanh", seed=0)
+        h = m.train(batches, 300, 2e-3, lams)
+        return m, h
+
+    m_sep, h_sep = run({"pde": 1.0, "ic": 10.0, "bc": 10.0,
+                        "facade": 40.0})
+    assert np.isfinite(h_sep["total_loss"][-1])
+    assert h_sep["total_loss"][-1] < h_sep["total_loss"][0]
+
+    m_fold, h_fold = run({"pde": 1.0, "ic": 10.0, "bc": 10.0})
+    xyt = jnp.asarray([[0.0, 0.0, domain.T], [8.0, 1.0, domain.T]])
+    pred_sep = np.asarray(m_sep.forward(xyt))
+    pred_fold = np.asarray(m_fold.forward(xyt))
+    assert not np.allclose(pred_sep, pred_fold)
