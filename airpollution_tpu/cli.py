@@ -65,7 +65,7 @@ def _domain_problem(args):
     return domain, problem
 
 
-def _solve_time_varying(args, domain, problem, md):
+def _solve_time_varying(args, domain, problem, md, mirror=None):
     """Quasi-static chunked solve for time-varying problems (--problem
     turning): the operator is reassembled every --reassemble_every
     steps (models/unsteady.solve_time_varying)."""
@@ -100,6 +100,10 @@ def _solve_time_varying(args, domain, problem, md):
         rel = l2 / float(jnp.linalg.norm(ex))
         mx = float(jnp.max(jnp.abs(err)))
     if args.save:
+        if mirror:
+            from airpollution_tpu.mesh.mirror import mirror_field
+
+            sols = mirror_field(sols, md, mirror)
         arr = np.asarray(sols)
         save_field(args.save, arr if args.save_all else arr[-1],
                    times=np.asarray(md.time_discr) if args.save_all
@@ -159,14 +163,21 @@ def _errors_or_none(compute, problem):
     return compute(fn)
 
 
-def _mesh_data(args, domain):
+def _mesh_data(args, domain, allow_mirror=False):
     import airpollution_tpu as apt
 
     if getattr(args, "mesh_file", None):
-        # External gmsh triangulation (mesh/msh_io.py) — general ELL
-        # routing, like the reference's meshio-loaded meshes.
-        return apt.MeshData(apt.read_msh(args.mesh_file), domain,
-                            nt=args.nt)
+        # External gmsh triangulation (mesh/msh_io.py): regular grids
+        # are detected and routed to the structured fast paths; grids
+        # cut along the other diagonal come back mirror-tagged and need
+        # the flip-solve-flip pullback (mesh/mirror.py). Subcommands
+        # without that wiring must NOT silently solve the reflected
+        # problem — they fall back to the file's own triangulation
+        # (general ELL path: slow but exact).
+        mesh = apt.read_msh(args.mesh_file)
+        if getattr(mesh, "mirror", None) and not allow_mirror:
+            mesh = apt.read_msh(args.mesh_file, structured=False)
+        return apt.MeshData(mesh, domain, nt=args.nt)
     return apt.MeshData(apt.create_mesh(args.mesh_size, domain.Lx),
                         domain, nt=args.nt)
 
@@ -193,9 +204,19 @@ def cmd_solve(args):
     if getattr(args, "obstacle", None):
         # Solid blocks change the true solution too — same caveat.
         problem.obstacles = tuple(tuple(r) for r in args.obstacle)
-    md = _mesh_data(args, domain)
+    md = _mesh_data(args, domain, allow_mirror=True)
+    mirror = getattr(md.mesh, "mirror", None)
+    if mirror:
+        # Mirrored structured grid: solve the pullback problem on the
+        # canonical mesh (full fast-path speed) and permute the output
+        # back to the file frame (mesh/mirror.py; error norms are
+        # permutation-invariant, so the JSON columns need no flip).
+        from airpollution_tpu.mesh.mirror import mirror_problem
+
+        problem = mirror_problem(problem, mirror)
     if getattr(problem, "time_varying", False):
-        return _solve_time_varying(args, domain, problem, md)
+        return _solve_time_varying(args, domain, problem, md,
+                                   mirror=mirror)
     solver = CRBESolver(
         domain, problem, md, time_scheme_order=args.order,
         matvec_impl=args.matvec_impl,
@@ -212,7 +233,12 @@ def cmd_solve(args):
     if args.save:
         import numpy as np
 
-        sols = np.asarray(solver.solutions)
+        sols = solver.solutions
+        if mirror:
+            from airpollution_tpu.mesh.mirror import mirror_field
+
+            sols = mirror_field(sols, md, mirror)
+        sols = np.asarray(sols)
         times = np.asarray(md.time_discr)
         if store and solver.snapshot_every and sols.shape[0] != times.shape[0]:
             times = times[::solver.snapshot_every]  # strided fused output

@@ -34,11 +34,20 @@ class Mesh:
     ``n_points_per_axis`` is set for meshes produced by :func:`create_mesh`
     (None for externally supplied triangulations); it unlocks the
     structured-stencil SpMV fast path (airpollution_tpu.ops.stencil).
+
+    ``mirror`` is set by :func:`airpollution_tpu.mesh.msh_io.read_msh`
+    when the source grid matched the canonical triangulation only after
+    a coordinate reflection ``sigma = diag(sx, sy)`` (a regular grid cut
+    along the OTHER cell diagonal): this canonical mesh is the
+    sigma-image of the file's triangulation, and solving on it requires
+    the flip-solve-flip pullback — see airpollution_tpu.mesh.mirror.
+    ``None`` for everything else (no transform needed).
     """
 
     points: np.ndarray
     triangles: np.ndarray
     n_points_per_axis: int | None = None
+    mirror: tuple[int, int] | None = None
 
 
 def create_unstructured_mesh(n_points_per_axis: int = 20,

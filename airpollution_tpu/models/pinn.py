@@ -812,6 +812,18 @@ class PINN:
                     "(problem.obstacles) — a custom obstacle_fn alone "
                     "gives the facade sampler nothing to sample"
                 )
+        if adaptive_weights_every and "facade" in (lambda_weights or {}):
+            # Grad-norm annealing rebuilds the weights as {pde, ic, bc}
+            # (composite_loss folds the facade term back into bc), so an
+            # explicit facade lambda would be silently ignored — refuse
+            # instead (advisor finding, round 4).
+            raise ValueError(
+                "lambda_weights['facade'] is incompatible with "
+                "adaptive_weights_every > 0 (the adaptive weights carry "
+                "only pde/ic/bc and would silently drop the facade "
+                "split) — use static lambdas for a separate facade "
+                "weight"
+            )
         if causal_eps and batch_sizes["pde"] < int(causal_bins):
             # per_bin = n_pde // causal_bins would be 0: the per-bin mean
             # over an empty axis is NaN and poisons every loss/gradient

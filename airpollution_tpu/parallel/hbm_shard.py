@@ -783,8 +783,21 @@ def build_canvas_hbm_halo_solver(mesh: Mesh, mesh_data, problem, dt, *,
         if coeff_time is not None:
             # Per-chunk direct canvas prep (no GlobalOperators needed):
             # the time-varying driver passes the chunk-midpoint time and
-            # the baked problem's hooks are sampled there.
-            key = ("coeff_time", float(coeff_time))
+            # the baked problem's hooks are sampled there. coeff_time
+            # must be a concrete Python/numpy scalar: it keys this
+            # single-entry host-side cache (a traced value cannot — and
+            # must not — decide whether the coefficient stack is
+            # rebuilt).
+            try:
+                key = ("coeff_time", float(coeff_time))
+            except (TypeError, jax.errors.ConcretizationTypeError):
+                raise ValueError(
+                    "coeff_time must be a concrete scalar (it selects "
+                    "which coefficient stack is resident via a host-"
+                    "side cache key); a traced coeff_time cannot drive "
+                    "the per-chunk canvas prep — call solve() once per "
+                    "concrete chunk time instead"
+                ) from None
             if not (isinstance(cache["ops"], tuple)
                     and cache["ops"] == key):
                 cache["ops"] = key

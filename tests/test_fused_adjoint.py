@@ -205,6 +205,42 @@ def test_fused_engine_u0_grad():
     assert rel < 1e-4, rel
 
 
+def test_inverse_extrapolate_wiring():
+    """Judge W4 round 4: ``extrapolate=`` through inverse._solve/fit_*.
+
+    The second-order warm start (guess = 2u - u_prev via the delta
+    trick) must (a) beat the plain warm start's accuracy at the SAME
+    fixed k — that's the whole point: same accuracy at lower k = less
+    wall-clock per Adam step — and (b) keep the gradient exact against
+    the scan adjoint (the delta trick stays linear in b, so
+    custom_linear_solve's adjoint is untouched)."""
+    md = apt.MeshData(apt.create_mesh(17, 20.0), Domain(), nt=17)
+    p = Problem(D=0.1)
+    tight = solve_final_state(p, md, engine="scan", tol=1e-10)
+
+    def fused(extrapolate, k=6):
+        return solve_final_state(p, md, engine="fused_hbm",
+                                 chebyshev_iters=k,
+                                 extrapolate=extrapolate)
+
+    err_plain = float(jnp.linalg.norm(fused(False) - tight))
+    err_ex = float(jnp.linalg.norm(fused(True) - tight))
+    assert err_ex < err_plain, (err_ex, err_plain)
+
+    def loss(D, engine, **kw):
+        u = solve_final_state(Problem(D=D), md, engine=engine, **kw)
+        return jnp.sum(u ** 2)
+
+    g_scan = jax.grad(
+        lambda D: loss(D, "scan", tol=1e-10, maxiter=500)
+    )(0.1)
+    g_ex = jax.grad(
+        lambda D: loss(D, "fused_hbm", chebyshev_iters=24,
+                       extrapolate=True)
+    )(0.1)
+    np.testing.assert_allclose(float(g_ex), float(g_scan), rtol=2e-5)
+
+
 def test_unsteady_differentiable_extrapolation_matches_kernel():
     """Round-4 backlog: the differentiable route's extrapolated warm
     start (delta trick OUTSIDE custom_linear_solve, models/crbe
