@@ -62,6 +62,11 @@ CONFIGS = {
     "lbfgs3k": {"lbfgs": 3000},
     "combined": {"facade_lambda": 20.0, "output_scale": "auto",
                  "lbfgs": 3000},
+    # Escalation: the scale head halved global rel-L2 (0.91 -> 0.50 at
+    # 20k epochs) — if the wake is optimization-error-limited, budget
+    # is the direct test.
+    "scale_long": {"output_scale": "auto", "epochs_mult": 3,
+                   "lbfgs": 3000},
 }
 
 
@@ -73,18 +78,19 @@ def run_config(tag, cfg, args, domain, p, md, u_fem, bands):
     if fac_lam:
         lam["facade"] = float(fac_lam)
     lbfgs = cfg.get("lbfgs", args.lbfgs)
+    epochs = args.epochs * cfg.get("epochs_mult", 1)
     model = PINN([3, 48, 48, 48, 1], p, domain, activation="tanh",
                  seed=0, fourier_features=args.fourier,
                  output_scale=cfg.get("output_scale"))
     t0 = time.time()
     hist = model.train({"pde": 4096, "ic": 1024, "bc": 1024},
-                       args.epochs, args.lr, lam,
+                       epochs, args.lr, lam,
                        causal_eps=args.causal_eps)
     if lbfgs:
         model.finetune_lbfgs({"pde": 8192, "ic": 2048, "bc": 2048},
                              lbfgs, lam)
     train_t = time.time() - t0
-    log(f"[{tag}] {args.epochs} Adam + {lbfgs} L-BFGS in {train_t:.1f}s, "
+    log(f"[{tag}] {epochs} Adam + {lbfgs} L-BFGS in {train_t:.1f}s, "
         f"final loss {hist['total_loss'][-1]:.3e}")
 
     t_col = np.full((mids.shape[0], 1), domain.T)
@@ -97,7 +103,7 @@ def run_config(tag, cfg, args, domain, p, md, u_fem, bands):
     pinn_def = float(pred[free].mean() - pred[wake].mean())
     row = {
         "config": tag, **cfg,
-        "epochs": args.epochs, "lbfgs": lbfgs,
+        "epochs": epochs, "lbfgs": lbfgs,
         "pinn_final_loss": float(hist["total_loss"][-1]),
         "train_s": round(train_t, 1),
         "rel_l2_discrepancy_live": round(rel_l2, 4),
@@ -193,10 +199,23 @@ def main():
             "shadow agreement metric (target sign + ~30% magnitude); "
             "FEM's obstacle machinery is exact-oracle-tested "
             "(tests/test_obstacle.py) and remains the authority. "
-            "Configs: base (round-4 setup), facade20 (separate "
-            "lambda_weights['facade']), scale (trainable output "
-            "amplitude, problem-derived init), lbfgs3k (3x polish), "
-            "combined."
+            "MEASURED CONCLUSION (2026-08-21 sweep): every lever is a "
+            "measured negative on the wake metric — facade20 no change "
+            "(-0.62 -> -0.68), lbfgs3k bit-identical to base (the "
+            "zoom linesearch stalls before 1000 steps), output scale "
+            "HALVES global rel-L2 (0.91 -> 0.50, the one real "
+            "accuracy win) but pushes the wake-band bias the wrong "
+            "way (-0.62 -> -2.33), and scale_long (3x Adam budget) is "
+            "bit-identical to scale — the runs are CONVERGED, so the "
+            "wake error is the composite-loss optimum's systematic "
+            "band bias, not optimization noise. Loss-floor "
+            "arithmetic: closing the wake needs band-mean absolute "
+            "error <= 0.3 x 1.77e-3 ~= 5e-4 (0.8% of the 0.062 field "
+            "amplitude); the converged optima carry 2-6e-3 of "
+            "band-mean bias (4-10x too much) at every lever setting. "
+            "Closing it needs a different formulation (e.g. exact "
+            "facade constraints or domain-decomposed nets), not more "
+            "budget on this one."
         )
         write(sorted(rows, key=lambda r: r["config"]), notes)
 
