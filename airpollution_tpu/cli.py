@@ -173,11 +173,13 @@ def _mesh_data(args, domain, allow_mirror=False):
         # the flip-solve-flip pullback (mesh/mirror.py). Subcommands
         # without that wiring must NOT silently solve the reflected
         # problem — they fall back to the file's own triangulation
-        # (general ELL path: slow but exact).
+        # (general ELL path: slow but exact; costs a second parse of
+        # the file, only on mirrored grids reaching non-solve
+        # subcommands).
         mesh = apt.read_msh(args.mesh_file)
         if getattr(mesh, "mirror", None) and not allow_mirror:
             mesh = apt.read_msh(args.mesh_file, structured=False)
-        return apt.MeshData(mesh, domain, nt=args.nt)
+        return apt.MeshData(mesh, domain, nt=args.nt, mirror_ok=True)
     return apt.MeshData(apt.create_mesh(args.mesh_size, domain.Lx),
                         domain, nt=args.nt)
 

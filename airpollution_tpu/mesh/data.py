@@ -37,7 +37,27 @@ from airpollution_tpu.mesh.structured import Mesh
 class MeshData:
     """Mesh geometry + CR DOF topology as device arrays."""
 
-    def __init__(self, mesh: Mesh, domain, nt: int, dtype=jnp.float32):
+    def __init__(self, mesh: Mesh, domain, nt: int, dtype=jnp.float32,
+                 mirror_ok: bool = False):
+        if getattr(mesh, "mirror", None) and not mirror_ok:
+            # A mirror-tagged mesh (read_msh on a grid cut along the
+            # OTHER cell diagonal) is the sigma-IMAGE of the file's
+            # triangulation: solving a problem on it directly computes
+            # the reflected problem — silently wrong for any asymmetric
+            # wind/source. The flip-solve-flip contract
+            # (airpollution_tpu.mesh.mirror: wrap the problem with
+            # mirror_problem, map fields back with mirror_field) must be
+            # acknowledged explicitly; the CLI does this automatically.
+            raise ValueError(
+                f"mesh carries mirror={mesh.mirror}: it is the "
+                f"reflection of the source grid, and solving on it "
+                f"needs the pullback problem + output permutation "
+                f"(airpollution_tpu.mesh.mirror.mirror_problem / "
+                f"mirror_field). Pass mirror_ok=True after wrapping "
+                f"the problem, or re-read with "
+                f"read_msh(path, structured=False) for the exact "
+                f"general-path solve on the file's own triangulation"
+            )
         self.mesh = mesh
         self.domain = domain
         self.nt = int(nt)

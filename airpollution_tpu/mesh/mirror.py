@@ -13,10 +13,13 @@ a problem wrapper plus an index permutation, and the mirrored grid rides
 every canonical fast path (stencil, canvas, fused VMEM/HBM kernels) at
 full speed instead of the ~1000x-slower general ELL route.
 
-Usage (read_msh tags such grids with ``mesh.mirror``)::
+Usage (read_msh tags such grids with ``mesh.mirror``; MeshData REFUSES
+a mirror-tagged mesh unless you acknowledge the pullback contract with
+``mirror_ok=True`` — a direct solve on the sigma-image mesh would
+silently compute the reflected problem)::
 
     mesh = apt.read_msh("grid_mirrored.msh")      # mesh.mirror == (-1, 1)
-    md = apt.MeshData(mesh, domain, nt=nt)
+    md = apt.MeshData(mesh, domain, nt=nt, mirror_ok=True)
     solver = CRBESolver(domain, mirror_problem(problem, mesh.mirror), md)
     sols = solver.solve()
     sols = mirror_field(sols, md, mesh.mirror)    # back to the file frame

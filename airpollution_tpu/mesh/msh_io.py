@@ -248,7 +248,9 @@ def read_msh(path: str, structured: str | bool = "auto") -> Mesh:
     are detected through the reflection isometry and returned as the
     canonical mesh tagged ``mirror=(sx, sy)`` — solve the pulled-back
     problem and permute the field back (airpollution_tpu.mesh.mirror;
-    the CLI does this automatically). ``True`` requires the detection
+    the CLI does this automatically, and MeshData refuses a
+    mirror-tagged mesh without ``mirror_ok=True`` so a direct solve
+    cannot silently compute the reflected problem). ``True`` requires the detection
     (either frame) to succeed (raises otherwise); ``False`` never
     detects (always the general path). Genuinely unstructured meshes
     return the same array container ``create_mesh`` produces with

@@ -51,6 +51,17 @@ extra = sys.argv[4:]
 out = subprocess.run(
     [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q", *extra],
     capture_output=True, text=True)
+# rc=0 collected, rc=5 nothing matched a filter; anything else (e.g.
+# rc=2: a test file failed to IMPORT and collection was interrupted)
+# would silently drop files from the plan and the suite would pass
+# without ever running them — the exact false-green class this runner
+# exists to prevent.
+if out.returncode not in (0, 5):
+    print(f"ERROR: test collection failed (rc={out.returncode})",
+          file=sys.stderr)
+    print(out.stdout[-3000:], file=sys.stderr)
+    print(out.stderr[-2000:], file=sys.stderr)
+    sys.exit(1)
 counts = {}
 for line in out.stdout.splitlines():
     m = re.match(r"^(tests/test_\w+\.py): (\d+)$", line)
@@ -67,6 +78,15 @@ if total == 0:
     print(out.stdout[-2000:], file=sys.stderr)
     print(out.stderr[-2000:], file=sys.stderr)
     sys.exit(1)
+if not extra:
+    # Unfiltered runs must plan EVERY test file on disk — a file absent
+    # from the counts means collection quietly skipped it.
+    import glob
+    missing = sorted(set(glob.glob("tests/test_*.py")) - set(counts))
+    if missing:
+        print(f"ERROR: files on disk missing from collection: "
+              f"{missing}", file=sys.stderr)
+        sys.exit(1)
 nshards = max(min_shards, math.ceil(total / target))
 # LPT: biggest files first, each to the currently lightest shard.
 shards = [[] for _ in range(nshards)]

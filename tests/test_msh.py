@@ -244,7 +244,12 @@ class TestStructuredDetection:
 
         # Fast route: canonical mesh + pullback problem + flip back.
         got = read_msh(path)
-        md_can = MeshData(got, domain, nt=9, dtype=jnp.float64)
+        # MeshData refuses a mirror-tagged mesh without the
+        # acknowledgement (the silent-wrong guard).
+        with pytest.raises(ValueError, match="mirror"):
+            MeshData(got, domain, nt=9)
+        md_can = MeshData(got, domain, nt=9, dtype=jnp.float64,
+                          mirror_ok=True)
         s_can = CRBESolver(domain, mirror_problem(problem, got.mirror),
                            md_can, matvec_impl="stencil",
                            solver_tol=1e-12)
