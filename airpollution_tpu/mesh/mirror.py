@@ -205,15 +205,38 @@ def mirror_dof_permutation(mesh_data, mirror) -> np.ndarray:
                          "(create_mesh-canonical) mesh")
     mid = np.asarray(mesh_data.midpoints, dtype=np.float64)
     lo = mid.min(axis=0)
+    rel = mid - lo
     # Quantize to the half-grid: every midpoint coordinate is a multiple
-    # of h/2 from the minimum (h = 2L/(n-1)).
-    h2 = float(mesh_data.domain.Lx) / (n - 1)
-    q = np.rint((mid - lo) / h2).astype(np.int64)
+    # of h/2 from the minimum. Derive h/2 from the midpoints themselves
+    # (smallest positive coordinate gap) — deriving it from domain.Lx
+    # would silently collapse every key to 0 whenever the mesh extent
+    # and the run's domain disagree (all keys equal, the perm check
+    # below passes vacuously, and the caller gets a degenerate
+    # constant-field permutation).
+    span = float(rel.max())
+    if span <= 0.0:
+        raise AssertionError("degenerate midpoint set (zero extent)")
+    gaps = []
+    for ax in range(2):
+        d = np.diff(np.unique(rel[:, ax]))
+        gaps.extend(d[d > span * 1e-9])
+    if not gaps:
+        raise AssertionError("degenerate midpoint set (no coordinate "
+                             "spread on either axis)")
+    h2 = float(min(gaps))
+    qf = rel / h2
+    q = np.rint(qf).astype(np.int64)
+    if not np.allclose(qf, q, atol=1e-6 * max(1.0, span / h2)):
+        raise AssertionError("midpoints are not on a uniform half-grid "
+                             "— not a create_mesh-canonical mesh?")
     tgt = mid * np.asarray((sx, sy), np.float64)
     qt = np.rint((tgt - lo) / h2).astype(np.int64)
     w = int(q[:, 0].max()) + 2
     key = q[:, 1] * w + q[:, 0]
     key_t = qt[:, 1] * w + qt[:, 0]
+    if np.unique(key).size != key.size:
+        raise AssertionError("midpoint quantization collided — "
+                             "non-uniform grid spacing?")
     order = np.argsort(key)
     pos = np.searchsorted(key[order], key_t)
     perm = order[np.clip(pos, 0, len(order) - 1)]

@@ -475,8 +475,9 @@ class PINN:
         # max |IC| over a coarse domain grid (the linear PDE's field
         # amplitude is set by its data).
         if output_scale == "auto":
-            g = jnp.linspace(-domain.Lx, domain.Lx, 64)
-            xx, yy = jnp.meshgrid(g, g)
+            gx = jnp.linspace(-domain.Lx, domain.Lx, 64)
+            gy = jnp.linspace(-domain.Ly, domain.Ly, 64)
+            xx, yy = jnp.meshgrid(gx, gy)
             ic = problem.initial_condition_fn(
                 jnp.stack([xx.ravel(), yy.ravel()], axis=1))
             output_scale = float(jnp.max(jnp.abs(ic)))
@@ -1102,6 +1103,7 @@ class PINN:
             self.xy_ranges, self.t_range, jnp.dtype(self.dtype).name,
             jax.tree_util.tree_structure(self.problem),
             self.fourier_features, self.hard_ic, self._reaction_active(),
+            "amp" in self.params[-1],
         )
         if cache_key not in _PARALLEL_TRAIN_FN_CACHE:
             _PARALLEL_TRAIN_FN_CACHE[cache_key] = (
@@ -1113,6 +1115,7 @@ class PINN:
                     fourier_features=self.fourier_features,
                     hard_ic=self.hard_ic,
                     reaction_active=self._reaction_active(),
+                    output_scale="amp" in self.params[-1],
                 )
             )
         trainer, info = _PARALLEL_TRAIN_FN_CACHE[cache_key]

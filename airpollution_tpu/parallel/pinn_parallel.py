@@ -43,7 +43,7 @@ def _num_hidden(layers) -> int:
 
 
 def tp_param_specs(layers, activation="adaptive_tanh",
-                   fourier_features=0):
+                   fourier_features=0, output_scale=False):
     """PartitionSpec pytree matching ``init_mlp_params`` structure.
 
     Hidden layer h: column-parallel when h is even (shard out-features),
@@ -51,6 +51,9 @@ def tp_param_specs(layers, activation="adaptive_tanh",
     row-parallel iff the last hidden layer left activations sharded.
     The frozen Fourier embedding ``B`` (when present) is replicated —
     it is tiny ((in_dim, m)) and every device needs the full features.
+    ``output_scale=True`` matches params built with a trainable output
+    amplitude (init_mlp_params output_scale>0): the scalar ``amp`` leaf
+    on the last layer is replicated.
     """
     specs = []
     if fourier_features:
@@ -67,9 +70,12 @@ def tp_param_specs(layers, activation="adaptive_tanh",
                 spec["alpha"] = P(None)
         specs.append(spec)
     if n_hidden % 2 == 1:  # activations are sharded entering the last layer
-        specs.append({"W": P("tp", None), "b": P(None)})
+        last = {"W": P("tp", None), "b": P(None)}
     else:
-        specs.append({"W": P(None, None), "b": P(None)})
+        last = {"W": P(None, None), "b": P(None)}
+    if output_scale:
+        last["amp"] = P()
+    specs.append(last)
     return specs
 
 
@@ -115,8 +121,13 @@ def forward_tp(params, x, activation="adaptive_tanh"):
             raise ValueError(f"Activation function {activation} not implemented")
     last = params[-1]
     if sharded:
-        return jax.lax.psum(h @ last["W"], "tp") + last["b"]
-    return h @ last["W"] + last["b"]
+        out = jax.lax.psum(h @ last["W"], "tp") + last["b"]
+    else:
+        out = h @ last["W"] + last["b"]
+    if "amp" in last:
+        # Trainable output amplitude (models/pinn.mlp_apply semantics).
+        out = last["amp"] * out
+    return out
 
 
 def _apply_tp(params, x, activation, problem=None, hard_ic=False,
@@ -183,12 +194,13 @@ class ParallelTrainState(NamedTuple):
 
 def init_parallel_state(key, layers, activation="adaptive_tanh",
                         dtype=jnp.float32, fourier_features=0,
-                        fourier_scale=1.0,
-                        input_scales=None) -> ParallelTrainState:
+                        fourier_scale=1.0, input_scales=None,
+                        output_scale=0.0) -> ParallelTrainState:
     params = init_mlp_params(key, layers, activation, dtype,
                              fourier_features=fourier_features,
                              fourier_scale=fourier_scale,
-                             input_scales=input_scales)
+                             input_scales=input_scales,
+                             output_scale=output_scale)
     zeros = jax.tree.map(jnp.zeros_like, params)
     return ParallelTrainState(
         params=params,
@@ -229,6 +241,7 @@ def build_parallel_trainer(
     fourier_features: int = 0,
     hard_ic: bool = False,
     reaction_active: bool = False,
+    output_scale: bool = False,
 ):
     """Build a jitted multi-epoch training function over a ('dp','tp') mesh.
 
@@ -257,7 +270,8 @@ def build_parallel_trainer(
     n_bc = n_bc_local * dp
     totals = (float(n_pde), float(n_ic), float(n_bc))
 
-    param_specs = tp_param_specs(layers, activation, fourier_features)
+    param_specs = tp_param_specs(layers, activation, fourier_features,
+                                 output_scale=output_scale)
     state_specs = ParallelTrainState(
         params=param_specs,
         mu=param_specs,
@@ -319,7 +333,8 @@ def build_parallel_trainer(
 
 def parallel_loss_reference(mesh, layers, params_state, batches, problem,
                             lambda_weights, activation="adaptive_tanh",
-                            fourier_features=0, reaction_active=False):
+                            fourier_features=0, reaction_active=False,
+                            output_scale=False):
     """Compute the global loss on a mesh from given (replicated-input)
     batches — exposed for equivalence tests against the serial loss."""
     xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target = batches
@@ -330,7 +345,8 @@ def parallel_loss_reference(mesh, layers, params_state, batches, problem,
         activation=activation, totals=totals,
         reaction_active=reaction_active,
     )
-    param_specs = tp_param_specs(layers, activation, fourier_features)
+    param_specs = tp_param_specs(layers, activation, fourier_features,
+                                 output_scale=output_scale)
 
     def device_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc, bc_target):
         total, aux = loss_fn(params, xyt_pde, xyt_ic, ic_target, xyt_bc,

@@ -185,8 +185,18 @@ def main():
         try:
             with open(outp) as f:
                 old = json.load(f)
-            rows = [r for r in old.get("configs", [])
-                    if r.get("config") not in args.configs]
+            if old.get("problem") == shared:
+                rows = [r for r in old.get("configs", [])
+                        if r.get("config") not in args.configs]
+            else:
+                # Retained rows were trained under the OLD shared block
+                # (fourier/causal_eps/T/...); rewriting that block with
+                # this run's args would mislabel their hyperparameters
+                # (mixed provenance). Start fresh instead.
+                log("existing file's problem/provenance block differs "
+                    "from this run's args — dropping its rows "
+                    "(mixed-provenance guard); re-run all configs to "
+                    "repopulate")
         except (json.JSONDecodeError, AttributeError):
             rows = []
     for tag in args.configs:

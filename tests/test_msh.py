@@ -287,6 +287,26 @@ class TestStructuredDetection:
         np.testing.assert_array_equal(perm[on_axis],
                                       np.nonzero(on_axis)[0])
 
+    def test_mirror_permutation_mesh_domain_extent_mismatch(self):
+        """The permutation is derived from the MESH's own half-grid, not
+        domain.Lx: a mesh whose extent disagrees with the run's domain
+        (e.g. a [-1,1] file solved under the default Lx=20 domain) must
+        still produce the exact involution — the old domain-derived
+        spacing collapsed every quantized key to 0 and returned a
+        degenerate constant-field permutation without raising."""
+        import numpy as np
+
+        from airpollution_tpu.mesh.mirror import mirror_dof_permutation
+
+        md_small = MeshData(create_mesh(7, 1.0), Domain(), nt=3)  # Lx=20
+        perm = mirror_dof_permutation(md_small, (-1, 1))
+        assert np.unique(perm).size == len(perm)
+        np.testing.assert_array_equal(perm[perm], np.arange(len(perm)))
+        mid = np.asarray(md_small.midpoints, np.float64)
+        np.testing.assert_allclose(mid[perm],
+                                   mid * np.array([-1.0, 1.0]),
+                                   atol=1e-12)
+
     def test_mixed_diagonal_stays_general(self, tmp_path):
         """A union-jack (alternating-diagonal) grid matches NEITHER
         frame — genuinely a different space, honestly left general."""

@@ -87,6 +87,52 @@ def test_tp_forward_matches_serial():
         np.testing.assert_allclose(out_tp, out_serial, atol=1e-6)
 
 
+def test_tp_forward_output_scale_matches_serial():
+    """The trainable 'amp' leaf rides the tensor-parallel path: the spec
+    pytree matches params built with output_scale and forward_tp scales
+    identically to the serial mlp_apply (both last-layer parities)."""
+    from jax.sharding import PartitionSpec as P
+    from airpollution_tpu.parallel.pinn_parallel import (
+        forward_tp, tp_param_specs,
+    )
+
+    for layers in ([3, 8, 8, 8, 1], [3, 8, 8, 1]):
+        params = init_mlp_params(jax.random.PRNGKey(1), layers, "tanh",
+                                 output_scale=0.37)
+        assert "amp" in params[-1]
+        x = jnp.asarray(
+            np.random.default_rng(2).uniform(-1, 1, (10, 3)), jnp.float32
+        )
+        mesh = make_mesh({"dp": 1, "tp": 2})
+        fn = jax.shard_map(
+            lambda p, xx: forward_tp(p, xx, "tanh"), mesh=mesh,
+            in_specs=(tp_param_specs(layers, "tanh", output_scale=True),
+                      P()),
+            out_specs=P(), check_vma=False,
+        )
+        out_tp = np.asarray(jax.jit(fn)(params, x))
+        out_serial = np.asarray(mlp_apply(params, x, "tanh"))
+        np.testing.assert_allclose(out_tp, out_serial, atol=1e-6)
+
+
+def test_train_parallel_with_output_scale():
+    """PINN(output_scale=...).train_parallel: the amp leaf survives the
+    spec plumbing, trains (finite losses), and is itself optimized."""
+    layers = [3, 8, 8, 1]
+    domain, problem = Domain(), Problem()
+    model = PINN(layers, problem, domain, activation="tanh", seed=0,
+                 output_scale=0.5)
+    amp0 = float(model.params[-1]["amp"])
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    model.train_parallel(mesh, {"pde": 128, "ic": 32, "bc": 32},
+                         epochs=20, lr=2e-3,
+                         lambda_weights={"pde": 2.0, "ic": 10.0,
+                                         "bc": 10.0})
+    assert np.isfinite(model.history["total_loss"]).all()
+    assert "amp" in model.params[-1]
+    assert float(model.params[-1]["amp"]) != amp0
+
+
 def test_parallel_training_reduces_loss():
     layers = [3, 8, 8, 1]
     domain, problem = Domain(), Problem()
